@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with per-query wall seconds. A JVM+codegen warmup
+  * pass runs first so measured numbers reflect steady-state execution,
+  * which is what matters for cluster projection.
+  */
 object Bench {
+  // representative of each subsystem: scan+agg, joins, windows, dedup,
+  // similarity, text
+  private val headline = Seq(
+    "a3_multikey_agg",
+    "j3_broadcast_dim_join",
+    "j6_feature_assembly",
+    "a4_exact_quantiles",
+    "w1_sliding_window_stock",
+    "a6_pct_within_group",
+    "d_exact_dedup_groups",
+    "d_minhash_lsh_pairs",
+    "d_simhash_pairs",
+    "ann_brute_topk",
+    "t_quality_score",
+    "t_fingerprint_md5",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = headline.filter(Registry.byName.contains)
+    // warmup: exercise codegen + parquet footer caches
+    qs.foreach { n =>
+      try Registry.byName(n).run(spark, sfDir).count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = qs.map { n =>
+      val t0 = System.nanoTime()
+      try Registry.byName(n).run(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qJson = results
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

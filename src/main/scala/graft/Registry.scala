@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator: a Spark query plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names/aliases MUST match between the two — the driver
+  * sorts columns by name before hashing values.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+object Registry {
+  def all: Seq[Q] =
+    operators.Relational.all ++
+      operators.TimeWindows.all ++
+      functions.ScalarFns.all ++
+      dedup.DedupQueries.all ++
+      similarity.SimilarityQueries.queries ++
+      text.TextQueries.all ++
+      multimodal.MultimodalQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

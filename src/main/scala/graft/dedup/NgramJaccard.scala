@@ -1,0 +1,69 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard similarity join with length-banded blocking.
+  *
+  * Semantics: all pairs with |n_chars difference| ≤ `lengthBand` and
+  * word-bigram Jaccard ≥ `threshold`. A 0.7-Jaccard pair cannot differ
+  * hugely in length, so the length band is a sound blocking key.
+  *
+  * Execution: instead of a cross join, each doc is assigned to bucket
+  * floor(n_chars/band) and one side is expanded to {b-1, b, b+1}; the
+  * banded equi-join then covers every pair within the band predicate,
+  * which is re-checked exactly. At 100 TB this is an equi-shuffle on
+  * (bucket), never a cartesian.
+  */
+object NgramJaccard {
+
+  def bigrams(textCol: String): org.apache.spark.sql.Column =
+    MinHashDedup.shingles(col(textCol), 2)
+
+  def similarPairs(docs: DataFrame, threshold: Double = 0.7,
+      lengthBand: Int = 50): DataFrame = {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      bigrams("text").as("grams"))
+    val a = base
+      .withColumn("bucket",
+        explode(array(
+          (col("n_chars") / lengthBand).cast("long") - 1,
+          (col("n_chars") / lengthBand).cast("long"),
+          (col("n_chars") / lengthBand).cast("long") + 1)))
+    val b = base.withColumn("bucket", (col("n_chars") / lengthBand).cast("long"))
+    a.alias("a")
+      .join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= lengthBand)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams")))).as("j"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  private val pairsQ = Q(
+    "d_ngram_jaccard_pairs",
+    (s, d) => similarPairs(Tables(s, d).documents, 0.7, 50),
+    Some(
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1]))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        |FROM g a JOIN g b
+        |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(pairsQ)
+}

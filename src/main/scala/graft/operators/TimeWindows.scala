@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.time.{DayOfWeek, LocalDate}
+import java.time.temporal.TemporalAdjusters
+
+/** Time-window machinery (SURVEY.md §2.5 W1–W3): the reference's 6-week/
+  * 1-week sliding "stock" windows (dqa/data_getters.py:100-117), the
+  * 8-week/4-week dedup blocking windows (flows/enrich/deduplication_utils
+  * .py:20-33), and monthly snapshot anchors (dqa/data_getters.py:125-141).
+  *
+  * Pure date logic lives in plain Scala over java.time (unit-testable with
+  * the reference's golden values); the distributed form is Spark's native
+  * `window()` — each row lands in length/slide windows via map-side
+  * expansion, no self-join, no driver loop.
+  */
+object TimeWindows {
+
+  /** Monday of the ISO week containing `d` (ref: monday_of_week). */
+  def mondayOfWeek(d: LocalDate): LocalDate =
+    d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+
+  /** All (start, end] windows of `lengthDays` sliding by `slideDays`,
+    * anchored on Mondays, covering [from, to] (ref: iterdates).
+    */
+  def iterdates(
+      from: LocalDate,
+      to: LocalDate,
+      lengthDays: Int = 42,
+      slideDays: Int = 7,
+  ): Seq[(LocalDate, LocalDate)] = {
+    val firstEnd = mondayOfWeek(from).plusDays(lengthDays.toLong)
+    Iterator
+      .iterate(firstEnd)(_.plusDays(slideDays.toLong))
+      .takeWhile(e => !e.minusDays(slideDays.toLong).isAfter(to))
+      .map(e => (e.minusDays(lengthDays.toLong), e))
+      .toSeq
+  }
+
+  /** Snapshot anchor: 15th of the previous month (ref: dqa/data_getters
+    * .py:125-141); the snapshot window is the 42 days ending there.
+    */
+  def snapshotAnchor(today: LocalDate): LocalDate =
+    today.minusMonths(1).withDayOfMonth(15)
+
+  /** A one-column DataFrame date spine [from, to] stepped by `stepDays` —
+    * generated distributed (sequence+explode), not collected on the driver.
+    */
+  def dateSpine(spark: SparkSession, from: LocalDate, to: LocalDate,
+      stepDays: Int = 7): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf(from)),
+        lit(java.sql.Date.valueOf(to)),
+        expr(s"interval $stepDays days"))).as("spine_date"))
+
+  // ---- verifiable queries ----
+
+  private val w1 = Q(
+    "w1_sliding_window_stock",
+    (s, d) =>
+      // 6-week windows sliding weekly over order dates — Spark's native
+      // sliding window (epoch-aligned); each row expands map-side into
+      // exactly length/slide = 6 windows, then one hash aggregate.
+      Tables(s, d).orders
+        .groupBy(window(col("o_orderdate"), "42 days", "7 days"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("date").as("ws"), col("n")),
+    // DuckDB replica of the epoch-aligned window assignment: a row at t
+    // belongs to the 6 grid-aligned starts floor(t/7d)*7d - k*7d, k=0..5.
+    Some(
+      """SELECT CAST(make_timestamp(CAST((floor(epoch(o_orderdate)/604800)*604800
+        |         - k*604800) AS BIGINT) * 1000000) AS DATE) AS ws,
+        |       count(*) AS n
+        |FROM orders, (SELECT unnest([0,1,2,3,4,5]) AS k)
+        |GROUP BY 1""".stripMargin),
+  )
+
+  private val w2 = Q(
+    "w2_dedup_blocking_windows",
+    (s, d) =>
+      // 8-week windows sliding by 4 weeks (dedup temporal blocking)
+      Tables(s, d).events
+        .groupBy(window(col("ts"), "56 days", "28 days"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("date").as("ws"), col("event_type"),
+          col("n")),
+    Some(
+      """SELECT CAST(make_timestamp(CAST((floor(epoch(ts)/2419200)*2419200
+        |         - k*2419200) AS BIGINT) * 1000000) AS DATE) AS ws,
+        |       event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0,1]) AS k)
+        |GROUP BY 1, 2""".stripMargin),
+  )
+
+  private val w3 = Q(
+    "w3_tumbling_window",
+    (s, d) =>
+      Tables(s, d).events
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"),
+          graft.util.Stable.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("date").as("ws"), col("n"),
+          col("sum_value")),
+    Some(
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS ws, count(*) AS n,
+         |  ${graft.util.Stable.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3)
+}

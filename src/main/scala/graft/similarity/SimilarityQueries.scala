@@ -1,0 +1,151 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY §2.6 D2 analog +
+  * the LLM-pipeline ANN family).
+  *
+  *  - cosine is pure column algebra (`zip_with` dot product + `aggregate`
+  *    fold) — codegen'd, no UDF;
+  *  - brute-force top-k is the exactness baseline (broadcast the query
+  *    set, never the corpus);
+  *  - IVF is the 100 TB path: coarse-quantize the corpus once (equi-
+  *    shuffle on centroid id), probe only nprobe buckets per query —
+  *    the same blocking idea as the reference's FAISS IndexIVFFlat
+  *    (labs/deduplication/faiss_utils.py:127-137), re-expressed as
+  *    DataFrame joins.
+  */
+object SimilarityQueries {
+
+  /** dot(a, b) over array<float/double> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours (cosine) for each query vector.
+    * Ranking uses 4-dp-rounded cosine with id tiebreak so the result is
+    * stable across engines and partitionings.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.alias("q")
+      .join(corpus.alias("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("q.embedding"), col("c.embedding")), 4).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  private val brute = Q(
+    "ann_brute_topk",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+    Some(
+      """SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(
+        |      q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+        |               c.vec_id ASC) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rn <= 5""".stripMargin),
+  )
+
+  private val cosineDedup = Q(
+    "d_embed_cosine_pairs",
+    (s, d) => {
+      // embedding near-dup within label blocks: equi-shuffle on the block
+      // key, exact cosine inside each block — never a global cartesian.
+      val e = Tables(s, d).embeddings
+      e.alias("a")
+        .join(e.alias("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+        .filter(col("cos") >= 0.3)
+    },
+    Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(
+        |  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3""".stripMargin),
+  )
+
+  /** IVF index: coarse centroids (deterministic seeds + one Lloyd-style
+    * refinement, all in DataFrames), corpus partitioned by nearest
+    * centroid, queries probe `nprobe` nearest lists.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // seed centroids: first nlist vectors by id (deterministic)
+    val seeds = corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    // assignment pass (per vector: argmax cosine over broadcast centroids)
+    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(df.columns.map(col) :+ col("cid").as("list_id"): _*)
+    }
+    // one refinement: new centroid = element-wise mean of assigned vectors
+    val dim = 64
+    val assigned0 = assign(corpus, seeds)
+    val refined = assigned0
+      .select((col("list_id").as("cid") +: (0 until dim).map(i =>
+        element_at(col("embedding"), i + 1).cast("double").as(s"x$i"))): _*)
+      .groupBy("cid")
+      .agg(avg(col("x0")).as("c0"),
+        (1 until dim).map(i => avg(col(s"x$i")).as(s"c$i")): _*)
+      .select(col("cid"),
+        array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
+    val indexed = assign(corpus, refined)
+
+    // probe: nprobe nearest lists per query, exact search within them
+    val wq = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+    val probes = queries.crossJoin(broadcast(refined))
+      .withColumn("sim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cid").as("list_id"))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    probes.join(indexed, "list_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  private val ivf = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      ivfTopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+    None, // approximate — recall vs brute force asserted in AnnSpec
+  )
+
+  def queries: Seq[Q] = Seq(brute, cosineDedup, ivf)
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Heuristic language identification (LLM-pipeline text analysis).
+  *
+  * Two tiers, both driver-free and broadcast-friendly:
+  *  1. script detection by Unicode block (CJK → zh, Cyrillic → ru, …);
+  *  2. for Latin scripts, cosine over character-trigram frequency against
+  *    small built-in profiles (common-trigram lists per language — the
+  *    classic Cavnar–Trenkle n-gram ranking, reduced to a fixed profile).
+  *
+  * Deterministic; ties broken by profile order. A real deployment would
+  * swap in larger profiles — the operator shape (pure map, no shuffle)
+  * is what matters at scale.
+  */
+object LangId {
+
+  // top distinguishing trigrams per language (hand-picked from public
+  // frequency tables; lowercase, space-padded conventions inline)
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", " of",
+      "of ", " to", "to ", "ed ", " in", "ion", "is "),
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", " di", "die", "ch ",
+      "ein", "sch", "und", " un", "nd ", "ich", "cht"),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ",
+      " la", "ion", " pa", "que", " qu", "ue ", "re "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "en ",
+      " en", "ión", "ar ", " co", "es ", "ado", "que"),
+  )
+
+  def detect(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints().filter(c =>
+      (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)).count()
+    if (cjk * 4 > text.length) {
+      val kana = text.codePoints()
+        .filter(c => c >= 0x3040 && c <= 0x30FF).count()
+      return if (kana > 0) "ja" else "zh"
+    }
+    val cyr = text.codePoints().filter(c => c >= 0x0400 && c <= 0x04FF).count()
+    if (cyr * 4 > text.length) return "ru"
+
+    val t = " " + text.toLowerCase + " "
+    val grams = t.sliding(3).toSeq
+    if (grams.isEmpty) return "und"
+    val counts = grams.groupBy(identity).map { case (g, v) => g -> v.size }
+    val scored = profiles.map { case (lang, prof) =>
+      lang -> prof.map(g => counts.getOrElse(g, 0)).sum
+    }
+    val best = scored.maxBy(_._2)
+    if (best._2 == 0) "und" else best._1
+  }
+
+  def detectCol(spark: SparkSession)(text: Column): Column = {
+    val f = udf((t: String) => detect(t))
+    f(text)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import graft.{Q, Tables}
+import graft.functions.RollingHash
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface: quality
+  * scoring, token counting, fingerprinting, language-ID, phrase matching.
+  * All scale as pure map or map+single-agg stages.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("a", "the", "of", "and")
+
+  private val quality = Q(
+    "t_quality_score",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val stopN = size(filter(words, w => w.isInCollection(stopwords)))
+      val alphaN = regexp_count(col("text"), lit("[a-z]"))
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          nWords.as("n_words"),
+          ((col("n_chars") - nWords + 1).cast("double") / nWords)
+            .as("mean_word_len"),
+          (stopN.cast("double") / nWords).as("stopword_ratio"),
+          (alphaN.cast("double") / col("n_chars")).as("alpha_ratio"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_word_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('a','the','of','and'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / n_chars
+        |    AS alpha_ratio
+        |FROM documents""".stripMargin),
+  )
+
+  private val tokens = Q(
+    "t_token_count",
+    (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .as("bpe_ish_tokens")),
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+        |    AS bpe_ish_tokens
+        |FROM documents""".stripMargin),
+  )
+
+  private val fpMd5 = Q(
+    "t_fingerprint_md5",
+    (s, d) =>
+      // canonical-form content fingerprint: lowercase + whitespace collapse
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+            .as("fingerprint")),
+    Some(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin),
+  )
+
+  private val fpRolling = Q(
+    "t_fingerprint_rolling",
+    (s, d) =>
+      // custom codegen'd Catalyst expression — see RollingHashExpr
+      Tables(s, d).documents
+        .select(col("doc_id"), RollingHash.rolling_hash(col("text")).as("fp")),
+    None, // non-standard hash; golden-value spec instead
+  )
+
+  private val langid = Q(
+    "t_language_id",
+    (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang"),
+          LangId.detectCol(s)(col("text")).as("predicted")),
+    None, // heuristic model; accuracy asserted in LangIdSpec
+  )
+
+  private val phrase = Q(
+    "j9_phrase_match",
+    (s, d) => {
+      val dict = Seq("table", "window merge", "fast join", "group", "spark")
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          explode(PhraseMatch.matchPhrases(s, dict)(col("text"))).as("phrase"))
+    },
+    Some(
+      """SELECT doc_id, phrase
+        |FROM documents,
+        |  (SELECT unnest(['table','window merge','fast join','group','spark'])
+        |     AS phrase)
+        |WHERE contains(text, phrase)""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase)
+}

@@ -1,0 +1,35 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine-stable numeric aggregation.
+  *
+  * `SUM(double)` is order-dependent (partial aggregation reorders the
+  * additions), so a Spark sum and a DuckDB sum of the same doubles can
+  * differ in the last ulp and break hash-parity with the oracle. Casting
+  * each addend to an exact decimal first makes the sum associative and
+  * therefore bit-identical regardless of partitioning — and it is also
+  * the right call at 100 TB, where a 1000-way partial agg would otherwise
+  * make results non-reproducible run-to-run.
+  *
+  * The final cast back to double is deterministic (correctly-rounded
+  * decimal→binary in both engines), keeping the published schema simple.
+  */
+object Stable {
+  /** Order-independent sum of a double column, exact at `scale` dp. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Matching DuckDB SQL fragment. */
+  def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Order-independent mean: exact decimal sum / count, one IEEE divide. */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(lit(1))
+
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"(${dsumSql(expr, scale)} / COUNT(*))"
+}
