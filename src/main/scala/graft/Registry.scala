@@ -16,6 +16,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     operators.Relational.all ++
+      operators.SourcesSinks.all ++
+      operators.Extended.all ++
       operators.TimeWindows.all ++
       functions.ScalarFns.all ++
       dedup.DedupQueries.all ++

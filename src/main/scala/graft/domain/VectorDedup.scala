@@ -1,0 +1,98 @@
+package graft.domain
+
+import graft.similarity.SimilarityQueries.dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** D2 — ANN near-duplicate scoring over description vectors, the Spark
+  * re-expression of the reference's FAISS pipeline
+  * (flows/enrich/labs/deduplication/faiss_utils.py:103-166 and
+  * flows/enrich/deduplication.py:72-109):
+  *
+  *  - temporal blocking: 8-week windows sliding by 4 weeks (W2), so each
+  *    ad meets only its temporal neighbours (ref deduplication_utils
+  *    .py:20-33);
+  *  - candidate blocking: sign-LSH (random hyperplanes) instead of the
+  *    IVF index — same role (restrict the pair space), fully
+  *    distributed: an equi-shuffle on (window, bucket), never an n²;
+  *  - scoring: the reference's *relative* score
+  *    (mean_background_distance − d) / mean_background_distance with L1
+  *    distance, background estimated against a broadcast sample (the
+  *    reference uses the k_large=10000 neighbourhood mean — at corpus
+  *    scale these coincide; parity is graph-level, per SURVEY §7.4);
+  *  - emit pairs with score > threshold as (first_id, second_id, weight).
+  */
+object VectorDedup {
+  val ScoreThreshold = 0.8
+  val WindowLength = "56 days"
+  val WindowSlide = "28 days"
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane,
+    * dim)) — reproducible across runs/partitions with no RNG state.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        var z = (p.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        // map to [-1, 1)
+        (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+      }
+    }
+
+  def l1(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket id: sign bits of the projections onto the hyperplanes. */
+  private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** @param vectors (id, created, vector) — e.g. AdVector ⋈ RawJobAd (J1)
+    * @param dim vector dimensionality (reference: 768)
+    * @return duplicate links (first_id, second_id, weight), weight =
+    *         relative score in (threshold, 1].
+    */
+  def nearDuplicateLinks(vectors: DataFrame, dim: Int = 768, nPlanes: Int = 8,
+      backgroundSample: Int = 64,
+      threshold: Double = ScoreThreshold): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+
+    // temporal blocking (W2): each ad lands in 2 overlapping windows
+    val blocked = vectors
+      .select(col("id"), col("vector"),
+        window(col("created"), WindowLength, WindowSlide).getField("start")
+          .as("win"))
+
+    // background distance estimate: mean L1 to a deterministic broadcast
+    // sample (smallest ids) — stands in for the reference's k_large mean
+    val sample = vectors.orderBy("id").limit(backgroundSample)
+      .select(col("vector").as("bg_vector"))
+    val base = blocked
+      .crossJoin(broadcast(sample))
+      .groupBy("id")
+      .agg(avg(l1(col("vector"), col("bg_vector"))).as("base"))
+
+    // candidate generation: sign-LSH buckets within each window
+    val bucketed = blocked
+      .withColumn("bucket", bucketCol(col("vector"), planes))
+    val cand = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.win") === col("b.win") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("first_id"), col("b.id").as("second_id"),
+        l1(col("a.vector"), col("b.vector")).as("d"))
+      .dropDuplicates("first_id", "second_id")
+
+    cand
+      .join(base.withColumnRenamed("id", "first_id"), "first_id")
+      .withColumn("weight", (col("base") - col("d")) / col("base"))
+      .filter(col("weight") > threshold)
+      .select("first_id", "second_id", "weight")
+  }
+}

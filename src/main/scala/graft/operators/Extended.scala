@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 inventory: multimap lookup joins (J4), tiered
+  * substring matching (J8), validation joins (J11), frequency ranking
+  * (A8), null-filters on join output (P2), text cleaning (F5), vector
+  * round-trips (F7) and the pluggable vectoriser (D1).
+  */
+object Extended {
+
+  private val p2 = Q(
+    "p2_notnull_filter",
+    (s, d) => {
+      // null-id filter after an outer join (ref tasks/extract.py:120-122)
+      val t = Tables(s, d)
+      t.customer.select("c_custkey", "c_mktsegment")
+        .join(t.orders
+          .filter(col("o_orderdate") >= "2001-01-01")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .filter(col("o_orderkey").isNotNull)
+        .select("c_custkey", "o_orderkey")
+    },
+    Some(
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NOT NULL
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin),
+  )
+
+  private val j4 = Q(
+    "j4_multimap_lookup_join",
+    (s, d) => {
+      // 1-to-many broadcast lookup: one key explodes into all its codes
+      // (ref flows/enrich/locations.py:24-39 name → [codes])
+      val t = Tables(s, d)
+      val lookup = t.customer
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("code"))
+        .distinct()
+      t.orders
+        .filter(col("o_orderdate") >= "2001-06-01")
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(lookup), Seq("segment"))
+        .select("o_orderkey", "segment", "code")
+    },
+    Some(
+      """WITH lookup AS (
+        |  SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS code
+        |  FROM customer)
+        |SELECT o_orderkey, c.c_mktsegment AS segment, l.code
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN lookup l ON c.c_mktsegment = l.segment
+        |WHERE o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'""".stripMargin),
+  )
+
+  private val j8 = Q(
+    "j8_tiered_substring_match",
+    (s, d) => {
+      // the SOC title-matching shape (ref flows/enrich/labs/soc/
+      // substring_utils.py:73-111): exact tier first, else the longest
+      // title contained-in/containing the name; broadcast nested-loop
+      // theta join + deterministic rank
+      val t = Tables(s, d)
+      val titles = Seq("small ring", "ring", "widget", "blue bolt", "bolt",
+        "gear", "hot gizmo").toDF(s)("title")
+      val parts = t.part.select("p_partkey", "p_name")
+      val exact = parts.join(broadcast(titles),
+          col("p_name") === col("title"))
+        .select(col("p_partkey"), col("p_name"), col("title").as("matched"),
+          lit("exact").as("tier"))
+      val partial = parts
+        .join(broadcast(titles), col("p_name").contains(col("title")) ||
+          col("title").contains(col("p_name")))
+        .join(exact.select("p_partkey"), Seq("p_partkey"), "left_anti")
+        .withColumn("rn", row_number().over(Window.partitionBy("p_partkey")
+          .orderBy(length(col("title")).desc, col("title").asc)))
+        .filter(col("rn") === 1)
+        .select(col("p_partkey"), col("p_name"), col("title").as("matched"),
+          lit("partial").as("tier"))
+      exact.unionByName(partial)
+    },
+    Some(
+      """WITH titles AS (SELECT unnest(['small ring','ring','widget',
+        |  'blue bolt','bolt','gear','hot gizmo']) AS title),
+        |exact AS (
+        |  SELECT p_partkey, p_name, title AS matched, 'exact' AS tier
+        |  FROM part JOIN titles ON p_name = title),
+        |partial AS (
+        |  SELECT p_partkey, p_name, title AS matched, 'partial' AS tier
+        |  FROM part JOIN titles
+        |    ON (contains(p_name, title) OR contains(title, p_name))
+        |  WHERE p_partkey NOT IN (SELECT p_partkey FROM exact)
+        |  QUALIFY row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY length(title) DESC, title ASC) = 1)
+        |SELECT * FROM exact UNION ALL SELECT * FROM partial""".stripMargin),
+  )
+
+  private val j11 = Q(
+    "j11_validation_intersect_join",
+    (s, d) => {
+      // candidate-validation join: keep (order, segment) pairs whose
+      // segment also appears among 2001 buyers (ref flows/enrich/soc
+      // .py:24-36 soc∩std_titles intersection per match)
+      val t = Tables(s, d)
+      val valid = t.orders.filter(col("o_orderdate") >= "2001-01-01")
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment")).distinct()
+      t.customer.select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        .join(broadcast(valid), Seq("segment"), "left_semi")
+    },
+    Some(
+      """SELECT c_custkey, c_mktsegment AS segment FROM customer
+        |WHERE c_mktsegment IN (
+        |  SELECT DISTINCT c_mktsegment FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin),
+  )
+
+  private val a8 = Q(
+    "a8_frequency_rank",
+    (s, d) =>
+      // entity frequency ordered desc with explicit rank (ref
+      // dqa/data_getters.py:547-580; its bin-packing is obsolete — AQE
+      // handles skew)
+      Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n"), asc("word")))),
+    Some(
+      """SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word ASC)
+        |  AS INT) AS rank
+        |FROM (
+        |  SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin),
+  )
+
+  private val f5 = Q(
+    "f5_title_clean",
+    (s, d) =>
+      // F5 job-title cleaning chain: punctuation→space, digits stripped,
+      // lowercase, whitespace collapse (ref flows/enrich/labs/soc/common
+      // .py:48-99)
+      Tables(s, d).customer
+        .select(col("c_custkey"),
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("c_name")), "[\\p{Punct}]", " "), "[0-9]", ""),
+            "\\s+", " ")).as("clean_name")),
+    Some(
+      """SELECT c_custkey,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(c_name), '[[:punct:]]', ' ', 'g'), '[0-9]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_name
+        |FROM customer""".stripMargin),
+  )
+
+  private val f7 = Q(
+    "f7_vector_json_roundtrip",
+    (s, d) =>
+      // F7: vector JSON encode/decode + 5-dp truncation (ref
+      // vectorise_descriptions.py:29-36, vector_utils.py:31) — the array
+      // survives a to_json/from_json round trip
+      Tables(s, d).embeddings
+        .select(col("vec_id"),
+          from_json(to_json(col("embedding")),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("v"))
+        .select(col("vec_id"), size(col("v")).as("dim"),
+          round(element_at(col("v"), 1).cast("double"), 5).as("x0")),
+    Some(
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 5) AS x0
+        |FROM embeddings""".stripMargin),
+  )
+
+  private val d1 = Q(
+    "d1_vectorise",
+    (s, d) =>
+      // D1: pluggable deterministic fallback embedder (hashing trick —
+      // words hashed into 16 buckets, L2-normalised), standing in for the
+      // SBERT encoder the way SURVEY §2.6 D1 prescribes
+      graft.text.Vectorise.embed(Tables(s, d).documents, "text", 16)
+        .select(col("doc_id"), round(element_at(col("embedding"), 1), 4)
+          .as("x0")),
+    None, // engine-specific hash embedding — determinism spec-verified
+  )
+
+  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, d1)
+
+  private implicit class ToDfOps(seq: Seq[String]) {
+    def toDF(s: org.apache.spark.sql.SparkSession)(
+        name: String): org.apache.spark.sql.DataFrame =
+      s.createDataset(seq)(s.implicits.newStringEncoder).toDF(name)
+  }
+}

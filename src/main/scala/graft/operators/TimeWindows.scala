@@ -23,20 +23,21 @@ object TimeWindows {
   def mondayOfWeek(d: LocalDate): LocalDate =
     d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
 
-  /** All (start, end] windows of `lengthDays` sliding by `slideDays`,
-    * anchored on Mondays, covering [from, to] (ref: iterdates).
+  /** All (end - span, end) windows whose `end` walks the Mondays from
+    * mondayOfWeek(from) to mondayOfWeek(to) inclusive — exact semantics
+    * of the reference's `iterdates` (dqa/data_getters.py:105-117),
+    * golden-tested against its expected list.
     */
   def iterdates(
       from: LocalDate,
       to: LocalDate,
-      lengthDays: Int = 42,
-      slideDays: Int = 7,
+      timespanWeeks: Int = 6,
   ): Seq[(LocalDate, LocalDate)] = {
-    val firstEnd = mondayOfWeek(from).plusDays(lengthDays.toLong)
+    val lastEnd = mondayOfWeek(to)
     Iterator
-      .iterate(firstEnd)(_.plusDays(slideDays.toLong))
-      .takeWhile(e => !e.minusDays(slideDays.toLong).isAfter(to))
-      .map(e => (e.minusDays(lengthDays.toLong), e))
+      .iterate(mondayOfWeek(from))(_.plusWeeks(1))
+      .takeWhile(!_.isAfter(lastEnd))
+      .map(e => (e.minusWeeks(timespanWeeks.toLong), e))
       .toSeq
   }
 

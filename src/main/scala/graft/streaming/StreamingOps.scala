@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import java.sql.Timestamp
+
+/** Streaming ingest mode (SURVEY §2.9): the reference is pure batch, but
+  * its W1/W2 sliding stock windows map directly onto Structured
+  * Streaming event-time windows with a watermark = the ad lifespan. The
+  * same aggregation code then serves both modes.
+  */
+object StreamingOps {
+
+  /** Sliding stock count over a stream of (created, ...) rows — the
+    * streaming twin of w1_sliding_window_stock. Late data beyond the
+    * 6-week lifespan is dropped by the watermark, matching the batch
+    * semantics where a window never reopens.
+    */
+  def slidingStock(events: DataFrame,
+      timeCol: String = "created",
+      watermark: String = "42 days",
+      length: String = "42 days",
+      slide: String = "7 days"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), length, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("ws"), col("n"))
+
+  /** Per-key session state: running count + last-seen timestamp via
+    * mapGroupsWithState — the custom-state surface (SURVEY §2.8→Catalyst
+    * table, streaming row).
+    */
+  case class KeyState(key: String, n: Long, lastSeen: Timestamp)
+
+  def runningCounts(spark: SparkSession, events: DataFrame,
+      keyCol: String, timeCol: String): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col(keyCol).as("k"), col(timeCol).as("t"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Timestamp)],
+            state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(key, 0L, null))
+          val batch = rows.toSeq
+          val latest = (prev.lastSeen +: batch.map(_._2))
+            .filter(_ != null).maxBy(_.getTime)
+          val next = KeyState(key, prev.n + batch.size, latest)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink —
+    * used by specs and local smoke runs (batch parquet in, synchronous).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,36 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D1 — the pluggable vectorise operator. The reference runs SBERT
+  * (flows/pre_enrich/vectorise_descriptions.py:18-60); model inference is
+  * out of engine scope (SURVEY §2.6 D1), so the engine ships a
+  * deterministic fallback embedder with the same operator shape:
+  * `DataFrame → DataFrame` adding an `embedding: array<double>` column.
+  *
+  * Fallback = hashing-trick bag of words: each word hashed to one of
+  * `dim` buckets (xxhash64), counts L2-normalised. Pure column algebra —
+  * explode + pivot-free conditional sums, one shuffle keyed by doc.
+  */
+object Vectorise {
+
+  def embed(docs: DataFrame, textCol: String, dim: Int = 64): DataFrame = {
+    val keyCols = docs.columns.map(col).toIndexedSeq
+    val tok = docs
+      .withColumn("w", explode(split(col(textCol), " ")))
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(dim)))
+    val counts = (0 until dim).map(i =>
+      sum(when(col("bucket") === i, 1).otherwise(0)).cast("double")
+        .as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id"))
+      .agg(counts.head, counts.tail: _*)
+    val vec = array((0 until dim).map(i => col(s"b$i")): _*)
+    val norm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    agg
+      .withColumn("embedding",
+        transform(vec, x => when(norm > 0, x / norm).otherwise(x)))
+      .select(col("doc_id") +: agg.columns.filterNot(c =>
+        c == "doc_id" || c.startsWith("b")).map(col) :+ col("embedding"): _*)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** HTML-fixture extraction test (SURVEY §5) over a synthetic reed-shaped
+  * page (structure mirrors the reference fixture; content is ours).
+  */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val adHtml =
+    """<html><head><script>
+      |  dataLayer = [{
+      |    jobId: 123456,
+      |    jobPostedDate: '20/10/2021',
+      |    jobTitle: 'Data Engineer',
+      |    jobLocation: 'Leeds',
+      |    jobRecruiterName: 'ACME Analytics',
+      |    jobType: 'Permanent',
+      |  }];
+      |</script></head><body>
+      |<span itemprop="baseSalary">
+      |  <meta itemprop="currency" content="GBP">
+      |  <meta itemprop="minValue" content="40000.00">
+      |  <meta itemprop="maxValue" content="50000.00">
+      |  <meta itemprop="value" content="45000.00">
+      |  <meta itemprop="unitText" content="YEAR">
+      |</span>
+      |<span itemprop="description"><p>Great <b>opportunity</b> in data.</p></span>
+      |</body></html>""".stripMargin
+
+  private val competitiveHtml = adHtml
+    .replaceAll("(?s)<span itemprop=\"baseSalary\">.*?</span>",
+      "<span itemprop=\"baseSalary\">Competitive salary</span>")
+
+  private val legacyHtml = "<html><body>listing page, no salary span</body></html>"
+
+  test("reed extraction parses dataLayer, salary metas and description") {
+    val out = Extract.reed(Seq(adHtml).toDF("text")).head()
+    assert(out.getAs[String]("id") == "123456")
+    assert(out.getAs[Timestamp]("created") ==
+      Timestamp.valueOf("2021-10-20 00:00:00"))
+    assert(out.getAs[String]("job_title_raw") == "Data Engineer")
+    assert(out.getAs[String]("job_location_raw") == "Leeds")
+    assert(out.getAs[String]("company_raw") == "ACME Analytics")
+    assert(out.getAs[Double]("raw_min_salary") == 40000.0)
+    assert(out.getAs[Double]("raw_max_salary") == 50000.0)
+    assert(out.getAs[String]("raw_salary_unit") == "YEAR")
+    assert(out.getAs[String]("raw_salary_currency") == "GBP")
+    assert(!out.getAs[Boolean]("salary_competitive"))
+    assert(out.getAs[String]("description") == "Great opportunity in data.")
+  }
+
+  test("competitive ads null the salary fields but set the flag") {
+    val out = Extract.reed(Seq(competitiveHtml).toDF("text")).head()
+    assert(out.getAs[Boolean]("salary_competitive"))
+    assert(out.isNullAt(out.fieldIndex("raw_salary")))
+    assert(out.isNullAt(out.fieldIndex("raw_salary_unit")))
+  }
+
+  test("legacy pages without baseSalary are dropped") {
+    assert(Extract.reed(Seq(legacyHtml).toDF("text")).count() == 0)
+  }
+}
+
+/** D2 vector dedup: planted duplicates produce high-score links. */
+class VectorDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("identical vectors in the same window link with weight 1") {
+    val dim = 8
+    val v1 = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val far = Array.tabulate(dim)(i => ((i * 37) % 11 - 5).toFloat * 3f)
+    val vecs = Seq(
+      ("a", ts("2021-02-01"), v1),
+      ("b", ts("2021-02-03"), v1), // exact dup of a
+      ("c", ts("2021-02-05"), far),
+    ).toDF("id", "created", "vector")
+    val links = VectorDedup.nearDuplicateLinks(vecs, dim = dim,
+      backgroundSample = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(links.exists { case (f, s, w) => f == "a" && s == "b" && w == 1.0 },
+      s"got ${links.toSeq}")
+    assert(!links.exists { case (f, s, _) => s == "c" || f == "c" })
+  }
+
+  test("hyperplanes are deterministic") {
+    val a = VectorDedup.hyperplanes(4, 16)
+    val b = VectorDedup.hyperplanes(4, 16)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.forall(x => x >= -1.0 && x < 1.0))
+  }
+}
+
+/** Multimodal plumbing: deterministic stub decode through mapPartitions. */
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.MultimodalQueries
+
+  test("binary payloads produce stable fixed-width features") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "payload_str")
+      .select(col("doc_id"), col("payload_str").cast("binary").as("payload"))
+    val out = MultimodalQueries.extractFeatures(df).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).n_bytes == 5)
+    assert(out(1L).width == 16 + ('h' & 0x3F))
+    assert(out(2L).n_bytes == 0)
+    assert(out(2L).width == 16 && out(2L).height == 16)
+    // determinism across partitionings
+    val again = MultimodalQueries.extractFeatures(df.repartition(4))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(again == out)
+  }
+}

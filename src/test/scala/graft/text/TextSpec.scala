@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.RollingHash
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class PhraseMatchSpec extends SparkSpec {
+
+  test("aho-corasick finds overlapping and nested patterns") {
+    val ac = new AhoCorasick(Seq("he", "she", "his", "hers", "war", "ward"))
+    assert(ac.matches("ushers").map(Seq("he", "she", "his", "hers", "war",
+      "ward")) == Seq("he", "she", "hers"))
+    assert(ac.matches("warden").map(Seq("he", "she", "his", "hers", "war",
+      "ward")) == Seq("war", "ward"))
+    assert(ac.matches("xyz").isEmpty)
+    assert(ac.matches("").isEmpty)
+  }
+
+  test("phrase match column emits dictionary hits per document") {
+    import spark.implicits._
+    val df = Seq((1L, "fast join on the window merge path"),
+      (2L, "nothing relevant here")).toDF("doc_id", "text")
+    val dict = Seq("fast join", "window merge", "group")
+    val got = df.select(col("doc_id"),
+      PhraseMatch.matchPhrases(spark, dict)(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) == Set("fast join", "window merge"))
+    assert(got(2L) == Set.empty[String])
+  }
+}
+
+class LangIdSpec extends SparkSpec {
+  test("language id on representative sentences") {
+    assert(LangId.detect(
+      "the quick brown fox jumps over the lazy dog and runs into the woods") == "en")
+    assert(LangId.detect(
+      "der schnelle braune fuchs springt über den faulen hund und rennt in den wald") == "de")
+    assert(LangId.detect(
+      "le renard brun rapide saute par dessus le chien paresseux dans la forêt") == "fr")
+    assert(LangId.detect(
+      "el rápido zorro marrón salta sobre el perro perezoso en el bosque") == "es")
+    assert(LangId.detect("敏捷的棕色狐狸跳过懒狗") == "zh")
+    assert(LangId.detect("素早い茶色のキツネは怠け者の犬を飛び越えます") == "ja")
+    assert(LangId.detect("быстрая коричневая лиса прыгает через ленивую собаку") == "ru")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect(null) == "und")
+  }
+}
+
+class RollingHashSpec extends SparkSpec {
+
+  test("expression value matches the JVM implementation (codegen path)") {
+    import spark.implicits._
+    val texts = Seq("", "a", "hello world", "the quick brown fox",
+      "ünïcödé ẗêxt", "a" * 10000)
+    val df = texts.toDF("t")
+    val got = df.select(RollingHash.rolling_hash(col("t"))).collect()
+      .map(_.getLong(0))
+    val want = texts.map(t => RollingHash.hash(UTF8String.fromString(t)))
+    assert(got.toSeq == want)
+  }
+
+  test("hash is within the Mersenne field and collision-free on a corpus") {
+    val hs = (0 until 1000).map(i =>
+      RollingHash.hash(UTF8String.fromString(s"doc $i payload")))
+    assert(hs.forall(h => h >= 0 && h < RollingHash.Mod))
+    assert(hs.distinct.size == 1000)
+  }
+}
