@@ -25,50 +25,62 @@ object MinHashDedup {
   // hash family: h_j(x) = xxhash64(j, xxhash64(x)) — salt-mixed, no
   // overflow under ANSI mode, deterministic across runs and partitions
 
-  /** Word n-gram shingles of `text`, distinct, as an array column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
-  }
+  /** Word n-gram shingles of `text`, distinct, as an array column —
+    * a native expression ([[graft.functions.TextSketches.shingles]]);
+    * the equivalent higher-order-function formulation runs interpreted
+    * per element and was the pipeline's bottleneck.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextSketches.shingles(text, n)
 
-  /** (doc_id, shingles, m0..m63) minhash signature via explode + min agg. */
+  /** (doc_id, shingles, m0..m63) minhash signatures. The whole sketch is
+    * one codegen'd expression ([[graft.functions.TextSketches]]) inside
+    * the scan — no token explode, no 64-column aggregate, no shuffle —
+    * with values bit-identical to the min-over-exploded-shingles
+    * formulation (same XXH64 seed chain).
+    */
   def signatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .persist()
-    val exploded = sh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val minCols = (0 until NumHashes).map(j =>
-      min(xxhash64(lit(j), col("h"))).as(s"m$j"))
-    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .join(sh, "doc_id")
+    val sig = docs.select(col("doc_id"), shingles(col("text")).as("sh"),
+      graft.functions.TextSketches.minhash_signature(col("text")).as("sig"))
+    val mCols = (0 until NumHashes).map(j =>
+      element_at(col("sig"), j + 1).as(s"m$j"))
+    sig.select(col("doc_id") +: col("sh") +: mCols: _*)
   }
 
-  /** Near-duplicate pairs with exact shingle Jaccard ≥ `threshold`. */
+  /** Near-duplicate pairs with exact shingle Jaccard ≥ `threshold`.
+    *
+    * Join discipline for scale: the banding self-join carries only
+    * (doc_id, band, key) — 20 bytes a row — and the shingle arrays are
+    * attached to the *deduplicated candidate pairs* afterwards, so the
+    * wide text-derived payload never rides through the LSH shuffle.
+    */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sig = signatures(docs)
-    // 16 band keys, each hashing 4 consecutive minhashes
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextSketches.minhash_signature(col("text")).as("sig"))
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
-          .as("key"))
+        xxhash64((0 until BandRows).map(r =>
+          element_at(col("sig"), b * BandRows + r + 1)): _*).as("key"))
     }
     val buckets = sig
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"),
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     val cand = buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // shingle arrays are only materialised for candidate docs (semi join
+    // first): at corpus scale candidates are a vanishing fraction
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

@@ -21,22 +21,13 @@ object SimHashDedup {
   private val Bands = 4
   private val BandBits = Bits / Bands // 16
 
-  /** (doc_id, simhash) 64-bit fingerprints over word unigrams. */
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    // vote: +1 if bit j of h set, else -1; fingerprint bit j = vote sum > 0
-    val votes = (0 until Bits).map { j =>
-      sum(when(col("h").bitwiseAND(1L << j) =!= 0L, 1).otherwise(-1))
-        .as(s"v$j")
-    }
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until Bits)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+  /** (doc_id, simhash) 64-bit fingerprints over word unigrams — one
+    * codegen'd expression per row ([[graft.functions.TextSketches]]):
+    * no token explode, no 64-column vote aggregate, no shuffle.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextSketches.simhash(col("text")).as("simhash"))
 
   /** Pairs with Hamming distance ≤ `maxHamming` (< Bands for recall=1). */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local text sketches as native codegen'd Catalyst expressions.
+  *
+  * SimHash and MinHash signatures are per-document computations; the
+  * first implementation exploded tokens and ran 64 aggregate columns —
+  * a full shuffle of every token in the corpus. These expressions do the
+  * whole sketch inside the scan's WholeStageCodegen span: zero shuffle,
+  * zero extra pass, identical hash values (they reuse Spark's XXH64 with
+  * the same seed/chaining as the `xxhash64` SQL function, so results are
+  * bit-compatible with the aggregation formulation).
+  *
+  * At 100 TB this is the difference between "shuffle 100 TB of tokens"
+  * and "read the corpus once".
+  */
+object TextSketches {
+  final val XxSeed = 42L // Spark's xxhash64 default seed
+  final val NumHashes = 64
+  final val ShingleN = 3
+
+  /** seeds(j) = XXH64(int j, 42) — the seed chain Spark's
+    * xxhash64(lit(j), h) produces for the first argument.
+    */
+  private val seeds: Array[Long] =
+    Array.tabulate(NumHashes)(j => XXH64.hashInt(j, XxSeed))
+
+  /** simhash over space-separated tokens: per-token XXH64 votes. */
+  def simhash64(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val tokens = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(tokens(t)), XxSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** 64 minhashes over word-`ShingleN` shingles; value-compatible with
+    * min(xxhash64(lit(j), xxhash64(shingle))) over exploded shingles.
+    */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    if (text != null) {
+      val words = text.toString.split(" ", -1)
+      val nShingles = math.max(words.length - ShingleN + 1, 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < nShingles) {
+        sb.setLength(0)
+        var k = 0
+        while (k < ShingleN) {
+          // concat_ws semantics: skip missing words past the end
+          if (i + k < words.length) {
+            if (sb.length() > 0) sb.append(' ')
+            sb.append(words(i + k))
+          }
+          k += 1
+        }
+        val h = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), XxSeed)
+        var j = 0
+        while (j < NumHashes) {
+          val hj = XXH64.hashLong(h, seeds(j))
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct word n-gram shingles — value-compatible with the
+    * `transform(sequence(...), concat_ws(...))` + `array_distinct`
+    * column formulation, but a single JVM loop (higher-order array
+    * functions run interpreted per element in Spark — ~20µs/shingle
+    * there vs ~0.1µs here).
+    */
+  def shingleArray(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val words = text.toString.split(" ", -1)
+    val nShingles = math.max(words.length - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](nShingles * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (i + k < words.length) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(words(i + k))
+        }
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def simhash(c: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(c.cast("string"))))
+
+  def minhash_signature(c: Column): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(c.cast("string"))))
+
+  def shingles(c: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(c.cast("string")), n))
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.shingleArray(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextSketches.shingleArray($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.minhashSig(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.minhashSig($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
