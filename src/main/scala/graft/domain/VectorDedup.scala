@@ -43,8 +43,7 @@ object VectorDedup {
     }
 
   def l1(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.l1(a, b)
 
   /** LSH bucket id: sign bits of the projections onto the hyperplanes. */
   private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** dot(a, b) over array<float/double> columns, computed in double. */
+  /** dot(a, b) over array<float/double> columns, computed in double —
+    * a native codegen'd expression ([[graft.functions.VectorOps]]); the
+    * zip_with+aggregate fold is interpreted per element and dominated
+    * similarity query time. Same left-to-right summation order, so
+    * results are bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
