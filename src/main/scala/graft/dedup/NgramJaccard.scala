@@ -23,8 +23,14 @@ object NgramJaccard {
 
   def similarPairs(docs: DataFrame, threshold: Double = 0.7,
       lengthBand: Int = 50): DataFrame = {
+    // shingles are hashed to sorted longs once per doc in the scan stage;
+    // the banded join then shuffles packed longs, prunes on the free
+    // size-ratio bound (J ≤ |smaller|/|larger|), and merge-scans the
+    // survivors with a native expression — see JaccardOps.
     val base = docs.select(col("doc_id"), col("n_chars"),
-      bigrams("text").as("grams"))
+      graft.functions.JaccardOps.sorted_shingle_hashes(col("text"), 2)
+        .as("grams"))
+      .withColumn("n_grams", size(col("grams")))
     val a = base
       .withColumn("bucket",
         explode(array(
@@ -36,10 +42,12 @@ object NgramJaccard {
       .join(b.alias("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= lengthBand)
+          abs(col("a.n_chars") - col("b.n_chars")) <= lengthBand &&
+          least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
+            greatest(col("a.n_grams"), col("b.n_grams")) * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams")))).as("j"))
+        graft.functions.JaccardOps.jaccard_sorted(col("a.grams"),
+          col("b.grams")).as("j"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
