@@ -17,12 +17,20 @@ object Bench {
     "a4_exact_quantiles",
     "w1_sliding_window_stock",
     "a6_pct_within_group",
+    "a7_index_normalisation",
+    "j8_tiered_substring_match",
     "d_exact_dedup_groups",
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_embed_cosine_pairs",
+    "d3_connected_components",
     "ann_brute_topk",
+    "ann_ivf_topk",
     "t_quality_score",
     "t_fingerprint_md5",
+    "j9_phrase_match",
+    "d1_vectorise",
   )
 
   def main(args: Array[String]): Unit = {

@@ -44,6 +44,7 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
+    var gCount = -1L // edge count of g, carried across rounds (saves a job)
     while (!converged && iter < maxIterations) {
       // view the current graph undirected for the large-star step
       val sym = g.union(g.select(col("v").as("u"), col("u").as("v")))
@@ -68,10 +69,13 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      val changed = small.join(g, Seq("u", "v"), "left_anti")
-        .limit(1).count() > 0 || small.count() != g.count()
+      if (gCount < 0) gCount = g.count()
+      val smallCount = small.count()
+      val changed = smallCount != gCount ||
+        small.join(g, Seq("u", "v"), "left_anti").limit(1).count() > 0
       g.unpersist()
       g = small
+      gCount = smallCount
       converged = !changed
       iter += 1
     }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions are reachable from pure SQL via
+  * SparkSessionExtensions registration.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .withExtensions(new GraftExtensions) // honoured on a fresh JVM
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(s) // honoured even on a reused session
+    s
+  }
+
+  test("SQL surface: sketches, jaccard, vector ops") {
+    val row = spark.sql(
+      """SELECT
+        |  rolling_hash('abc') AS rh,
+        |  simhash64('a b c') AS sh,
+        |  size(minhash_signature('a b c d')) AS msize,
+        |  jaccard_sorted(sorted_shingle_hashes('a b c', 2),
+        |                 sorted_shingle_hashes('a b c', 2)) AS j,
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  vec_l1(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS l1
+        |""".stripMargin).head()
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(row.getLong(0) ==
+      graft.functions.RollingHash.hash(UTF8String.fromString("abc")))
+    assert(row.getLong(1) ==
+      graft.functions.TextSketches.simhash64(UTF8String.fromString("a b c")))
+    assert(row.getInt(2) == 64)
+    assert(row.getDouble(3) == 1.0)
+    assert(row.getDouble(4) == 11.0)
+    assert(row.getDouble(5) == 4.0)
+  }
+}
