@@ -1,0 +1,57 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed near-dup pipeline an LLM-data curator actually runs:
+  * MinHash-LSH pair generation → connected components → min-id exemplar
+  * per cluster → duplicate flags. Output covers every doc that appears
+  * in at least one verified pair.
+  *
+  * The oracle replays it exactly: brute-force Jaccard pairs + a
+  * recursive-CTE min-label propagation — so the whole composition
+  * (approximate candidate gen, exact verify, distributed CC, exemplar
+  * rule) is hash-checked end-to-end.
+  */
+object DedupClusters {
+
+  def clusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = MinHashDedup.nearDupPairs(docs, threshold)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster"),
+        (col("id") =!= col("component")).as("is_duplicate"))
+  }
+
+  private val q = Q(
+    "d_dedup_clusters",
+    (s, d) => clusters(Tables(s, d).documents, 0.8),
+    Some(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2]))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id)
+        |SELECT id AS doc_id, min(comp) AS cluster,
+        |       id <> min(comp) AS is_duplicate
+        |FROM walk GROUP BY id""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}

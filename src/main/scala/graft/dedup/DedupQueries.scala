@@ -97,5 +97,5 @@ object DedupQueries {
   )
 
   def all: Seq[Q] = Seq(exact, exemplar, d3, j10) ++ MinHashDedup.queries ++
-    SimHashDedup.queries ++ NgramJaccard.queries
+    SimHashDedup.queries ++ NgramJaccard.queries ++ DedupClusters.queries
 }

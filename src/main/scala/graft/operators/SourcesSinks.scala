@@ -79,5 +79,18 @@ object SourcesSinks {
     None,
   )
 
-  def all: Seq[Q] = Seq(s5, s7, s9, p7)
+  private val s1 = Q(
+    "s1_binary_listing_scan",
+    (s, d) =>
+      // S1/S2: object-listing scan with lazy bodies — binaryFile source
+      // subsumes the reference's paginated list_objects_v2 + body GET
+      // (flows/extract/reed.py:167-179); content column pruned unless
+      // selected, so a metadata-only query never reads the bytes
+      s.read.format("binaryFile").load(s"$d/*.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("length")),
+    None, // filesystem metadata — rows-only check
+  )
+
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, p7)
 }

@@ -104,5 +104,52 @@ object TextQueries {
         |WHERE contains(text, phrase)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase)
+  private val qualityFilter = Q(
+    "t_quality_filter",
+    (s, d) => {
+      // the curation move the scores exist for: keep docs passing the
+      // quality gate (composable predicate over the derived ratios)
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val stopN = size(filter(words, w => w.isInCollection(stopwords)))
+      Tables(s, d).documents
+        .withColumn("n_words", nWords)
+        .withColumn("stopword_ratio", stopN.cast("double") / nWords)
+        .filter(col("n_words") >= 30 && col("stopword_ratio") <= 0.25)
+        .select("doc_id", "n_words", "stopword_ratio")
+    },
+    Some(
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_words,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('a','the','of','and'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stopword_ratio
+        |FROM documents
+        |WHERE len(string_split(text,' ')) >= 30
+        |  AND CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('a','the','of','and'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) <= 0.25""".stripMargin),
+  )
+
+  private val tokenStats = Q(
+    "t_token_stats",
+    (s, d) =>
+      // corpus-level token accounting per source: totals and exact
+      // quantiles of per-doc token counts
+      Tables(s, d).documents
+        .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          percentile(col("n_tok"), lit(0.5)).as("median_tokens"),
+          max(col("n_tok")).as("max_tokens")),
+    Some(
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |  quantile_cont(len(string_split(text,' ')), 0.5) AS median_tokens,
+        |  CAST(max(len(string_split(text,' '))) AS INT) AS max_tokens
+        |FROM documents GROUP BY source""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase,
+    qualityFilter, tokenStats)
 }
