@@ -71,5 +71,25 @@ object MultimodalQueries {
     None, // stubbed decoder — plumbing verified in MultimodalSpec
   )
 
-  def all: Seq[Q] = Seq(meta, feats)
+  private val partitioned = Q(
+    "m_partitioned_media_pruning",
+    (s, d) => {
+      // the multimodal storage pattern at scale: opaque payloads in a
+      // table PARTITIONED BY a metadata column; a metadata predicate
+      // then prunes entire partitions before any payload byte is read
+      val out = java.nio.file.Files
+        .createTempDirectory("media_part").toString
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("text").cast("binary").as("payload"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en") // partition-pruned scan
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"),
+  )
+
+  def all: Seq[Q] = Seq(meta, feats, partitioned)
 }

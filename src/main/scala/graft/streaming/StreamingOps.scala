@@ -56,6 +56,18 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming exact dedup: state-backed `dropDuplicates` with a
+    * watermark bounding how long ids are remembered — the streaming twin
+    * of the batch PK-enforcement (`dropDuplicates` on the composite key,
+    * SURVEY §1.1).
+    */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+      timeCol: String = "created",
+      watermark: String = "42 days"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .dropDuplicates(idCols :+ timeCol)
+
   /** Drive a streaming DataFrame to completion against a memory sink —
     * used by specs and local smoke runs (batch parquet in, synchronous).
     */

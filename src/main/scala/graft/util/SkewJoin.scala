@@ -1,0 +1,29 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed equi-joins (SURVEY §2 "optimize for scale").
+  *
+  * AQE's skew-join split handles most cases at runtime; explicit salting
+  * remains the tool when one side has a handful of pathological keys and
+  * the other side is small enough to replicate: the skewed side gets a
+  * random-but-deterministic salt in [0, salts), the dimension side is
+  * exploded across all salt values, and the join key becomes
+  * (key, salt) — fanning one hot partition out into `salts` tasks.
+  *
+  * Semantics are identical to `left.join(right, key)` (inner).
+  */
+object SkewJoin {
+
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    // deterministic salt from a stable row hash (no RNG: reproducible)
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)),
+        lit(salts)))
+    val expanded = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.join(expanded, Seq(key, "__salt")).drop("__salt")
+  }
+}

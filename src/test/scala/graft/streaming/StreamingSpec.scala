@@ -52,6 +52,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops repeated ids like batch distinct") {
+    val stream = spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+    // user_id repeats across events: dedup on it keeps one row per
+    // (user_id, created) pair — compare against batch dropDuplicates
+    val deduped = StreamingOps.streamingDedup(asTs(stream),
+      Seq("user_id"), watermark = "40 days")
+      .select("user_id", "created")
+    StreamingOps.runToMemory(deduped, "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.sql("select count(*) from dedup_out").head().getLong(0)
+
+    val want = asTs(spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .dropDuplicates("user_id", "created").count()
+    assert(got == want)
+    assert(got > 0)
+  }
+
   test("mapGroupsWithState accumulates per-key counts") {
     val dir = sf("sf0.001")
     val stream = spark.readStream.schema(eventsSchema)
