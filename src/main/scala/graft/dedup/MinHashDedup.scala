@@ -72,6 +72,10 @@ object MinHashDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // candidates are reused by three downstream subtrees (two id sets
+      // + the verify join); checkpoint the tiny pair list so the LSH
+      // join runs once, not three times
+      .localCheckpoint(true)
     // shingle arrays are only materialised for candidate docs (semi join
     // first): at corpus scale candidates are a vanishing fraction
     val candIds = cand.select(col("doc_a").as("doc_id"))
