@@ -19,6 +19,7 @@ object Registry {
       operators.SourcesSinks.all ++
       operators.Extended.all ++
       operators.TimeWindows.all ++
+      operators.Sessions.all ++
       functions.ScalarFns.all ++
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.queries ++
