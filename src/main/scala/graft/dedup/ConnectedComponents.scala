@@ -57,7 +57,9 @@ object ConnectedComponents {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: small-star's distinct dedups the round's output,
+      // saving one shuffle per round; duplicate intermediate edges only
+      // fan into the same (u, min) pairs
 
       // small-star: large-star edges all point big→small already; point
       // each down-neighbor (and u itself) at the down-neighborhood min

@@ -193,7 +193,32 @@ object Extended {
     None, // engine-specific hash embedding — determinism spec-verified
   )
 
-  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, d1)
+  private val f9 = Q(
+    "f9_explode_outer",
+    (s, d) => {
+      // the reference's feature-cartesian substitutes {} for empty lists
+      // (flows/aggregate/common.py:167-173) so no ad is dropped;
+      // explode_outer is the Spark twin: customers with no 2001 orders
+      // survive with a null order key
+      val t = Tables(s, d)
+      val grouped = t.orders
+        .filter(col("o_orderdate") >= "2001-06-01")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      t.customer.select("c_custkey", "c_mktsegment")
+        .join(grouped, Seq("c_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode_outer(col("orderkeys")).as("o_orderkey"))
+    },
+    Some(
+      """SELECT c_custkey, c_mktsegment, o_orderkey
+        |FROM customer LEFT OUTER JOIN (
+        |  SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00') o
+        |ON c_custkey = o_custkey""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

@@ -1,0 +1,119 @@
+package graft
+
+import graft.dedup.ConnectedComponents
+import graft.domain.{Salaries, SalaryIn}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 plan): the distributed algorithms agree
+  * with trivially-correct single-machine references on random inputs.
+  * (Plain ScalaCheck generators sampled with fixed seeds — deterministic
+  * and bridge-free.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---- connected components vs union-find ----
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n.toLong).map(x => x -> find(x)).toMap
+  }
+
+  private val graphGen = for {
+    n <- Gen.choose(2, 30)
+    m <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L)
+      b <- Gen.choose(0L, n - 1L)
+    } yield (a, b))
+  } yield (n, edges.filter(e => e._1 != e._2))
+
+  test("large-star/small-star equals union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 10) {
+      val (n, edges) = sample(graphGen, seed)
+      if (edges.nonEmpty) {
+        val got = ConnectedComponents
+          .run(edges.toDF("src", "dst"),
+            Some((0L until n.toLong).toDF("id")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == unionFind(n, edges), s"seed=$seed n=$n edges=$edges")
+      }
+    }
+  }
+
+  // ---- salary rules vs a direct port of the reference logic ----
+
+  private def referenceExtract(in: SalaryIn): Option[(Double, Double)] = {
+    val rate = in.raw_salary_unit.getOrElse(return None)
+    val mult = Salaries.PerAnnumRate.getOrElse(rate, return None)
+    in.raw_salary_currency.foreach(c => if (c != "GBP") return None)
+    val mn0 = in.raw_min_salary.orElse(in.raw_salary).getOrElse(return None)
+    val mx0 = in.raw_max_salary.orElse(in.raw_salary).getOrElse(return None)
+    val (mn, mx) = (math.min(mn0, mx0), math.max(mn0, mx0))
+    var minA = mn * mult
+    val maxA = mx * mult
+    if (maxA < Salaries.MinSalary) return None
+    if (minA < Salaries.MinSalary) minA = maxA
+    var (lo, hi) = (minA, maxA)
+    if (hi / lo > Salaries.MinSalaryDisparity) {
+      if (hi > Salaries.MaxSalary) hi = lo else lo = hi
+    }
+    if (hi > Salaries.MaxSalary) return None
+    Some((
+      BigDecimal(lo).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(hi).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  private val salaryGen: Gen[SalaryIn] = for {
+    unit <- Gen.oneOf(Some("YEAR"), Some("DAY"), Some("HOUR"), None)
+    cur <- Gen.oneOf(Some("GBP"), Some("EUR"), None)
+    base <- Gen.choose(0, 200000)
+    spread <- Gen.choose(0, 900000)
+    hasMin <- Gen.oneOf(true, false)
+    hasMax <- Gen.oneOf(true, false)
+  } yield SalaryIn(
+    raw_salary = Some(base.toDouble),
+    raw_min_salary = if (hasMin) Some(base.toDouble) else None,
+    raw_max_salary = if (hasMax) Some(base.toDouble + spread) else None,
+    raw_salary_unit = unit,
+    raw_salary_currency = cur,
+  )
+
+  test("extractSalary agrees with the reference rule chain on random ads") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val ins = sample(Gen.listOfN(50, salaryGen), seed * 100L)
+      val rows = Salaries.extractSalary(ins.toDF())
+        .select("min_annualised_salary", "max_annualised_salary")
+        .collect()
+      rows.zip(ins).foreach { case (row, in) =>
+        val want = referenceExtract(in)
+        val got = if (row.isNullAt(0)) None
+          else Some((row.getDouble(0), row.getDouble(1)))
+        assert(got == want, s"for $in")
+      }
+    }
+  }
+
+  test("salary invariant: min <= max whenever present") {
+    import spark.implicits._
+    val ins = sample(Gen.listOfN(200, salaryGen), 7L)
+    val bad = Salaries.extractSalary(ins.toDF())
+      .filter(org.apache.spark.sql.functions.col("min_annualised_salary") >
+        org.apache.spark.sql.functions.col("max_annualised_salary"))
+      .count()
+    assert(bad == 0)
+  }
+}
