@@ -48,8 +48,11 @@ object NgramJaccard {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.JaccardOps.jaccard_sorted(col("a.grams"),
           col("b.grams")).as("j"))
-      .dropDuplicates("doc_a", "doc_b")
+      // threshold BEFORE the pair-dedup shuffle: only survivors (a
+      // vanishing fraction) pay the distinct; bucket-duplicate pairs
+      // just recompute the cheap merge scan map-side
       .filter(col("j") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
 

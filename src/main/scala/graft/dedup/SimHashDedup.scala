@@ -49,8 +49,8 @@ object SimHashDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before the dedup shuffle
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
   private val fpQ = Q(

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins (SURVEY "partitioning & shuffle"): two
+  * tables bucketed on the join key join with NO shuffle exchange — the
+  * storage-level answer to repeated big-big joins at 100 TB.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key plans without an Exchange") {
+    // warehouse dir is a static conf — use the default (gitignored) one
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+
+    val orders = s.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val lineitem = s.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    lineitem
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("lineitem_b")
+
+    val joined = s.table("lineitem_b")
+      .join(s.table("orders_b"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"plan should be co-located:\n$plan")
+
+    // and it computes the same result as the plain join
+    val expect = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey")).count()
+    assert(joined.count() == expect)
+  }
+}
