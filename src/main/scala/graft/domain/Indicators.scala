@@ -65,6 +65,12 @@ object Indicators {
         col("nuts_2_code").as("location_code"),
         (col("n") * 100.0 / col("code_index")).as("volume_idx"))
 
+  /** SURVEY §7.4 scale lever: exact `percentile` by default (numpy /
+    * oracle parity); flip to `percentile_approx` when a single group's
+    * value set outgrows its aggregation buffer at extreme scale.
+    */
+  @volatile var exactQuantiles: Boolean = true
+
   /** A4: the reference's quantile block (iterquantiles) — exact
     * 25/50/75 percentiles of min/max annualised salary in £000, nulls
     * filtered, empty → 0 (flows/aggregate/common.py:235-248).
@@ -73,7 +79,10 @@ object Indicators {
     val c = col(s"${bound}_annualised_salary")
     Seq(0.25 -> "lower_quartile", 0.50 -> "median", 0.75 -> "upper_quartile")
       .map { case (q, label) =>
-        (coalesce(percentile(c, lit(q)), lit(0.0)) / 1000.0)
+        val p =
+          if (exactQuantiles) percentile(c, lit(q))
+          else percentile_approx(c, lit(q), lit(10000))
+        (coalesce(p, lit(0.0)) / 1000.0)
           .as(s"${label}_${bound}_salaries_k")
       }
   }

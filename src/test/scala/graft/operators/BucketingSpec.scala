@@ -10,10 +10,19 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("join of two tables bucketed on the key plans without an Exchange") {
-    // warehouse dir is a static conf — use the default (gitignored) one
+    // warehouse dir is a static conf — use the default (gitignored) one,
+    // clearing any stale table locations from a previous JVM
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
 
     val orders = s.read.parquet(sf("sf0.001") + "/orders.parquet")
     val lineitem = s.read.parquet(sf("sf0.001") + "/lineitem.parquet")
