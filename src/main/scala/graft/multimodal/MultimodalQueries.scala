@@ -31,7 +31,14 @@ object MultimodalQueries {
     (w, h, ck)
   }
 
-  /** Binary payloads → per-partition batched feature extraction. */
+  /** Binary payloads → per-partition batched feature extraction.
+    * Batching mirrors `mapInPandas` semantics: the decoder sees
+    * fixed-size batches (one vectorised call per `BatchSize` payloads),
+    * initialised once per partition — swap `decodeStub` for a JNI/ONNX
+    * batch decoder without touching the plumbing.
+    */
+  val BatchSize = 32
+
   def extractFeatures(docsWithPayload: DataFrame): Dataset[MediaFeature] = {
     val spark = docsWithPayload.sparkSession
     import spark.implicits._
@@ -40,9 +47,53 @@ object MultimodalQueries {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init point for a real decoder
-        it.map { case (id, bytes) =>
-          val (w, h, ck) = decodeStub(bytes)
-          MediaFeature(id, bytes.length, w, h, ck)
+        it.grouped(BatchSize).flatMap { batch =>
+          // one "vectorised" decode call per batch
+          batch.map { case (id, bytes) =>
+            val (w, h, ck) = decodeStub(bytes)
+            MediaFeature(id, bytes.length, w, h, ck)
+          }
+        }
+      }
+  }
+
+  /** STUB resize: deterministic box-downsample of the payload to a
+    * `w`×`h` byte grid (stands in for image resize; output schema and
+    * batching are the real contract).
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // ??? real image resize goes here; faked as byte-grid box sampling
+    val out = new Array[Byte](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampler: every `stride`-th fixed-size chunk of a "video"
+    * payload becomes a frame row — the generator (UDTF) shape: one input
+    * row explodes into many typed frame rows, batched per partition.
+    */
+  def sampleFrames(docsWithPayload: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4): Dataset[Frame] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).map { f =>
+            Frame(id, f, java.util.Arrays.copyOfRange(
+              bytes, f * frameBytes, (f + 1) * frameBytes))
+          }
         }
       }
   }
@@ -91,5 +142,31 @@ object MultimodalQueries {
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"),
   )
 
-  def all: Seq[Q] = Seq(meta, feats, partitioned)
+  private val resize = Q(
+    "m_resize_thumbnails",
+    (s, d) => {
+      val rs = org.apache.spark.sql.functions.udf(
+        (b: Array[Byte]) => resizeStub(b, 8, 8))
+      Tables(s, d).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), rs(col("payload")).as("thumb"))
+        .select(col("doc_id"), octet_length(col("thumb")).as("thumb_bytes"),
+          substring(base64(col("thumb")), 1, 12).as("thumb_prefix"))
+    },
+    None, // stub transform — shape/determinism spec-verified
+  )
+
+  private val frames = Q(
+    "m_frame_sample",
+    (s, d) =>
+      sampleFrames(
+        Tables(s, d).documents
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes")),
+    None,
+  )
+
+  def all: Seq[Q] = Seq(meta, feats, partitioned, resize, frames)
 }

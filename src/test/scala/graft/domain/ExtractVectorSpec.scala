@@ -116,4 +116,22 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.doc_id -> f).toMap
     assert(again == out)
   }
+
+  test("resize stub yields fixed-size output; frame sampler explodes rows") {
+    import spark.implicits._
+    val payload = Array.tabulate(1024)(i => (i % 251).toByte)
+    val thumb = MultimodalQueries.resizeStub(payload, 8, 8)
+    assert(thumb.length == 64)
+    assert(thumb.toSeq == MultimodalQueries.resizeStub(payload, 8, 8).toSeq)
+
+    val df = Seq((1L, payload), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val frames = MultimodalQueries.sampleFrames(df, frameBytes = 64, stride = 4)
+      .collect()
+    // doc 1: 1024/64 = 16 frames, strided by 4 → indices 0,4,8,12
+    assert(frames.filter(_.doc_id == 1L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 4, 8, 12))
+    assert(frames.forall(_.frame.length == 64))
+    assert(frames.count(_.doc_id == 2L) == 0) // empty payload → no frames
+  }
 }
