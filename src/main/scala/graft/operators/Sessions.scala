@@ -57,5 +57,37 @@ object Sessions {
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(sessions, cubeQ)
+  private val asof = Q(
+    "j12_asof_join",
+    (s, d) => {
+      // as-of join composed from built-ins (SURVEY §7.3 preference (a)):
+      // each purchase matched to the user's latest view at-or-before it.
+      // Union-tag both sides, order by (ts, kind) within user, and carry
+      // the last seen view id forward — one shuffle on user_id, no
+      // range-join explosion. kind sorts views before purchases at equal
+      // timestamps, matching ASOF's v.ts <= p.ts.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d).events
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("view_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("kind") === 1 && col("view_id").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("view_id"))
+    },
+    Some(
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(sessions, cubeQ, asof)
 }
