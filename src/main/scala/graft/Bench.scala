@@ -31,6 +31,9 @@ object Bench {
     "t_fingerprint_md5",
     "j9_phrase_match",
     "d1_vectorise",
+    "w6_session_windows",
+    "a14_cube_rollup",
+    "j12_asof_join",
   )
 
   def main(args: Array[String]): Unit = {
