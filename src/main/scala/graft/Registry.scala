@@ -20,6 +20,7 @@ object Registry {
       operators.Extended.all ++
       operators.TimeWindows.all ++
       operators.Sessions.all ++
+      operators.Curation.all ++
       functions.ScalarFns.all ++
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.queries ++

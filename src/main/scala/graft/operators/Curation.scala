@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (the LLM-pipeline surface beyond
+  * dedup): reproducible splits, length-bucketed batching, benchmark
+  * decontamination. All deterministic and cross-engine checkable.
+  */
+object Curation {
+
+  private val split = Q(
+    "t_train_test_split",
+    (s, d) =>
+      // deterministic 80/20 split from a content-independent key hash —
+      // reproducible across engines, runs and partitionings (md5-prefix
+      // arithmetic rather than engine-specific RNG)
+      Tables(s, d).documents
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 100)
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, "train").otherwise("test").as("split")),
+    Some(
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS INTEGER) % 100 AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 4)) AS INTEGER) % 100 < 80 THEN 'train' ELSE 'test' END
+        |    AS split
+        |FROM documents""".stripMargin),
+  )
+
+  private val batches = Q(
+    "t_length_batches",
+    (s, d) => {
+      // length-bucketed batch assignment (similar-length docs batch
+      // together => minimal padding waste); ntile over a total order
+      val nTok = size(org.apache.spark.sql.functions.split(col("text"), " "))
+      Tables(s, d).documents
+        .withColumn("n_tok", nTok)
+        .withColumn("batch", ntile(20).over(
+          Window.orderBy(desc("n_tok"), asc("doc_id"))))
+        .select("doc_id", "n_tok", "batch")
+    },
+    Some(
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(ntile(20) OVER (ORDER BY len(string_split(text, ' ')) DESC,
+        |    doc_id ASC) AS INT) AS batch
+        |FROM documents""".stripMargin),
+  )
+
+  private val decontaminate = Q(
+    "d_decontaminate",
+    (s, d) => {
+      // benchmark decontamination: flag corpus docs sharing any 5-gram
+      // with the "benchmark" set (here: doc_id < 5). The benchmark's
+      // n-gram set is broadcast; the corpus side is a map + semi join —
+      // no pairwise comparison, scales with corpus size only.
+      val docs = Tables(s, d).documents
+      val grams5 = graft.functions.TextSketches.shingles(col("text"), 5)
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(explode(grams5).as("g")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(grams5).as("g"))
+      val contaminated = corpus
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") >= 5).select("doc_id")
+        .join(contaminated.withColumn("contaminated", lit(true)),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    },
+    Some(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2],
+        |                          string_split(text,' ')[i+3],
+        |                          string_split(text,' ')[i+4]))) AS sh
+        |  FROM documents),
+        |bench AS (
+        |  SELECT list(DISTINCT g) AS bg FROM (
+        |    SELECT unnest(sh) AS g FROM sh WHERE doc_id < 5))
+        |SELECT s.doc_id, len(list_intersect(s.sh, b.bg)) > 0 AS contaminated
+        |FROM sh s CROSS JOIN bench b
+        |WHERE s.doc_id >= 5""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(split, batches, decontaminate)
+}
