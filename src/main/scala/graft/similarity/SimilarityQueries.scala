@@ -151,5 +151,17 @@ object SimilarityQueries {
     None, // approximate — recall vs brute force asserted in AnnSpec
   )
 
-  def queries: Seq[Q] = Seq(brute, cosineDedup, ivf)
+  private val quantized = Q(
+    "ann_quantized_topk",
+    (s, d) => {
+      // int8-quantized corpus (4x smaller at rest), exact search over the
+      // reconstruction — recall vs full precision asserted in AnnSpec
+      val e = Tables(s, d).embeddings
+      val recon = Quantize.reconstructed(e, "embedding")
+      bruteForceTopK(recon, recon.filter(col("vec_id") < 10), 5)
+    },
+    None,
+  )
+
+  def queries: Seq[Q] = Seq(brute, cosineDedup, ivf, quantized)
 }

@@ -19,6 +19,42 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("int8 quantization: bounded reconstruction error, high topk recall") {
+    import spark.implicits._
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    // error bound: |x - q*scale| <= scale/2 = max|x|/254 per component
+    val err = Quantize.quantize(e, "embedding")
+      .select(col("embedding"), Quantize.dequantize(col("q"), col("scale"))
+        .as("r"), col("scale"))
+      .select(max(array_max(zip_with(col("embedding"), col("r"),
+        (x, y) => abs(x - y) / col("scale")))))
+      .head().getDouble(0)
+    assert(err <= 0.5 + 1e-6, s"max normalised error $err")
+
+    val q = e.filter(col("vec_id") < 10)
+    val brute = SimilarityQueries.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recon = Quantize.reconstructed(e, "embedding")
+    val qTop = SimilarityQueries.bruteForceTopK(recon,
+      recon.filter(col("vec_id") < 10), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & qTop).size.toDouble / brute.size
+    assert(recall >= 0.8, s"quantized recall=$recall")
+  }
+
+  test("vectorise embeddings are unit-norm and partition-independent") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val a = graft.text.Vectorise.embed(docs, "text", 16)
+      .select(col("doc_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = graft.text.Vectorise.embed(docs.repartition(7), "text", 16)
+      .select(col("doc_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+    val norms = a.values.map(v => math.sqrt(v.map(x => x * x).sum))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+  }
+
   test("cosine column agrees with a JVM dot product") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
