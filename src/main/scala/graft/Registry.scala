@@ -25,6 +25,7 @@ object Registry {
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
+      text.Bm25.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
