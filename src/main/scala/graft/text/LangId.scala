@@ -28,6 +28,12 @@ object LangId {
       " la", "ion", " pa", "que", " qu", "ue ", "re "),
     "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "en ",
       " en", "ión", "ar ", " co", "es ", "ado", "que"),
+    "it" -> Seq(" di", "di ", " il", "il ", "to ", "la ", " la", "re ",
+      "che", " ch", "one", "zio", "lla", " co", "del"),
+    "pt" -> Seq(" de", "de ", "os ", " co", "ão ", "ção", " um", "um ",
+      "da ", " da", "do ", " do", "em ", " em", "ara"),
+    "nl" -> Seq("en ", " de", "de ", "et ", " he", "het", "an ", " va",
+      "van", "een", " ee", "er ", " ge", "ijk", "aar"),
   )
 
   def detect(text: String): String = {
@@ -41,6 +47,12 @@ object LangId {
     }
     val cyr = text.codePoints().filter(c => c >= 0x0400 && c <= 0x04FF).count()
     if (cyr * 4 > text.length) return "ru"
+    val hangul = text.codePoints()
+      .filter(c => c >= 0xAC00 && c <= 0xD7AF).count()
+    if (hangul * 4 > text.length) return "ko"
+    val arabic = text.codePoints()
+      .filter(c => c >= 0x0600 && c <= 0x06FF).count()
+    if (arabic * 4 > text.length) return "ar"
 
     val t = " " + text.toLowerCase + " "
     val grams = t.sliding(3).toSeq

@@ -43,6 +43,14 @@ class LangIdSpec extends SparkSpec {
     assert(LangId.detect("敏捷的棕色狐狸跳过懒狗") == "zh")
     assert(LangId.detect("素早い茶色のキツネは怠け者の犬を飛び越えます") == "ja")
     assert(LangId.detect("быстрая коричневая лиса прыгает через ленивую собаку") == "ru")
+    assert(LangId.detect(
+      "la volpe marrone che salta sopra il cane pigro della foresta") == "it")
+    assert(LangId.detect(
+      "a raposa marrom pula sobre um cão preguiçoso na floresta do norte") == "pt")
+    assert(LangId.detect(
+      "de snelle bruine vos springt over de luie hond in het bos van een boer") == "nl")
+    assert(LangId.detect("빠른 갈색 여우가 게으른 개를 뛰어넘는다") == "ko")
+    assert(LangId.detect("الثعلب البني السريع يقفز فوق الكلب الكسول") == "ar")
     assert(LangId.detect("") == "und")
     assert(LangId.detect(null) == "und")
   }
