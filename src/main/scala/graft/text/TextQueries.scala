@@ -150,6 +150,30 @@ object TextQueries {
         |FROM documents GROUP BY source""".stripMargin),
   )
 
+  private val heavyHitters = Q(
+    "a15_heavy_hitters_topk",
+    (s, d) => {
+      // Misra–Gries sketch pass → ≤64 candidates → exact recount of the
+      // candidates only (two narrow passes; no full-width groupBy).
+      // Candidates provably cover every word with freq > N/64, so the
+      // result equals the plain top-10 — which is the oracle.
+      val words = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+      val mg = udaf(new graft.functions.MisraGries(64))
+      val candidates = words.agg(mg(col("word")).as("sketch"))
+        .head().getMap[String, Long](0).keySet.toSeq
+      words
+        .filter(col("word").isInCollection(candidates))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(10)
+    },
+    Some(
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase,
-    qualityFilter, tokenStats)
+    qualityFilter, tokenStats, heavyHitters)
 }

@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("misra-gries sketch retains every frequent key across partitionings") {
+    // 3 heavy keys (freq 300/200/100) among 50 light keys (freq <= 10)
+    val data = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+      Seq.fill(100)("gamma") ++
+      (1 to 50).flatMap(i => Seq.fill(i % 10 + 1)(s"light$i"))
+    val mg = udaf(new MisraGries(16))
+    for (parts <- Seq(1, 4, 13)) {
+      val sketch = data.toDF("w").repartition(parts)
+        .agg(mg(col("w"))).head().getMap[String, Long](0)
+      assert(sketch.keySet.intersect(Set("alpha", "beta", "gamma")) ==
+        Set("alpha", "beta", "gamma"), s"parts=$parts sketch=$sketch")
+      assert(sketch.size <= 16)
+      // MG undercounts but never overcounts
+      assert(sketch("alpha") <= 300 && sketch("beta") <= 200)
+    }
+  }
+
+  test("sketch + exact recount equals the true top-k") {
+    val data = (1 to 1000).map(i => s"k${i % 37}")
+    val df = data.toDF("w")
+    val mg = udaf(new MisraGries(64))
+    val cands = df.agg(mg(col("w"))).head().getMap[String, Long](0).keySet
+    val viaSketch = df.filter(col("w").isInCollection(cands.toSeq))
+      .groupBy("w").count().orderBy(desc("count"), asc("w")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = df.groupBy("w").count()
+      .orderBy(desc("count"), asc("w")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSketch == exact)
+  }
+}
