@@ -218,7 +218,20 @@ object Extended {
         |ON c_custkey = o_custkey""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1)
+  private val a16 = Q(
+    "a16_approx_distinct",
+    (s, d) =>
+      // HLL++ sketch counts beside exact (reference uses exact only —
+      // SURVEY §2.4 — but at 100 TB the sketch is the default for
+      // monitoring-grade distinct counts; ±5% asserted in spec)
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders")),
+    None, // HLL implementation is engine-specific — spec-verified
+  )
+
+  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

@@ -23,6 +23,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct stays within its error bound") {
+    val df = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val row = df.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("a"),
+      countDistinct(col("l_orderkey")).as("e")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("sketch + exact recount equals the true top-k") {
     val data = (1 to 1000).map(i => s"k${i % 37}")
     val df = data.toDF("w")
