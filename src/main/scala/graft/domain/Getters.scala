@@ -14,6 +14,43 @@ import java.time.LocalDate
   */
 object Getters {
 
+  /** The reference's primary read API, `get_db_job_ads`
+    * (dqa/data_getters.py:144-285), re-expressed as one lazy plan:
+    * date-filtered fact scan, optional description drop (P1), optional
+    * feature assembly (J6), optional dedup-aware filtering (D3–D6) with
+    * the same weight band and location-split semantics. A reference user
+    * calls this exactly like the original, minus the chunking/caching
+    * knobs that partitioned scans make obsolete.
+    */
+  def getJobAds(
+      ads: DataFrame,
+      links: DataFrame,
+      fromDate: Option[String] = None,
+      toDate: Option[String] = None,
+      returnDescription: Boolean = true,
+      deduplicate: Boolean = false,
+      minDupeWeight: Double = DedupPipeline.MinDupeWeight,
+      maxDupeWeight: Double = DedupPipeline.MaxDupeWeight,
+      splitDupesByLocation: Boolean = false,
+      features: Option[DataFrame => DataFrame] = None,
+  ): DataFrame = {
+    var out = ads
+    fromDate.foreach(f => out = out.filter(col("created") >= f)) // P4
+    toDate.foreach(t => out = out.filter(col("created") <= t))
+    if (deduplicate) {
+      val comps0 = DedupPipeline
+        .duplicateSubgraphs(links, minDupeWeight, maxDupeWeight)
+      val comps =
+        if (splitDupesByLocation) DedupPipeline.subgraphsByLocation(comps0, ads)
+        else comps0
+      val dupes = DedupPipeline.identifyDuplicates(comps, out.select("id"))
+      out = out.join(dupes, Seq("id"), "left_anti") // J7
+    }
+    features.foreach(f => out = f(out)) // J6 hook (withFeatures curried)
+    if (!returnDescription) out = out.drop("description") // P1/P6
+    out
+  }
+
   /** J6 feature assembly: ads ⟕ salary ⟕ location(+dim) ⟕ SOC ⟕ skills[].
     * Skills (many per ad) are pre-grouped to an array of structs —
     * nested end-to-end, no 1NF round-trip.

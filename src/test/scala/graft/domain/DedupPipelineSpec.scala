@@ -62,6 +62,17 @@ class DedupPipelineSpec extends SparkSpec {
     assert(out == Set("a", "d", "f"))
   }
 
+  test("getJobAds mirrors get_db_job_ads: date filter, dedup, projection") {
+    val got = Getters.getJobAds(ads, links,
+      fromDate = Some("2021-02-03"), toDate = Some("2021-02-28"),
+      returnDescription = false, deduplicate = true)
+    // window excludes 'a' (02-02); groups {a,b,c}∩window = {b,c} → keep b
+    // (min of the intersection, like the reference); {d,e} → keep d
+    assert(got.select("id").collect().map(_.getString(0)).toSet ==
+      Set("b", "d", "f"))
+    assert(!got.columns.contains("description"))
+  }
+
   test("snapshotAds with location split only drops same-location dupes") {
     val out = DedupPipeline
       .snapshotAds(ads, links, "2021-02-01", "2021-02-28")
