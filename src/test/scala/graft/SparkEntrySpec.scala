@@ -1,0 +1,32 @@
+package graft
+
+/** Driver-contract invariants: names unique, oracles keyed to queries,
+  * flagship entry non-empty at the smoke scale.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("registry names are unique and well-formed") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.matches("[a-z][a-z0-9_]+")))
+  }
+
+  test("every oracle key is a query key") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    assert(qs.size == Registry.all.size)
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    val empties = Registry.all.flatMap { q =>
+      val n = q.run(spark, sf("sf0.001")).count()
+      if (n == 0) Some(q.name) else None
+    }
+    assert(empties.isEmpty || empties == Seq("o2_except"),
+      s"unexpected empty results: $empties")
+  }
+}
