@@ -46,8 +46,9 @@ object NgramJaccard {
           least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
             greatest(col("a.n_grams"), col("b.n_grams")) * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        graft.functions.JaccardOps.jaccard_sorted(col("a.grams"),
-          col("b.grams")).as("j"))
+        // threshold-aware merge scan with positional early exit
+        graft.functions.JaccardOps.jaccard_sorted_min(col("a.grams"),
+          col("b.grams"), threshold).as("j"))
       // threshold BEFORE the pair-dedup shuffle: only survivors (a
       // vanishing fraction) pay the distinct; bucket-duplicate pairs
       // just recompute the cheap merge scan map-side

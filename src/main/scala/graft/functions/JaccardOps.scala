@@ -55,6 +55,33 @@ object JaccardOps {
     inter.toDouble / (n + m - inter)
   }
 
+  /** Threshold-aware variant: the exact Jaccard when it is ≥ `tau`,
+    * else -1 — with positional early exit: J ≥ τ needs
+    * inter ≥ τ(n+m)/(1+τ); once even a perfect tail cannot reach that,
+    * the scan bails. Most candidate pairs are dissimilar, so most scans
+    * terminate in a fraction of n+m steps. Exactness is untouched: a
+    * pair at or above the threshold always runs to completion.
+    */
+  def jaccardSortedMin(a: ArrayData, b: ArrayData, tau: Double): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return -1.0
+    val needed = math.ceil(tau * (n + m) / (1.0 + tau)).toInt
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      if (inter + math.min(n - i, m - j) < needed) return -1.0
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val jac = inter.toDouble / (n + m - inter)
+    if (jac >= tau) jac else -1.0
+  }
+
   def sorted_shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(SortedShingleHashesExpr(
       Bridge.expression(c.cast("string")), n))
@@ -62,6 +89,10 @@ object JaccardOps {
   def jaccard_sorted(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedExpr(Bridge.expression(a),
       Bridge.expression(b)))
+
+  def jaccard_sorted_min(a: Column, b: Column, tau: Double): Column =
+    Bridge.column(JaccardSortedMinExpr(Bridge.expression(a),
+      Bridge.expression(b), tau))
 
   case class SortedShingleHashesExpr(child: Expression, n: Int)
       extends UnaryExpression {
@@ -75,6 +106,21 @@ object JaccardOps {
         c => s"graft.functions.JaccardOps.sortedShingleHashes($c, $n)")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
+  }
+
+  case class JaccardSortedMinExpr(left: Expression, right: Expression,
+      tau: Double) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted_min"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaccardSortedMin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        tau)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.JaccardOps.jaccardSortedMin($a, $b, $tau)")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
   }
 
   case class JaccardSortedExpr(left: Expression, right: Expression)
