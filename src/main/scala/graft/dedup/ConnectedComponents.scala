@@ -42,13 +42,10 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    var converged = false
-    var iter = 0
-    var gCount = -1L // edge count of g, carried across rounds (saves a job)
-    while (!converged && iter < maxIterations) {
+    // one large-star + small-star alternation, lazily composed
+    def alternate(in: DataFrame): DataFrame = {
       // view the current graph undirected for the large-star step
-      val sym = g.union(g.select(col("v").as("u"), col("u").as("v")))
-
+      val sym = in.union(in.select(col("v").as("u"), col("u").as("v")))
       // large-star: connect every strictly-larger neighbor of u to the
       // minimum of u's neighborhood (including u itself)
       val mins = sym.groupBy("u")
@@ -57,18 +54,27 @@ object ConnectedComponents {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-      // no distinct here: small-star's distinct dedups the round's output,
-      // saving one shuffle per round; duplicate intermediate edges only
-      // fan into the same (u, min) pairs
-
+      // no distinct on large: small-star's distinct dedups the output;
+      // duplicate intermediates only fan into the same (u, min) pairs.
       // small-star: large-star edges all point big→small already; point
       // each down-neighbor (and u itself) at the down-neighborhood min
       val dmins = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(dmins, "u")
+      large.join(dmins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(dmins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var gCount = -1L // edge count of g, carried across rounds (saves a job)
+    while (!converged && iter < maxIterations) {
+      // one alternation per materialization: the alternation's inner
+      // subtrees fan out (large feeds both dmins and the join), so
+      // composing rounds without a barrier recomputes them
+      // combinatorially — measured slower, not faster
+      val small = alternate(g)
         .localCheckpoint(true)
 
       if (gCount < 0) gCount = g.count()
