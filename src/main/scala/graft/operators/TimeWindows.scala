@@ -112,5 +112,27 @@ object TimeWindows {
          |FROM events GROUP BY 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(w1, w2, w3)
+  private val w3b = Q(
+    "w3_snapshot_anchor",
+    (s, d) =>
+      // monthly snapshot anchor: 15th of the previous month, window =
+      // the 42 days up to it (ref dqa/data_getters.py:125-141)
+      Tables(s, d).orders
+        .select(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("mo")).distinct()
+        .withColumn("anchor",
+          date_add(add_months(col("mo"), -1), 14))
+        .withColumn("window_from", date_sub(col("anchor"), 42)),
+    Some(
+      """SELECT mo,
+        |  CAST(date_trunc('month', mo) - INTERVAL 1 MONTH
+        |    + INTERVAL 14 DAY AS DATE) AS anchor,
+        |  CAST(date_trunc('month', mo) - INTERVAL 1 MONTH
+        |    + INTERVAL 14 DAY - INTERVAL 42 DAY AS DATE) AS window_from
+        |FROM (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo
+        |  FROM orders)""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w3b)
 }

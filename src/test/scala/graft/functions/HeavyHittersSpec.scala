@@ -23,6 +23,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks exact percentile (the Indicators flag)") {
+    val df = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val row = df.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("e")).head()
+    val (a, e) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) / e < 0.01, s"approx=$a exact=$e")
+  }
+
   test("approx_count_distinct stays within its error bound") {
     val df = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
     val row = df.agg(
