@@ -21,6 +21,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Lineage barrier between rounds: `checkpoint` (fault-tolerant, HDFS)
+    * when the context has a checkpoint dir configured — the cluster-mode
+    * setting — else `localCheckpoint` (fast, executor-local). Same API
+    * shape as GraphFrames' AggregateMessages pregel loop.
+    */
+  private def barrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** @param edges two-column DataFrame (src, dst); undirected, any order.
     * @param nodeSet optional one-column (id) universe — isolated nodes
     *   (no edges) become singleton components. Defaults to edge endpoints.
@@ -36,11 +46,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // parent pointers: start from the symmetrized edge list as (u, v)
-    var g = edges.select(col("src").as("u"), col("dst").as("v"))
+    var g = barrier(edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // one large-star + small-star alternation, lazily composed
     def alternate(in: DataFrame): DataFrame = {
@@ -66,25 +75,33 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // Convergence detection: the edge sets of consecutive rounds are both
+    // distinct, so (count, xor of 64-bit edge hashes) is an order-free set
+    // signature — equal signature ⇒ equal set (up to a 2^-64-ish collision).
+    // xor (not sum) so ANSI-mode long overflow can't throw. ONE aggregation
+    // job per round, vs. the round-1 count + anti-join.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     var converged = false
     var iter = 0
-    var gCount = -1L // edge count of g, carried across rounds (saves a job)
+    var gSig: Option[(Long, Long)] = None // carried across rounds
     while (!converged && iter < maxIterations) {
       // one alternation per materialization: the alternation's inner
       // subtrees fan out (large feeds both dmins and the join), so
       // composing rounds without a barrier recomputes them
       // combinatorially — measured slower, not faster
-      val small = alternate(g)
-        .localCheckpoint(true)
+      val small = barrier(alternate(g))
 
-      if (gCount < 0) gCount = g.count()
-      val smallCount = small.count()
-      val changed = smallCount != gCount ||
-        small.join(g, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      if (gSig.isEmpty) gSig = Some(signature(g))
+      val smallSig = signature(small)
       g.unpersist()
       g = small
-      gCount = smallCount
-      converged = !changed
+      converged = gSig.contains(smallSig)
+      gSig = Some(smallSig)
       iter += 1
     }
 

@@ -38,7 +38,9 @@ object SimilarityQueries {
     * stable across engines and partitionings.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = queries.alias("q")
+    // pin the (small) query set as the broadcast build side explicitly —
+    // the corpus must always be the streamed side of the BNLJ
+    val scored = broadcast(queries.alias("q"))
       .join(corpus.alias("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(cosine(col("q.embedding"), col("c.embedding")), 4).as("cos"))
@@ -96,44 +98,71 @@ object SimilarityQueries {
   /** IVF index: coarse centroids (deterministic seeds + one Lloyd-style
     * refinement, all in DataFrames), corpus partitioned by nearest
     * centroid, queries probe `nprobe` nearest lists.
+    *
+    * Scale shape (the fixes from round 1's verdict):
+    *  - dimension-agnostic — centroid refinement goes through
+    *    posexplode + (cid, pos) partial aggregation (map-side combine makes
+    *    the shuffle nlist×dim rows, not corpus×dim), then reassembles the
+    *    array; no hardcoded per-dimension columns.
+    *  - nearest-list assignment is per-row column algebra over ONE
+    *    broadcast row holding all centroids as a sorted struct array:
+    *    sort (−cos, cid) structs, slice the head. Zero shuffle of the
+    *    corpus, no crossJoin row expansion, no window.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     // seed centroids: first nlist vectors by id (deterministic)
     val seeds = corpus.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-    // assignment pass (per vector: argmax cosine over broadcast centroids)
-    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("embedding"), col("centroid")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(df.columns.map(col) :+ col("cid").as("list_id"): _*)
-    }
-    // one refinement: new centroid = element-wise mean of assigned vectors
-    val dim = 64
-    val assigned0 = assign(corpus, seeds)
-    val refined = assigned0
-      .select((col("list_id").as("cid") +: (0 until dim).map(i =>
-        element_at(col("embedding"), i + 1).cast("double").as(s"x$i"))): _*)
-      .groupBy("cid")
-      .agg(avg(col("x0")).as("c0"),
-        (1 until dim).map(i => avg(col(s"x$i")).as(s"c$i")): _*)
-      .select(col("cid"),
-        array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
-    val indexed = assign(corpus, refined)
 
-    // probe: nprobe nearest lists per query, exact search within them
-    val wq = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
-    val probes = queries.crossJoin(broadcast(refined))
-      .withColumn("sim", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
+    // all centroids in one broadcastable row: array of (cid, centroid,
+    // cnorm) structs, sorted by cid for deterministic iteration
+    def pack(cents: DataFrame): DataFrame =
+      cents.agg(array_sort(collect_list(struct(
+        col("cid").as("cid"), col("centroid").as("centroid"),
+        norm(col("centroid")).as("cnorm")))).as("cents"))
+
+    // n nearest lists per row by cosine (desc, cid-asc tiebreak): build a
+    // (−cos, cid) struct per centroid, array_sort, slice — pure map stage
+    def withNearest(df: DataFrame, packed: DataFrame, n: Int): DataFrame = {
+      val en = norm(col("embedding"))
+      val scoredArr = transform(col("cents"), c =>
+        struct(
+          (-(dot(col("embedding"), c.getField("centroid")) /
+            (en * c.getField("cnorm")))).as("negcos"),
+          c.getField("cid").as("cid")))
+      df.crossJoin(broadcast(packed)) // 1-row frame: a broadcast constant
+        .withColumn("lists", slice(array_sort(scoredArr), 1, n))
+        .drop("cents")
+    }
+
+    // one refinement: new centroid = element-wise mean of assigned vectors,
+    // dim-agnostic via posexplode + partial agg on (cid, pos)
+    val assigned0 = withNearest(corpus, pack(seeds), 1)
+      .select(col("embedding"),
+        element_at(col("lists"), 1).getField("cid").as("cid"))
+    val refined = assigned0
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("col")).as("x"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+      .select(col("cid"),
+        transform(col("px"), p => p.getField("x")).as("centroid"))
+    val packedRefined = pack(refined)
+
+    val indexed = withNearest(corpus, packedRefined, 1)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("lists"), 1).getField("cid").as("list_id"))
+
+    // probe: nprobe nearest lists per (small) query set, exact search
+    // within them; probes broadcast so the corpus never shuffles
+    val probes = withNearest(queries, packedRefined, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cid").as("list_id"))
+        explode(col("lists")).as("l"))
+      .select(col("query_id"), col("qv"), col("l.cid").as("list_id"))
     val wr = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    probes.join(indexed, "list_id")
+    indexed.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("embedding")), 4).as("cos"))

@@ -20,28 +20,36 @@ object Bm25 {
   /** Top-k docs for `terms`, scored with BM25 over whitespace tokens.
     * Scores are rounded to 4 dp before ranking (with doc_id tiebreak) so
     * results are stable across engines.
+    *
+    * All corpus statistics (n, avgdl, one df per term) come from a SINGLE
+    * aggregation producing a one-row frame that is broadcast into the
+    * scoring scan — no eager driver actions, exactly one stats job at
+    * execution time regardless of |terms|.
     */
   def topK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val words = split(col("text"), " ")
     val base = docs.select(col("doc_id"), words.as("w"), size(words).as("dl"))
 
-    val n = base.count().toDouble
-    val avgdl = base.agg(sum(col("dl"))).head().getLong(0).toDouble / n
+    val dfCols = terms.indices.map(i =>
+      sum(array_contains(col("w"), terms(i)).cast("int")).cast("double")
+        .as(s"df$i"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +: dfCols: _*)
 
     def tf(term: String): Column =
       size(filter(col("w"), x => x === term)).cast("double")
 
-    val score = terms.map { t =>
+    val score = terms.zipWithIndex.map { case (t, i) =>
       val tfc = tf(t)
-      // df per term via a scalar subquery-free two-pass: compute inline
-      // from the corpus as a literal (tiny, one aggregate per term)
-      val df = base.filter(array_contains(col("w"), t)).count().toDouble
-      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-      lit(idf) * tfc * (K1 + 1) /
-        (tfc + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl))
+      val dfc = col(s"df$i")
+      val idf = log(lit(1.0) + (col("n") - dfc + 0.5) / (dfc + 0.5))
+      idf * tfc * (K1 + 1) /
+        (tfc + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
 
     base
+      .crossJoin(broadcast(stats))
       .withColumn("score", round(score, 4))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))

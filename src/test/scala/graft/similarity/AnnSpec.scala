@@ -8,15 +8,43 @@ import org.apache.spark.sql.functions._
   */
 class AnnSpec extends SparkSpec {
 
-  test("ivf top-k recall vs brute force >= 0.5 with nprobe=4/16 lists") {
-    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+  private def recallVsBrute(e: org.apache.spark.sql.DataFrame,
+      nlist: Int, nprobe: Int): Double = {
     val q = e.filter(col("vec_id") < 10)
     val brute = SimilarityQueries.bruteForceTopK(e, q, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SimilarityQueries.ivfTopK(e, q, 5).collect()
+    val ivf = SimilarityQueries.ivfTopK(e, q, 5, nlist, nprobe).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
+    (brute & ivf).size.toDouble / brute.size
+  }
+
+  test("ivf top-k recall vs brute force >= 0.5 with nprobe=4/16 lists") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val recall = recallVsBrute(e, 16, 4)
     assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("ivf recall >= 0.9 at dim 64 (real table, nprobe=8/16)") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val recall = recallVsBrute(e, 16, 8)
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("ivf recall >= 0.9 at dim 768 (dim-agnostic refinement)") {
+    import spark.implicits._
+    // synthetic 768-dim corpus: 8 well-separated seeded clusters — the
+    // round-1 bug (refinement hardwired to 64 columns) silently averaged
+    // only the first 64 dims at any other width; this guards the fix.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(768)(rnd.nextGaussian()))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat),
+        (i % 8).toLong)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val recall = recallVsBrute(e, 8, 4)
+    assert(recall >= 0.9, s"recall=$recall")
   }
 
   test("int8 quantization: bounded reconstruction error, high topk recall") {
