@@ -22,6 +22,7 @@ object Registry {
       operators.Sessions.all ++
       operators.Curation.all ++
       functions.ScalarFns.all ++
+      domain.DomainQueries.all ++
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++

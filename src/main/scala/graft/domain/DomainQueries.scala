@@ -1,0 +1,460 @@
+package graft.domain
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/** `dom_*` queries: the REAL domain operators (Salaries, DedupPipeline,
+  * Getters, Indicators, Extract, Enrich, Publisher) running on the
+  * [[AdsFixture]] views, each with a DuckDB oracle that recomputes the
+  * same semantics independently (window-function components, mirrored
+  * rule chains). These convert the round-1 "spec-only" domain components
+  * into hash-checked CORRECTNESS rows.
+  */
+object DomainQueries {
+  import AdsFixture.withCtes
+
+  // ---- F4: the full salary rule chain (not the round-1 analog) ---------
+
+  private val salaryExtract = Q(
+    "dom_salary_extract",
+    (s, d) =>
+      Salaries.extractSalary(AdsFixture.ads(Tables(s, d)))
+        .select("id", "min_salary", "max_salary", "min_annualised_salary",
+          "max_annualised_salary", "rate"),
+    Some(withCtes("ads", "sal1", "sal2", "sal3", "sal4", "sal5", "salaried") +
+      """SELECT id,
+        |  CASE WHEN NOT excluded THEN round(min_annual2 / mult, 2) END
+        |    AS min_salary,
+        |  CASE WHEN NOT excluded THEN round(max_annual2 / mult, 2) END
+        |    AS max_salary,
+        |  CASE WHEN NOT excluded THEN round(min_annual2, 2) END
+        |    AS min_annualised_salary,
+        |  CASE WHEN NOT excluded THEN round(max_annual2, 2) END
+        |    AS max_annualised_salary,
+        |  CASE WHEN NOT excluded THEN raw_salary_unit END AS rate
+        |FROM salaried""".stripMargin),
+  )
+
+  // ---- D3: duplicate subgraphs over the real link table ----------------
+
+  private val dupSubgraphs = Q(
+    "dom_dup_subgraphs",
+    (s, d) => DedupPipeline.duplicateSubgraphs(AdsFixture.links(Tables(s, d))),
+    Some(withCtes("lnk_ranked", "links", "banded", "comps") +
+      "SELECT id, component FROM comps"),
+  )
+
+  // ---- D4: location-split components -----------------------------------
+
+  private val splitSql =
+    """SELECT id, component FROM (
+      |  SELECT id,
+      |    count(*) OVER (PARTITION BY comp0, loc) AS group_size,
+      |    min(id) OVER (PARTITION BY comp0, loc) AS component
+      |  FROM (
+      |    SELECT m.id, m.component AS comp0, a.job_location_raw AS loc
+      |    FROM comps m JOIN ads a ON m.id = a.id
+      |    WHERE length(coalesce(a.description, '')) >= 5))
+      |WHERE group_size > 1""".stripMargin
+
+  private val subgraphsByLoc = Q(
+    "dom_subgraphs_by_location",
+    (s, d) => {
+      val t = Tables(s, d)
+      DedupPipeline.subgraphsByLocation(
+        DedupPipeline.duplicateSubgraphs(AdsFixture.links(t)),
+        AdsFixture.ads(t))
+    },
+    Some(withCtes("ads", "lnk_ranked", "links", "banded", "comps") + splitSql),
+  )
+
+  // ---- D5+D6: dedup-aware snapshot read (full composition) -------------
+
+  private val snapFrom = "1996-03-01"
+  private val snapTo = "1996-04-30"
+
+  private val snapshotAds = Q(
+    "dom_snapshot_ads",
+    (s, d) => {
+      val t = Tables(s, d)
+      DedupPipeline.snapshotAds(AdsFixture.ads(t), AdsFixture.links(t),
+          snapFrom, snapTo)
+        .select("id", "created", "job_location_raw")
+    },
+    Some(withCtes("ads", "lnk_ranked", "links", "banded", "comps") +
+      s""", splitcomps AS ($splitSql),
+         |inwin AS (
+         |  SELECT * FROM ads
+         |  WHERE created BETWEEN TIMESTAMP '$snapFrom 00:00:00'
+         |    AND TIMESTAMP '$snapTo 00:00:00'),
+         |dupes AS (
+         |  SELECT id FROM (
+         |    SELECT s.id,
+         |      row_number() OVER (PARTITION BY s.component ORDER BY s.id) AS rn
+         |    FROM splitcomps s
+         |    WHERE s.id IN (SELECT id FROM inwin))
+         |  WHERE rn > 1)
+         |SELECT id, created, job_location_raw FROM inwin
+         |WHERE id NOT IN (SELECT id FROM dupes)""".stripMargin),
+  )
+
+  // ---- the getters read API (dedup without location split) -------------
+
+  private val getAds = Q(
+    "dom_get_job_ads",
+    (s, d) => {
+      val t = Tables(s, d)
+      Getters.getJobAds(AdsFixture.ads(t), AdsFixture.links(t),
+          fromDate = Some("1997-01-01"), toDate = Some("1997-03-31"),
+          returnDescription = false, deduplicate = true)
+        .select("id", "created", "job_location_raw", "raw_salary_unit")
+    },
+    Some(withCtes("ads", "lnk_ranked", "links", "banded", "comps") +
+      """, inwin AS (
+        |  SELECT * FROM ads
+        |  WHERE created >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND created <= TIMESTAMP '1997-03-31 00:00:00'),
+        |dupes AS (
+        |  SELECT id FROM (
+        |    SELECT c.id,
+        |      row_number() OVER (PARTITION BY c.component ORDER BY c.id) AS rn
+        |    FROM comps c
+        |    WHERE c.id IN (SELECT id FROM inwin))
+        |  WHERE rn > 1)
+        |SELECT id, created, job_location_raw, raw_salary_unit FROM inwin
+        |WHERE id NOT IN (SELECT id FROM dupes)""".stripMargin),
+  )
+
+  // ---- J6: real feature assembly, nested skills flattened for hashing --
+
+  private val features = Q(
+    "dom_features",
+    (s, d) => {
+      val t = Tables(s, d)
+      val adsDf = AdsFixture.ads(t)
+      val sal = Salaries.extractSalary(adsDf)
+        .select("id", "min_annualised_salary", "max_annualised_salary", "rate")
+      Getters.withFeatures(adsDf, sal,
+          AdsFixture.locationLinks(t), AdsFixture.locations(t),
+          AdsFixture.socLinks(t), AdsFixture.socs(t),
+          AdsFixture.skillLinks(t))
+        .select(col("id"), col("min_annualised_salary"),
+          col("max_annualised_salary"), col("rate"),
+          col("nuts_2_code"), col("nuts_2_name"),
+          col("soc_code"), col("soc_title"),
+          concat_ws("|", transform(col("skills"), x =>
+            concat_ws(":", x.getField("surface_form"),
+              x.getField("preferred_label"),
+              x.getField("cluster_0").cast("string")))).as("skills_str"))
+    },
+    Some(withCtes("ads", "sal1", "sal2", "sal3", "sal4", "sal5", "salaried",
+      "location_links", "locations", "soc_links", "socs", "skill_links") +
+      """, sal AS (
+        |  SELECT id AS job_id,
+        |    CASE WHEN NOT excluded THEN round(min_annual2, 2) END
+        |      AS min_annualised_salary,
+        |    CASE WHEN NOT excluded THEN round(max_annual2, 2) END
+        |      AS max_annualised_salary,
+        |    CASE WHEN NOT excluded THEN raw_salary_unit END AS rate
+        |  FROM salaried),
+        |loc AS (
+        |  SELECT DISTINCT ll.job_id, l.nuts_2_code, l.nuts_2_name
+        |  FROM location_links ll
+        |  LEFT JOIN locations l ON ll.location_id = l.ipn_18_code),
+        |soc AS (
+        |  SELECT job_id, soc_code, soc_title
+        |  FROM soc_links JOIN socs USING (soc_id)),
+        |sk AS (
+        |  SELECT job_id,
+        |    string_agg(surface_form || ':' || preferred_label || ':'
+        |        || CAST(cluster_0 AS VARCHAR), '|'
+        |      ORDER BY surface_form, preferred_label, cluster_0) AS skills_str
+        |  FROM skill_links GROUP BY job_id)
+        |SELECT a.id, s.min_annualised_salary, s.max_annualised_salary, s.rate,
+        |  loc.nuts_2_code, loc.nuts_2_name, soc.soc_code, soc.soc_title,
+        |  coalesce(sk.skills_str, '') AS skills_str
+        |FROM ads a
+        |LEFT JOIN sal s ON a.id = s.job_id
+        |LEFT JOIN loc ON a.id = loc.job_id
+        |LEFT JOIN soc ON a.id = soc.job_id
+        |LEFT JOIN sk ON a.id = sk.job_id""".stripMargin),
+  )
+
+  // ---- W1-composition: weekly snapshot expansion with in-window dedup --
+
+  private val wkStart = LocalDate.parse("1996-03-04") // Monday
+  private val wkEnd = LocalDate.parse("1996-05-27") // Monday, 13 weeks
+
+  private def weekly(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = Tables(s, d)
+    Getters.weeklyAds(s, AdsFixture.ads(t), AdsFixture.links(t),
+      wkStart, wkEnd)
+  }
+
+  /** Shared oracle CTEs for the weekly expansion (spine = Mondays
+    * [wkStart, wkEnd], window = 42 days back; per-(week, component)
+    * min-id exemplar like the engine).
+    */
+  private val weeklySql =
+    s""", spine AS (
+       |  SELECT CAST(wd AS DATE) AS week_date,
+       |    CAST(wd - INTERVAL 42 DAY AS DATE) AS window_from
+       |  FROM (SELECT unnest(generate_series(DATE '$wkStart',
+       |    DATE '$wkEnd', INTERVAL 7 DAY)) AS wd)),
+       |expanded AS (
+       |  SELECT a.*, sp.week_date FROM ads a JOIN spine sp
+       |    ON a.created >= sp.window_from AND a.created <= sp.week_date),
+       |wdupes AS (
+       |  SELECT week_date, id FROM (
+       |    SELECT e.week_date, e.id,
+       |      row_number() OVER (PARTITION BY e.week_date, c.component
+       |        ORDER BY e.id) AS rn
+       |    FROM expanded e JOIN splitcomps c ON e.id = c.id)
+       |  WHERE rn > 1),
+       |weekly AS (
+       |  SELECT e.* FROM expanded e
+       |  WHERE NOT EXISTS (SELECT 1 FROM wdupes w
+       |    WHERE w.week_date = e.week_date AND w.id = e.id))""".stripMargin
+
+  private def weeklyPrefix: String =
+    withCtes("ads", "lnk_ranked", "links", "banded", "comps") +
+      s", splitcomps AS ($splitSql)" + weeklySql
+
+  private val weeklyAdsQ = Q(
+    "dom_weekly_ads",
+    (s, d) => weekly(s, d).select("week_date", "id"),
+    Some(weeklyPrefix + "\nSELECT week_date, id FROM weekly"),
+  )
+
+  private val weeklyStockQ = Q(
+    "dom_weekly_stock",
+    (s, d) => Indicators.weeklyStock(weekly(s, d), indexValue = 250.0),
+    Some(weeklyPrefix +
+      """
+        |SELECT week_date AS date,
+        |  CAST(count(*) AS BIGINT) * 100.0 / 250.0 AS volume_idx
+        |FROM weekly GROUP BY week_date""".stripMargin),
+  )
+
+  // weeklySpread oracle: weekly expansion + full salary chain + quantiles
+  private val weeklySpreadOracle: String =
+    withCtes("ads", "lnk_ranked", "links", "banded", "comps") +
+      s", splitcomps AS ($splitSql)" + weeklySql +
+      """, salch AS (
+        |  SELECT id,
+        |    CASE WHEN NOT excluded THEN round(min_annual2, 2) END
+        |      AS min_annualised_salary,
+        |    CASE WHEN NOT excluded THEN round(max_annual2, 2) END
+        |      AS max_annualised_salary
+        |  FROM (
+        |    SELECT *,
+        |      (raw_salary_unit IS NULL OR mult IS NULL
+        |       OR (raw_salary_currency IS NOT NULL
+        |           AND raw_salary_currency <> 'GBP')
+        |       OR mx IS NULL OR max_annual < 4.20 * 1950.0
+        |       OR max_annual2 > 500000.0) AS excluded
+        |    FROM (
+        |      SELECT *,
+        |        CASE WHEN disparity AND extreme THEN min_annual1
+        |             ELSE max_annual END AS max_annual2,
+        |        CASE WHEN disparity AND NOT extreme THEN max_annual
+        |             ELSE min_annual1 END AS min_annual2
+        |      FROM (
+        |        SELECT *, (max_annual / min_annual1 > 10) AS disparity,
+        |          (max_annual > 500000.0) AS extreme
+        |        FROM (
+        |          SELECT *, CASE WHEN min_annual0 < 4.20 * 1950.0
+        |            THEN max_annual ELSE min_annual0 END AS min_annual1
+        |          FROM (
+        |            SELECT *, mn * mult AS min_annual0, mx * mult AS max_annual
+        |            FROM (
+        |              SELECT *,
+        |                CASE raw_salary_unit WHEN 'DAY' THEN 260.0
+        |                     WHEN 'HOUR' THEN 1950.0
+        |                     WHEN 'YEAR' THEN 1.0 END AS mult,
+        |                least(coalesce(raw_min_salary, raw_salary),
+        |                      coalesce(raw_max_salary, raw_salary)) AS mn,
+        |                greatest(coalesce(raw_min_salary, raw_salary),
+        |                         coalesce(raw_max_salary, raw_salary)) AS mx
+        |              FROM ads)))))))
+        |SELECT w.week_date AS date,
+        |  coalesce(quantile_cont(s.min_annualised_salary, 0.25), 0.0) / 1000.0
+        |    AS lower_quartile_min_salaries_k,
+        |  coalesce(quantile_cont(s.min_annualised_salary, 0.50), 0.0) / 1000.0
+        |    AS median_min_salaries_k,
+        |  coalesce(quantile_cont(s.min_annualised_salary, 0.75), 0.0) / 1000.0
+        |    AS upper_quartile_min_salaries_k,
+        |  coalesce(quantile_cont(s.max_annualised_salary, 0.25), 0.0) / 1000.0
+        |    AS lower_quartile_max_salaries_k,
+        |  coalesce(quantile_cont(s.max_annualised_salary, 0.50), 0.0) / 1000.0
+        |    AS median_max_salaries_k,
+        |  coalesce(quantile_cont(s.max_annualised_salary, 0.75), 0.0) / 1000.0
+        |    AS upper_quartile_max_salaries_k
+        |FROM weekly w JOIN salch s ON w.id = s.id
+        |GROUP BY w.week_date""".stripMargin
+
+  private val weeklySpreadQ = Q(
+    "dom_weekly_salary_spread",
+    (s, d) => {
+      val t = Tables(s, d)
+      val sal = Salaries.extractSalary(AdsFixture.ads(t))
+        .select("id", "min_annualised_salary", "max_annualised_salary")
+      Indicators.weeklySalarySpread(weekly(s, d).select("week_date", "id")
+        .join(sal, "id"))
+    },
+    Some(weeklySpreadOracle),
+  )
+
+  // ---- A6: aggregate skills over standardised locations ----------------
+
+  private def adsWithLocSkills(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val t = Tables(s, d)
+    val loc = AdsFixture.locationLinks(t)
+      .join(broadcast(AdsFixture.locations(t)),
+        col("location_id") === col("ipn_18_code"), "left_outer")
+      .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
+      .distinct()
+    Indicators.standardiseLocation(
+      AdsFixture.ads(t).select("id")
+        .join(loc, col("id") === col("job_id"), "left_outer").drop("job_id")
+        .join(AdsFixture.skillLinks(t), col("id") === col("job_id"))
+        .drop("job_id"))
+  }
+
+  private val stdLocSql =
+    """SELECT a.id,
+      |  CASE WHEN loc.nuts_2_code IN ('UKI3','UKI4','UKI5','UKI6','UKI7')
+      |       THEN 'London'
+      |       WHEN loc.nuts_2_code IS NULL THEN 'Unmatched'
+      |       ELSE loc.nuts_2_name END AS nuts_2_name,
+      |  CASE WHEN loc.nuts_2_code IN ('UKI3','UKI4','UKI5','UKI6','UKI7')
+      |       THEN 'UKI'
+      |       WHEN loc.nuts_2_code IS NULL THEN 'ZZZ1'
+      |       ELSE loc.nuts_2_code END AS nuts_2_code,
+      |  sk.surface_form, sk.preferred_label, sk.cluster_0
+      |FROM ads a
+      |LEFT JOIN (
+      |  SELECT DISTINCT ll.job_id, l.nuts_2_code, l.nuts_2_name
+      |  FROM location_links ll
+      |  LEFT JOIN locations l ON ll.location_id = l.ipn_18_code) loc
+      |  ON a.id = loc.job_id
+      |JOIN skill_links sk ON a.id = sk.job_id""".stripMargin
+
+  private val aggSkills = Q(
+    "dom_aggregate_skills",
+    (s, d) => Indicators.aggregateSkills(adsWithLocSkills(s, d),
+      "nuts_2_code", "nuts_2_name"),
+    Some(withCtes("ads", "location_links", "locations", "skill_links") +
+      s""", std AS ($stdLocSql),
+         |counted AS (
+         |  SELECT nuts_2_code, nuts_2_name, cluster_0, count(*) AS n
+         |  FROM std WHERE cluster_0 IS NOT NULL
+         |  GROUP BY 1, 2, 3)
+         |SELECT nuts_2_code, nuts_2_name, cluster_0,
+         |  n * 100.0 / CAST(sum(n) OVER (PARTITION BY nuts_2_code) AS BIGINT)
+         |    AS percentage
+         |FROM counted""".stripMargin),
+  )
+
+  // ---- A1: jobs by (standardised) location -----------------------------
+
+  private val jobsByLoc = Q(
+    "dom_jobs_by_location",
+    (s, d) => {
+      val t = Tables(s, d)
+      val loc = AdsFixture.locationLinks(t)
+        .join(broadcast(AdsFixture.locations(t)),
+          col("location_id") === col("ipn_18_code"), "left_outer")
+        .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
+        .distinct()
+      Indicators.jobsByLocation(Indicators.standardiseLocation(
+        AdsFixture.ads(t).select("id")
+          .join(loc, col("id") === col("job_id"), "left_outer")
+          .drop("job_id")))
+    },
+    Some(withCtes("ads", "location_links", "locations") +
+      """, std AS (
+        |  SELECT a.id,
+        |    CASE WHEN loc.nuts_2_code IN ('UKI3','UKI4','UKI5','UKI6','UKI7')
+        |         THEN 'London'
+        |         WHEN loc.nuts_2_code IS NULL THEN 'Unmatched'
+        |         ELSE loc.nuts_2_name END AS nuts_2_name,
+        |    CASE WHEN loc.nuts_2_code IN ('UKI3','UKI4','UKI5','UKI6','UKI7')
+        |         THEN 'UKI'
+        |         WHEN loc.nuts_2_code IS NULL THEN 'ZZZ1'
+        |         ELSE loc.nuts_2_code END AS nuts_2_code
+        |  FROM ads a
+        |  LEFT JOIN (
+        |    SELECT DISTINCT ll.job_id, l.nuts_2_code, l.nuts_2_name
+        |    FROM location_links ll
+        |    LEFT JOIN locations l ON ll.location_id = l.ipn_18_code) loc
+        |    ON a.id = loc.job_id)
+        |SELECT nuts_2_code, nuts_2_name, count(*) AS n_ads
+        |FROM std WHERE nuts_2_code IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
+  )
+
+  // ---- F13: publisher 2-dp rounding (real Publisher.rounded) -----------
+
+  private val publishRounded = Q(
+    "dom_publish_rounded",
+    (s, d) => Publisher.rounded(
+      Indicators.weeklyStock(weekly(s, d), indexValue = 250.0)),
+    Some(weeklyPrefix +
+      """
+        |SELECT week_date AS date,
+        |  round(CAST(count(*) AS BIGINT) * 100.0 / 250.0, 2) AS volume_idx
+        |FROM weekly GROUP BY week_date""".stripMargin),
+  )
+
+  // ---- F2: real stripHtml over synthetic HTML --------------------------
+
+  private val htmlStrip = Q(
+    "dom_html_strip",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      docs.select(col("doc_id"),
+        Extract.stripHtml(concat(lit("<div class=\"ad\"><p>"), col("text"),
+          lit("</p><br/></div>"))).as("clean"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    '<div class="ad"><p>' || text || '</p><br/></div>',
+        |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin),
+  )
+
+  // ---- F6: real cleanSkillText (regex passes + lemma dictionary) -------
+
+  private val lemmaDict = Map("skills" -> "skill", "data" -> "datum",
+    "systems" -> "system")
+
+  private val cleanSkill = Q(
+    "dom_clean_skill_text",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      docs.select(col("doc_id"),
+        Enrich.cleanSkillText(s, lemmaDict)(
+          concat(lit("TopSkills•"), col("text"))).as("clean"))
+    },
+    Some(
+      """SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    string_split(trim(regexp_replace(lower(regexp_replace(
+        |      regexp_replace('TopSkills•' || text, '[•·▪–\-*]+', ',', 'g'),
+        |      '([a-z])([A-Z])', '\1. \2', 'g')), '\s+', ' ', 'g')), ' '),
+        |    w -> CASE WHEN w = 'skills' THEN 'skill'
+        |              WHEN w = 'data' THEN 'datum'
+        |              WHEN w = 'systems' THEN 'system' ELSE w END), ' ')
+        |    AS clean
+        |FROM documents""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(salaryExtract, dupSubgraphs, subgraphsByLoc,
+    snapshotAds, getAds, features, weeklyAdsQ, weeklyStockQ, weeklySpreadQ,
+    aggSkills, jobsByLoc, publishRounded, htmlStrip, cleanSkill)
+}

@@ -18,7 +18,11 @@ import java.nio.file.{Files, Paths}
   */
 object Publisher {
 
-  private def rounded(df: DataFrame): DataFrame =
+  /** 2-dp output rounding (F13) applied to every double column, mirroring
+    * the reference's `json_dumps(decimal_places=2)`; public so the
+    * rounding contract is oracle-checkable (`dom_publish_rounded`).
+    */
+  def rounded(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map {
       case StructField(n, DoubleType, _, _) => round(col(n), 2).as(n)
       case f => col(f.name)
