@@ -454,7 +454,124 @@ object DomainQueries {
         |FROM documents""".stripMargin),
   )
 
+  // ---- S2+F1-F3: real page extractors over synthesized HTML ------------
+  //
+  // The query builds a full job-board page per ad from the fixture values,
+  // runs the REAL Extract.reed / Extract.indeed regex pipeline, and the
+  // oracle predicts the extractor's output directly from the generating
+  // values — a construction-vs-extraction round trip that fails if any
+  // regex drifts.
+
+  private def reedPage: org.apache.spark.sql.Column = {
+    val k = col("id")
+    val span = when(k % 23 === 0,
+      lit("<span itemprop=\"baseSalary\">Competitive</span>"))
+      .otherwise(concat(
+        lit("<span itemprop=\"baseSalary\">" +
+          "<meta itemprop=\"currency\" content=\"GBP\"/>" +
+          "<meta itemprop=\"value\" content=\""),
+        ((k * 7) % 90000).cast("string"), lit(".50\"/>" +
+          "<meta itemprop=\"minValue\" content=\""),
+        ((k * 3) % 80000).cast("string"), lit(".25\"/>" +
+          "<meta itemprop=\"maxValue\" content=\""),
+        ((k * 11) % 90000).cast("string"), lit(".75\"/>" +
+          "<meta itemprop=\"unitText\" content=\""),
+        when(k % 4 === 0 || k % 4 === 3, "YEAR").when(k % 4 === 1, "DAY")
+          .otherwise("HOUR"),
+        lit("\"/></span>")))
+    concat(
+      lit("<html><script>dataLayer = [{\n"),
+      lit("jobId: '"), k.cast("string"), lit("',\n"),
+      lit("jobPostedDate: '"), date_format(col("created"), "dd/MM/yyyy"),
+      lit("',\n"),
+      lit("jobTitle: 'Engineer "), (k % 50).cast("string"), lit("',\n"),
+      lit("jobLocation: '"), col("job_location_raw"), lit("',\n"),
+      lit("jobRecruiterName: 'Acme "), (k % 7).cast("string"), lit("',\n"),
+      lit("jobType: 'Permanent',\n"),
+      lit("}]</script><body>"),
+      when(k % 29 =!= 0, span).otherwise(lit("")),
+      lit("<span itemprop=\"description\">Role in <b>"),
+      col("job_location_raw"), lit("</b> city</span></body></html>"))
+  }
+
+  private val extractReed = Q(
+    "dom_extract_reed",
+    (s, d) => Extract.reed(
+      AdsFixture.ads(Tables(s, d)).select(reedPage.as("text"))),
+    Some(withCtes("ads") +
+      """SELECT CAST(id AS VARCHAR) AS id,
+        |  strftime(created, '%d/%m/%Y') AS created_raw,
+        |  'Engineer ' || CAST(id % 50 AS VARCHAR) AS job_title_raw,
+        |  job_location_raw,
+        |  'Acme ' || CAST(id % 7 AS VARCHAR) AS company_raw,
+        |  'Permanent' AS contract_type_raw,
+        |  'Reed' AS data_source,
+        |  created,
+        |  'Role in ' || job_location_raw || ' city' AS description,
+        |  CASE WHEN id % 23 <> 0 THEN
+        |    CAST(CAST((id * 7) % 90000 AS VARCHAR) || '.50' AS DOUBLE)
+        |    END AS raw_salary,
+        |  CASE WHEN id % 23 <> 0 THEN
+        |    CAST(CAST((id * 3) % 80000 AS VARCHAR) || '.25' AS DOUBLE)
+        |    END AS raw_min_salary,
+        |  CASE WHEN id % 23 <> 0 THEN
+        |    CAST(CAST((id * 11) % 90000 AS VARCHAR) || '.75' AS DOUBLE)
+        |    END AS raw_max_salary,
+        |  CASE WHEN id % 23 <> 0 THEN
+        |    CASE WHEN id % 4 = 0 OR id % 4 = 3 THEN 'YEAR'
+        |         WHEN id % 4 = 1 THEN 'DAY' ELSE 'HOUR' END
+        |    END AS raw_salary_unit,
+        |  CASE WHEN id % 23 <> 0 THEN 'GBP' END AS raw_salary_currency,
+        |  (id % 23 = 0) AS salary_competitive,
+        |  FALSE AS salary_negotiable
+        |FROM ads WHERE id % 29 <> 0""".stripMargin),
+  )
+
+  private val indeedScrapeDate = "2021-07-05"
+
+  private def indeedPage: org.apache.spark.sql.Column = {
+    val k = col("id")
+    concat(
+      lit("<html><head><script>window._initialData={"),
+      when(k % 31 =!= 0,
+        concat(lit("\"jobKey\":\""), k.cast("string"), lit("\",")))
+        .otherwise(lit("")),
+      lit("\"jobTitle\":\"Engineer "), (k % 50).cast("string"), lit("\","),
+      lit("\"jobLocation\":\""), col("job_location_raw"), lit("\","),
+      lit("\"hiringCompanyName\":\"Acme "), (k % 7).cast("string"),
+      lit("\","),
+      lit("\"salaryText\":\"£"), ((k * 7) % 90000).cast("string"),
+      lit(" per annum\","),
+      lit("\"end\":1}</script></head><body>" +
+        "<span class=\"indeed-apply-widget\" " +
+        "data-indeed-apply-joburl=\"https://jobs.example/apply/"),
+      k.cast("string"), lit("\"></span>" +
+        "<div class=\"jobsearch-jobDescriptionText\"><p>Role in "),
+      col("job_location_raw"), lit(".</p></div></body></html>"))
+  }
+
+  private val extractIndeed = Q(
+    "dom_extract_indeed",
+    (s, d) => Extract.indeed(
+      AdsFixture.ads(Tables(s, d)).select(indeedPage.as("text")),
+      indeedScrapeDate),
+    Some(withCtes("ads") +
+      s"""SELECT CAST(id AS VARCHAR) AS id, 'Indeed' AS data_source,
+         |  'https://jobs.example/apply/' || CAST(id AS VARCHAR) AS url,
+         |  DATE '$indeedScrapeDate' AS created,
+         |  'Engineer ' || CAST(id % 50 AS VARCHAR) AS job_title_raw,
+         |  job_location_raw,
+         |  'Acme ' || CAST(id % 7 AS VARCHAR) AS company_raw,
+         |  CAST(NULL AS VARCHAR) AS contract_type_raw,
+         |  'Role in ' || job_location_raw || '.' AS description,
+         |  CAST(NULL AS VARCHAR) AS closing_date_raw,
+         |  '£' || CAST((id * 7) % 90000 AS VARCHAR) || ' per annum'
+         |    AS job_salary_raw
+         |FROM ads WHERE id % 31 <> 0""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(salaryExtract, dupSubgraphs, subgraphsByLoc,
     snapshotAds, getAds, features, weeklyAdsQ, weeklyStockQ, weeklySpreadQ,
-    aggSkills, jobsByLoc, publishRounded, htmlStrip, cleanSkill)
+    aggSkills, jobsByLoc, publishRounded, htmlStrip, cleanSkill,
+    extractReed, extractIndeed)
 }

@@ -79,4 +79,51 @@ object Extract {
           ): _*)
       .filter(col("id").isNotNull)
   }
+
+  /** Indeed parser mirror of get_indeed_details
+    * (flows/extract/indeed.py:22-57): JSON-ish fields are lazy regex
+    * captures `"<field>":(.*?),` with quote strip (the reference's
+    * regex_search), the apply-URL is the `data-indeed-apply-joburl`
+    * attribute of the `indeed-apply-widget` span, and the description is
+    * the tag-stripped `jobsearch-jobDescriptionText` div. The company
+    * pattern is `ompanyName":` — matching both `companyName` and
+    * `hiringCompanyName`, exactly like the reference. Contract type and
+    * closing date are structurally absent from Indeed (reference sets
+    * None).
+    *
+    * @param scrapeDate the reference stamps `created` with the scrape
+    *   day (`datetime.today()`, indeed.py:40); a parameter here so runs
+    *   are deterministic and backfills are honest about scrape time.
+    */
+  def indeed(raw: DataFrame, scrapeDate: String): DataFrame = {
+    val text = col("text")
+    def jsonField(field: String): Column = {
+      val v = regexp_extract(text, "\"" + field + "\":(.*?),", 1)
+      when(v =!= "", regexp_replace(v, "\"", ""))
+    }
+    val company = {
+      val v = regexp_extract(text, "ompanyName\":(.*?),", 1)
+      when(v =!= "", regexp_replace(v, "\"", ""))
+    }
+    val widget = regexp_extract(text,
+      "(?s)(<span[^>]*class=\"indeed-apply-widget\"[^>]*>)", 1)
+    val url = regexp_extract(widget,
+      "data-indeed-apply-joburl=\"([^\"]*)\"", 1)
+    val descDiv = regexp_extract(text,
+      "(?s)<div[^>]*class=\"jobsearch-jobDescriptionText\"[^>]*>(.*?)</div>",
+      1)
+    raw.select(
+      jsonField("jobKey").as("id"),
+      lit("Indeed").as("data_source"),
+      when(url =!= "", url).as("url"),
+      lit(scrapeDate).cast("date").as("created"),
+      jsonField("jobTitle").as("job_title_raw"),
+      jsonField("jobLocation").as("job_location_raw"),
+      company.as("company_raw"),
+      lit(null).cast("string").as("contract_type_raw"),
+      when(descDiv =!= "", stripHtml(descDiv)).as("description"),
+      lit(null).cast("string").as("closing_date_raw"),
+      jsonField("salaryText").as("job_salary_raw"),
+    ).filter(col("id").isNotNull)
+  }
 }

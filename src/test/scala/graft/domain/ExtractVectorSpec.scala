@@ -64,6 +64,41 @@ class ExtractSpec extends SparkSpec {
   test("legacy pages without baseSalary are dropped") {
     assert(Extract.reed(Seq(legacyHtml).toDF("text")).count() == 0)
   }
+
+  // ---- Indeed (ref flows/extract/indeed.py:22-108; fixture mirrors the
+  // structure of flows/extract/tests/ example_indeed_ad.html) ----
+
+  private val indeedHtml =
+    """<html><head><script>
+      |window._initialData={"jobKey":"a1b2c3d4e5f6","jobTitle":"Data Scientist",
+      |"jobLocation":"Manchester","hiringCompanyName":"ACME Robotics",
+      |"salaryText":"£40000 a year","other":1}
+      |</script></head><body>
+      |<span class="indeed-apply-widget" data-indeed-apply-joburl="https://jobs.example/apply/a1b2c3d4e5f6"></span>
+      |<div class="jobsearch-jobDescriptionText"><p>Build <b>models</b>.</p><p>Ship them.</p></div>
+      |</body></html>""".stripMargin
+
+  test("indeed extraction parses jobKey JSON fields, widget url, description") {
+    val out = Extract.indeed(Seq(indeedHtml).toDF("text"), "2021-07-05").head()
+    assert(out.getAs[String]("id") == "a1b2c3d4e5f6")
+    assert(out.getAs[String]("data_source") == "Indeed")
+    assert(out.getAs[String]("url") ==
+      "https://jobs.example/apply/a1b2c3d4e5f6")
+    assert(out.getAs[java.sql.Date]("created") ==
+      java.sql.Date.valueOf("2021-07-05"))
+    assert(out.getAs[String]("job_title_raw") == "Data Scientist")
+    assert(out.getAs[String]("job_location_raw") == "Manchester")
+    assert(out.getAs[String]("company_raw") == "ACME Robotics")
+    assert(out.isNullAt(out.fieldIndex("contract_type_raw")))
+    assert(out.getAs[String]("description") == "Build models . Ship them.")
+    assert(out.isNullAt(out.fieldIndex("closing_date_raw")))
+    assert(out.getAs[String]("job_salary_raw") == "£40000 a year")
+  }
+
+  test("indeed pages without a jobKey are dropped") {
+    val noKey = indeedHtml.replace("\"jobKey\":\"a1b2c3d4e5f6\",", "")
+    assert(Extract.indeed(Seq(noKey).toDF("text"), "2021-07-05").count() == 0)
+  }
 }
 
 /** D2 vector dedup: planted duplicates produce high-score links. */
