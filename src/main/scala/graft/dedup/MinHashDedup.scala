@@ -47,14 +47,11 @@ object MinHashDedup {
     sig.select(col("doc_id") +: col("sh") +: mCols: _*)
   }
 
-  /** Near-duplicate pairs with exact shingle Jaccard ≥ `threshold`.
-    *
-    * Join discipline for scale: the banding self-join carries only
-    * (doc_id, band, key) — 20 bytes a row — and the shingle arrays are
-    * attached to the *deduplicated candidate pairs* afterwards, so the
-    * wide text-derived payload never rides through the LSH shuffle.
+  /** LSH candidate pairs (doc_a < doc_b) among `docs`, deduplicated.
+    * Package-visible so the hot-bucket spec can measure the candidate
+    * stage directly.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  private[dedup] def candidatePairs(docs: DataFrame): DataFrame = {
     val sig = docs.select(col("doc_id"),
       graft.functions.TextSketches.minhash_signature(col("text")).as("sig"))
     val bandCols = (0 until NumBands).map { b =>
@@ -66,12 +63,45 @@ object MinHashDedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    val cand = buckets.alias("a")
+    buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Near-duplicate pairs with exact shingle Jaccard ≥ `threshold`.
+    *
+    * Stage 0 — hot-bucket hardening: identical texts share every band
+    * key, so k exact copies alone would put k docs in the same 16
+    * buckets and the bucket self-join would emit O(k²) candidates
+    * (web-scale boilerplate makes such buckets routinely). LSH therefore
+    * runs on one EXEMPLAR per md5(text) group; exemplar pairs expand
+    * back to member pairs afterwards, and within-group pairs (Jaccard
+    * exactly 1) are emitted directly. Output is identical to running
+    * LSH on the full corpus — the brute-force oracle still hash-matches
+    * — but the candidate stage is bounded by the number of DISTINCT
+    * texts, not document multiplicity.
+    *
+    * Join discipline for scale: the banding self-join carries only
+    * (doc_id, band, key) — 20 bytes a row — and the shingle arrays are
+    * attached to the *deduplicated candidate pairs* afterwards, so the
+    * wide text-derived payload never rides through the LSH shuffle. The
+    * pre-dedup joins carry (16-byte hash, id) pairs only.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // stage 0: one exemplar (min doc_id) per exact-content group
+    val hmap = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val rep = hmap.groupBy("h").agg(min(col("doc_id")).as("rep"))
+    val members = hmap.join(rep, "h")
+      .select(col("rep"), col("doc_id").as("member"))
+    val reps = docs.join(
+      members.filter(col("member") === col("rep"))
+        .select(col("member").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val cand = candidatePairs(reps)
       // candidates are reused by three downstream subtrees (two id sets
       // + the verify join); checkpoint the tiny pair list so the LSH
       // join runs once, not three times
@@ -80,9 +110,9 @@ object MinHashDedup {
     // first): at corpus scale candidates are a vanishing fraction
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val sh = reps.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    cand
+    val repPairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -90,6 +120,23 @@ object MinHashDedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+
+    // expand exemplar pairs to all member pairs (groups are disjoint, so
+    // each unordered pair appears exactly once)
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("member").as("ma")),
+        "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("member").as("mb")),
+        "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    // within-group pairs: identical text ⇒ identical shingle set ⇒ J = 1
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("doc_a"), col("y.member").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   private val pairs = Q(

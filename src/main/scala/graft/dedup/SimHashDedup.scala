@@ -29,8 +29,11 @@ object SimHashDedup {
     docs.select(col("doc_id"),
       graft.functions.TextSketches.simhash(col("text")).as("simhash"))
 
-  /** Pairs with Hamming distance ≤ `maxHamming` (< Bands for recall=1). */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Banded candidate join + Hamming verify among `docs` (doc_a < doc_b).
+    * Package-visible so the hot-bucket spec can measure the candidate
+    * stage directly.
+    */
+  private[dedup] def bandedPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val fp = fingerprints(docs)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -51,6 +54,39 @@ object SimHashDedup {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming) // before the dedup shuffle
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Pairs with Hamming distance ≤ `maxHamming` (< Bands for recall=1).
+    *
+    * Hot-bucket hardening (same scheme as [[MinHashDedup.nearDupPairs]]):
+    * identical texts share all four band keys, so the banded join runs on
+    * one exemplar per md5(text) group; exemplar pairs expand back to
+    * members and within-group pairs are emitted directly with Hamming 0.
+    * Output identical, candidate volume bounded by distinct texts.
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hmap = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val rep = hmap.groupBy("h").agg(min(col("doc_id")).as("rep"))
+    val members = hmap.join(rep, "h")
+      .select(col("rep"), col("doc_id").as("member"))
+    val reps = docs.join(
+      members.filter(col("member") === col("rep"))
+        .select(col("member").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val cross = bandedPairs(reps, maxHamming)
+      .join(members.select(col("rep").as("doc_a"), col("member").as("ma")),
+        "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("member").as("mb")),
+        "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("doc_a"), col("y.member").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.union(within)
   }
 
   private val fpQ = Q(

@@ -58,4 +58,59 @@ class MinHashSimHashSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  // ---- hot-bucket hardening: a boilerplate-heavy corpus must not blow
+  // up the candidate stage, and the output must be unchanged ----
+
+  private def pathological = {
+    // 200 exact copies (one degenerate bucket) + the planted docs above
+    val copies = (100L until 300L).map(i => (i, base))
+    (Seq((0L, base), (1L, nearDup), (2L, unrelated)) ++ copies)
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash: exact-copy floods keep the LSH candidate stage bounded") {
+    val n = 201 // docs sharing `base` text
+    // stage 0 collapses all copies to one exemplar: the candidate join
+    // sees 3 distinct texts, so at most 3 candidate pairs
+    val hmap = pathological.selectExpr("doc_id", "md5(text) AS h")
+    val reps = pathological.join(
+      hmap.groupBy("h").agg(org.apache.spark.sql.functions.min("doc_id")
+        .as("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val candN = MinHashDedup.candidatePairs(reps).count()
+    assert(candN <= 3, s"candidates after pre-dedup: $candN")
+
+    // un-hardened candidate volume on the same corpus would be O(n²)
+    val naive = MinHashDedup.candidatePairs(pathological).count()
+    assert(naive >= n.toLong * (n - 1) / 2, s"naive candidates: $naive")
+
+    // output unchanged: every copy pair at J=1, near-dup pair present,
+    // unrelated doc clean
+    val pairs = MinHashDedup.nearDupPairs(pathological, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val copyPairs = pairs.filter(_._3 == 1.0)
+    assert(copyPairs.length == n.toLong * (n - 1) / 2,
+      s"copy pairs: ${copyPairs.length}")
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // near-dup 1 pairs with doc 0 only, not with every copy? No — J(1, copy)
+    // equals J(1, 0) for every copy, so 1 pairs with ALL of them. Check one.
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 100L))
+  }
+
+  test("simhash: exact-copy floods bounded and output unchanged") {
+    val n = 201
+    val hmap = pathological.selectExpr("doc_id", "md5(text) AS h")
+    val reps = pathological.join(
+      hmap.groupBy("h").agg(org.apache.spark.sql.functions.min("doc_id")
+        .as("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val candN = SimHashDedup.bandedPairs(reps, 3).count()
+    assert(candN <= 3, s"banded candidates after pre-dedup: $candN")
+
+    val pairs = SimHashDedup.nearDupPairs(pathological, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val zero = pairs.filter(_._3 == 0)
+    assert(zero.length >= n.toLong * (n - 1) / 2)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
 }
