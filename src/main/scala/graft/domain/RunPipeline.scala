@@ -57,9 +57,19 @@ object RunPipeline {
 
     // --- enrichment + dedup links (D1/D2) ---
     val enriched = Salaries.extractSalary(ads)
-    val links = VectorDedup.nearDuplicateLinks(
-      ads.select("id", "created", "vector"), dim = dim,
-      backgroundSample = 32)
+    // the expensive stage is materialised content-addressed (shared-cache
+    // analog): a re-run with unchanged lineage reads parquet instead of
+    // recomputing the ANN link search
+    val links = SharedCache.materialise(
+      VectorDedup.nearDuplicateLinks(
+        ads.select("id", "created", "vector"), dim = dim,
+        backgroundSample = 32),
+      s"$outRoot/cache", "duplicate_links")
+    // volume floors (ref update_cache.py:36-102): abort rather than
+    // publish indicators from a truncated upstream
+    Guardrails.assertFloors(Seq(
+      ("ads", ads, 1000L),
+      ("duplicate_links", links, 100L)))
     println(s"[pipeline] ads=${ads.count()} links=${links.count()}")
 
     // --- silver tables (S9/S10 shape) ---
@@ -71,6 +81,7 @@ object RunPipeline {
     val weekly = Getters.weeklyAds(spark, enriched, links,
       start.plusWeeks(6), start.plusWeeks(25), splitByLocation = false)
       .persist()
+    Guardrails.assertFloor(weekly, "weekly_ads", 1000L)
     val stockWindow = weekly.filter(col("week_date")
       .between("2021-04-05", "2021-05-03"))
     val idx = Indicators.stockIndex(stockWindow).head().getDouble(0)

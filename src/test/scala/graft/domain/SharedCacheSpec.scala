@@ -1,0 +1,55 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Shared-cache + guardrail behaviour (ref dqa/shared_cache.py:46-131,
+  * flows/aggregate/update_cache.py:36-102).
+  */
+class SharedCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("materialise computes once and reuses the parquet on re-run") {
+    val root = Files.createTempDirectory("graft_cache").toString
+    val evals = spark.sparkContext.longAccumulator("evals")
+    val counting = udf { x: Long => evals.add(1L); x * 2 }
+    val df = spark.range(100).select(col("id"), counting(col("id")).as("y"))
+
+    val first = SharedCache.materialise(df, root, "stage")
+    assert(first.count() == 100)
+    val evalsAfterFirst = evals.value
+    assert(evalsAfterFirst >= 100, "first call evaluated the plan")
+
+    val second = SharedCache.materialise(df, root, "stage")
+    assert(second.count() == 100)
+    assert(evals.value == evalsAfterFirst, "second call did not recompute")
+    assert(second.select(sum("y")).head().getLong(0) == 9900)
+  }
+
+  test("a changed plan gets a new key and recomputes") {
+    val a = spark.range(10).toDF("id")
+    val b = spark.range(10).select((col("id") + 1).as("id"))
+    assert(SharedCache.planKey(a) != SharedCache.planKey(b))
+    val root = Files.createTempDirectory("graft_cache2").toString
+    assert(SharedCache.materialise(b, root, "s").agg(sum("id"))
+      .head().getLong(0) == 55)
+  }
+
+  test("guardrail floors pass through or abort with the stage name") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(Guardrails.assertFloor(df, "ok", 3).count() == 3)
+    val e = intercept[Guardrails.FloorViolation] {
+      Guardrails.assertFloor(df, "too_small", 10)
+    }
+    assert(e.getMessage.contains("too_small"))
+    assert(e.floor == 10 && e.actual == 3)
+
+    val e2 = intercept[IllegalStateException] {
+      Guardrails.assertFloors(Seq(("a", df, 1L), ("b", df, 5L),
+        ("c", df, 100L)))
+    }
+    assert(e2.getMessage.contains("b=3<5") && e2.getMessage.contains("c=3<100"))
+  }
+}
