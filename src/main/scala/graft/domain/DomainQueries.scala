@@ -570,8 +570,71 @@ object DomainQueries {
          |FROM ads WHERE id % 31 <> 0""".stripMargin),
   )
 
+  // ---- D2: vector near-dup links, oracled with LSH blocking off --------
+  //
+  // With nPlanes = 0 the sign-LSH candidate stage degenerates to "all
+  // pairs within each temporal window", which is exactly SQL-expressible:
+  // the oracle recomputes the whole scoring chain (epoch-aligned 56d/28d
+  // windows, md5-ordered per-window background sample, sequential-order
+  // L1 mean, relative score, max across windows). The LSH-blocked path is
+  // the same code minus candidates, covered by VectorDedupSpec.
+
+  private val vectorDedupQ = Q(
+    "dom_vector_dedup_links",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      val vecs = e.select(col("vec_id").as("id"),
+        expr("timestamp'1995-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, CAST(vec_id % 100 AS INT), 0, 0, 0)")
+          .as("created"),
+        col("embedding").as("vector"))
+      // threshold 0.25: the fixture embeddings are clustered, not
+      // duplicated, so the production 0.8 cut returns nothing — a lower
+      // cut keeps the oracle non-vacuous (46 links at sf0.01)
+      VectorDedup.nearDuplicateLinks(vecs, dim = 64, nPlanes = 0,
+          backgroundSample = 32, threshold = 0.25)
+        .select(col("first_id"), col("second_id"),
+          round(col("weight"), 4).as("weight"))
+    },
+    Some(
+      """WITH vecs AS (
+        |  SELECT vec_id AS id,
+        |    TIMESTAMP '1995-01-01 00:00:00'
+        |      + (vec_id % 100) * INTERVAL 1 DAY AS created,
+        |    embedding FROM embeddings),
+        |blocked AS (
+        |  SELECT id, embedding,
+        |    make_timestamp(CAST((floor(epoch(created)/2419200)*2419200
+        |      - k*2419200) AS BIGINT) * 1000000) AS win
+        |  FROM vecs, (SELECT unnest([0,1]) AS k)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY win
+        |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        |  FROM blocked),
+        |samples AS (
+        |  SELECT win, list(embedding ORDER BY rn) AS bgs
+        |  FROM ranked WHERE rn <= 32 GROUP BY win),
+        |based AS (
+        |  SELECT b.id, b.win, b.embedding,
+        |    list_sum(list_transform(s.bgs, g ->
+        |      list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |        i -> abs(CAST(b.embedding[i] AS DOUBLE)
+        |          - CAST(g[i] AS DOUBLE))))))
+        |      / len(s.bgs) AS base
+        |  FROM blocked b JOIN samples s ON b.win = s.win),
+        |pairs AS (
+        |  SELECT a.id AS first_id, b.id AS second_id,
+        |    (a.base - list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> abs(CAST(a.embedding[i] AS DOUBLE)
+        |        - CAST(b.embedding[i] AS DOUBLE)))))
+        |      / a.base AS w
+        |  FROM based a JOIN based b ON a.win = b.win AND a.id < b.id)
+        |SELECT first_id, second_id, round(max(w), 4) AS weight
+        |FROM pairs WHERE w > 0.25 GROUP BY 1, 2""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(salaryExtract, dupSubgraphs, subgraphsByLoc,
     snapshotAds, getAds, features, weeklyAdsQ, weeklyStockQ, weeklySpreadQ,
     aggSkills, jobsByLoc, publishRounded, htmlStrip, cleanSkill,
-    extractReed, extractIndeed)
+    extractReed, extractIndeed, vectorDedupQ)
 }

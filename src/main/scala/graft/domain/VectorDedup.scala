@@ -45,9 +45,12 @@ object VectorDedup {
   def l1(a: Column, b: Column): Column =
     graft.functions.VectorOps.l1(a, b)
 
-  /** LSH bucket id: sign bits of the projections onto the hyperplanes. */
+  /** LSH bucket id: sign bits of the projections onto the hyperplanes
+    * (nPlanes = 0 ⇒ a single bucket, i.e. no LSH blocking).
+    */
   private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, i) =>
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -56,6 +59,24 @@ object VectorDedup {
     * @param dim vector dimensionality (reference: 768)
     * @return duplicate links (first_id, second_id, weight), weight =
     *         relative score in (threshold, 1].
+    *
+    * Background-mean semantics: the reference scores each query against
+    * the mean distance of its k_large nearest neighbours *within the
+    * window being deduplicated* (faiss_utils.py:137-143, applied
+    * per-8-week-window by deduplication.py). The distributed analog here
+    * is a per-window deterministic pseudo-random sample (md5-ordered,
+    * so no temporal/id bias), broadcast as one sorted array per window;
+    * each row's base is the sequential-order mean of L1 distances to
+    * that array — one map stage, no crossJoin row expansion, and
+    * bit-deterministic across partitionings. Divergence from the
+    * reference (documented): a random-sample mean rather than a
+    * nearest-k mean — the reference's own docstring tunes k_large
+    * toward "background", which a sample estimates without the
+    * all-pairs kNN a true k_large mean needs.
+    *
+    * A pair met in both of its overlapping windows gets the max of its
+    * per-window scores (deterministic; the reference keeps whichever
+    * window it happened to process first).
     */
   def nearDuplicateLinks(vectors: DataFrame, dim: Int = 768, nPlanes: Int = 8,
       backgroundSample: Int = 64,
@@ -68,30 +89,39 @@ object VectorDedup {
         window(col("created"), WindowLength, WindowSlide).getField("start")
           .as("win"))
 
-    // background distance estimate: mean L1 to a deterministic broadcast
-    // sample (smallest ids) — stands in for the reference's k_large mean
-    val sample = vectors.orderBy("id").limit(backgroundSample)
-      .select(col("vector").as("bg_vector"))
-    val base = blocked
-      .crossJoin(broadcast(sample))
-      .groupBy("id")
-      .agg(avg(l1(col("vector"), col("bg_vector"))).as("base"))
+    // per-window background sample, md5-ordered for determinism without
+    // bias toward any id/time range; one sorted array per window
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("win").orderBy(md5(col("id").cast("string")), col("id"))
+    val sample = blocked
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= backgroundSample)
+      .groupBy("win")
+      .agg(array_sort(collect_list(struct(col("rn"),
+        col("vector").as("bg")))).as("bgs"))
 
-    // candidate generation: sign-LSH buckets within each window
-    val bucketed = blocked
+    // base_i = mean L1 to the window sample, summed in rn order (exact
+    // reproducibility: no float reassociation across partitionings)
+    val based = blocked.join(broadcast(sample), "win")
+      .withColumn("base",
+        aggregate(col("bgs"), lit(0.0),
+          (acc, x) => acc + l1(col("vector"), x.getField("bg"))) /
+          size(col("bgs")))
+      .drop("bgs")
+
+    // candidate generation: sign-LSH buckets within each window; score
+    // with the first id's per-window base, keep the max across windows
+    val bucketed = based
       .withColumn("bucket", bucketCol(col("vector"), planes))
-    val cand = bucketed.alias("a")
+    bucketed.alias("a")
       .join(bucketed.alias("b"),
         col("a.win") === col("b.win") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("first_id"), col("b.id").as("second_id"),
-        l1(col("a.vector"), col("b.vector")).as("d"))
-      .dropDuplicates("first_id", "second_id")
-
-    cand
-      .join(base.withColumnRenamed("id", "first_id"), "first_id")
-      .withColumn("weight", (col("base") - col("d")) / col("base"))
-      .filter(col("weight") > threshold)
-      .select("first_id", "second_id", "weight")
+        ((col("a.base") - l1(col("a.vector"), col("b.vector"))) /
+          col("a.base")).as("w"))
+      .filter(col("w") > threshold)
+      .groupBy("first_id", "second_id")
+      .agg(max(col("w")).as("weight"))
   }
 }

@@ -156,14 +156,17 @@ object TextQueries {
       // Misra–Gries sketch pass → ≤64 candidates → exact recount of the
       // candidates only (two narrow passes; no full-width groupBy).
       // Candidates provably cover every word with freq > N/64, so the
-      // result equals the plain top-10 — which is the oracle.
+      // result equals the plain top-10 — which is the oracle. The
+      // candidate set stays a (1-row → ≤64-row) DataFrame feeding a
+      // broadcast semi join, so building this query launches NO jobs and
+      // no driver round-trip sits between the two passes.
       val words = Tables(s, d).documents
         .select(explode(split(col("text"), " ")).as("word"))
       val mg = udaf(new graft.functions.MisraGries(64))
       val candidates = words.agg(mg(col("word")).as("sketch"))
-        .head().getMap[String, Long](0).keySet.toSeq
+        .select(explode(map_keys(col("sketch"))).as("word"))
       words
-        .filter(col("word").isInCollection(candidates))
+        .join(broadcast(candidates), Seq("word"), "left_semi")
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("word"))
         .limit(10)
