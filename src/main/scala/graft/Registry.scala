@@ -27,6 +27,7 @@ object Registry {
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.Bm25.queries ++
+      text.SurfaceForms.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,330 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skills surface-form model BUILD pipeline — the data-pipeline half of
+  * the reference's surface_forms_flow.py + skills_detection_utils.py
+  * (round-1 gap #6). Stages, each a DataFrame op with a DuckDB oracle:
+  *
+  *  - candidate generation: preferred label, flattened alternate labels
+  *    (newline-joined, flatten_skills_labels:74-103), and description
+  *    word-bigrams standing in for spaCy noun chunks (chunk_forms:
+  *    122-138 — the NLP model is unavailable here; bigrams are the
+  *    documented stub, the pipeline shape is identical);
+  *  - one-to-one dedup by type priority (deduplicate_surface_forms:
+  *    208-249): within an entity keep the most reliable type, across
+  *    entities keep the first (type rank, entity) — entity tiebreak
+  *    replaces the reference's implicit row order, deterministically;
+  *  - tf-idf representativity mask (tfidf_representativity_mask:
+  *    292-374): sklearn parity (tokens \\b\\w\\w+\\b of the lowercased
+  *    doc, tf = count, idf = ln((1+n)/(1+df))+1, rows L2-normalised);
+  *    label forms auto-pass; chunk forms pass if their linked entity is
+  *    the arg-max document of the phrase tf-idf sum, or both scores
+  *    clear the ambiguity threshold. Sums are rounded to 6 dp before
+  *    comparison so FP reassociation can't flip arg-max ties;
+  *  - frequency refinement (frequency_refinement:707-745): drop
+  *    single-word, non-preferred forms whose detection count exceeds the
+  *    95th percentile.
+  *
+  * The detection side (Aho–Corasick phrase matcher) is [[PhraseMatch]] /
+  * J9; consensus Leiden clustering of the resulting skill graph is
+  * model construction (cluster_utils.py) and stays out of scope per
+  * SURVEY §2.
+  */
+object SurfaceForms {
+
+  val TypeOrder: Seq[String] = Seq("label_pref", "label_alt", "chunk_descr")
+  val MinLength = 3
+  val AmbigThreshold = 1.0
+
+  private def cleanForm(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Candidate (entity, surface_form_type, surface_form) rows from a
+    * skills table (entity, preferred_label, alt_labels, description).
+    */
+  def candidates(skills: DataFrame): DataFrame = {
+    val pref = skills.select(col("entity"),
+      lit("label_pref").as("surface_form_type"),
+      cleanForm(col("preferred_label")).as("surface_form"))
+    val alt = skills
+      .select(col("entity"), explode(split(col("alt_labels"), "\n")).as("al"))
+      .select(col("entity"), lit("label_alt").as("surface_form_type"),
+        cleanForm(col("al")).as("surface_form"))
+    val words = split(cleanForm(col("description")), " ")
+    val bigrams = skills
+      .select(col("entity"),
+        explode(when(size(words) >= 2,
+          transform(sequence(lit(1), size(words) - 1), i =>
+            concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+          .otherwise(array())).as("surface_form"))
+      .select(col("entity"), lit("chunk_descr").as("surface_form_type"),
+        col("surface_form"))
+    pref.union(alt).union(bigrams)
+      .filter(length(col("surface_form")) >= MinLength)
+  }
+
+  /** One-to-one form→entity assignment by type priority. */
+  def dedupe(forms: DataFrame,
+      order: Seq[String] = TypeOrder): DataFrame = {
+    val rank = order.zipWithIndex.foldLeft(lit(order.size)) {
+      case (acc, (t, i)) =>
+        when(col("surface_form_type") === t, lit(i)).otherwise(acc)
+    }
+    val withinEntity = Window.partitionBy("entity", "surface_form")
+      .orderBy("type_rank")
+    val acrossEntities = Window.partitionBy("surface_form")
+      .orderBy(col("type_rank"), col("entity"))
+    forms.withColumn("type_rank", rank)
+      .withColumn("r1", row_number().over(withinEntity))
+      .filter(col("r1") === 1)
+      .withColumn("r2", row_number().over(acrossEntities))
+      .filter(col("r2") === 1)
+      .select("entity", "surface_form", "surface_form_type")
+  }
+
+  /** sklearn-parity tf-idf matrix (entity, word, tfidf) for per-entity
+    * documents (entity, doc_text).
+    */
+  def tfidfMatrix(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("entity"),
+      explode(expr(
+        "regexp_extract_all(lower(doc_text), '\\\\b\\\\w\\\\w+\\\\b', 0)"))
+        .as("word"))
+    val tf = toks.groupBy("entity", "word").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+    val idf = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"),
+        (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1.0).as("idf"))
+    val weighted = tf.join(idf, "word")
+      .select(col("entity"), col("word"), (col("tf") * col("idf")).as("w0"))
+    val norms = weighted.groupBy("entity")
+      .agg(sqrt(sum(col("w0") * col("w0"))).as("nrm"))
+    weighted.join(norms, "entity")
+      .select(col("entity"), col("word"), (col("w0") / col("nrm")).as("tfidf"))
+  }
+
+  /** Representativity-filtered forms: label forms pass; chunk forms pass
+    * iff their linked entity is the arg-max document for the phrase, or
+    * both the best and the linked scores exceed the ambiguity threshold.
+    */
+  def tfidfRepresentativity(forms: DataFrame, docs: DataFrame): DataFrame = {
+    val tfidf = tfidfMatrix(docs)
+    val sums = forms
+      .select(col("entity").as("linked"), col("surface_form"),
+        explode(split(col("surface_form"), " ")).as("word"))
+      .join(tfidf, "word")
+      .groupBy(col("linked"), col("surface_form"), col("entity"))
+      .agg(round(sum(col("tfidf")), 6).as("s"))
+    val wBest = Window.partitionBy("linked", "surface_form")
+      .orderBy(desc("s"), asc("entity"))
+    val best = sums.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("linked").as("b_entity"), col("surface_form").as("b_form"),
+        col("entity").as("best_doc"), col("s").as("best_s"))
+    val linkedS = sums.filter(col("entity") === col("linked"))
+      .select(col("linked").as("l_entity"), col("surface_form").as("l_form"),
+        col("s").as("linked_s"))
+    forms
+      .join(best, col("entity") === col("b_entity") &&
+        col("surface_form") === col("b_form"), "left_outer")
+      .join(linkedS, col("entity") === col("l_entity") &&
+        col("surface_form") === col("l_form"), "left_outer")
+      .filter(col("surface_form_type").contains("label") ||
+        col("best_doc") === col("entity") ||
+        (col("best_s") > AmbigThreshold && col("linked_s") > AmbigThreshold))
+      .select("entity", "surface_form", "surface_form_type")
+  }
+
+  /** Drop single-word, non-preferred forms whose detection count exceeds
+    * the `pct` percentile of all counts.
+    */
+  def frequencyRefinement(forms: DataFrame, counts: DataFrame,
+      pct: Double = 0.95): DataFrame = {
+    val thr = counts.agg(percentile(col("n"), lit(pct)).as("thr"))
+    val toRemove = counts.crossJoin(broadcast(thr))
+      .filter(col("n") > col("thr") &&
+        size(split(col("surface_form"), " ")) <= 1)
+      .join(forms, "surface_form")
+      .filter(col("surface_form_type") =!= "label_pref")
+      .select("surface_form").distinct()
+    forms.join(toRemove, Seq("surface_form"), "left_anti")
+  }
+
+  // ---- fixture (ESCO-skills-shaped, derived from `part`) + queries ----
+
+  private def skillsView(t: Tables): DataFrame =
+    t.part.select(
+      col("p_partkey").as("entity"),
+      col("p_name").as("preferred_label"),
+      // second alt label is single-word and very frequent across
+      // entities — the shape frequency refinement exists to remove
+      concat(lower(col("p_type")), lit(" "), col("p_name"), lit("\n"),
+        lower(col("p_type"))).as("alt_labels"),
+      concat(col("p_name"), lit(" for "), lower(col("p_type")),
+        lit(" use grade "), col("p_size").cast("string")).as("description"))
+
+  private val skillsSql =
+    """SELECT p_partkey AS entity,
+      |  p_name AS preferred_label,
+      |  lower(p_type) || ' ' || p_name || chr(10) || lower(p_type)
+      |    AS alt_labels,
+      |  p_name || ' for ' || lower(p_type) || ' use grade ' ||
+      |    CAST(p_size AS VARCHAR) AS description
+      |FROM part""".stripMargin
+
+  private def clean(x: String) =
+    s"trim(regexp_replace(lower($x), '[^a-z0-9]+', ' ', 'g'))"
+
+  private val candidatesSql =
+    s"""SELECT * FROM (
+       |  SELECT entity, 'label_pref' AS surface_form_type,
+       |    ${clean("preferred_label")} AS surface_form
+       |  FROM skills
+       |  UNION ALL
+       |  SELECT entity, 'label_alt',
+       |    ${clean("al")}
+       |  FROM (SELECT entity, unnest(string_split(alt_labels, chr(10))) AS al
+       |        FROM skills)
+       |  UNION ALL
+       |  SELECT entity, 'chunk_descr', bg
+       |  FROM (SELECT entity,
+       |          unnest(list_transform(range(1, len(w)), i ->
+       |            w[i] || ' ' || w[i+1])) AS bg
+       |        FROM (SELECT entity,
+       |                string_split(${clean("description")}, ' ') AS w
+       |              FROM skills)))
+       |WHERE length(surface_form) >= 3""".stripMargin
+
+  private val dedupedSql =
+    """SELECT entity, surface_form, surface_form_type FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY surface_form
+      |    ORDER BY type_rank, entity) AS r2
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY entity, surface_form
+      |      ORDER BY type_rank) AS r1
+      |    FROM (
+      |      SELECT *, CASE surface_form_type WHEN 'label_pref' THEN 0
+      |        WHEN 'label_alt' THEN 1 WHEN 'chunk_descr' THEN 2
+      |        ELSE 3 END AS type_rank
+      |      FROM cands))
+      |  WHERE r1 = 1)
+      |WHERE r2 = 1""".stripMargin
+
+  private val buildQ = Q(
+    "dom_surface_forms_build",
+    (s, d) => dedupe(candidates(skillsView(Tables(s, d)))),
+    Some(s"""WITH skills AS ($skillsSql),
+            |cands AS ($candidatesSql)
+            |$dedupedSql""".stripMargin),
+  )
+
+  private val tfidfQ = Q(
+    "dom_surface_forms_tfidf",
+    (s, d) => {
+      val sk = skillsView(Tables(s, d))
+      val docs = sk.select(col("entity"),
+        concat(col("preferred_label"), lit(" "), col("description"))
+          .as("doc_text"))
+      tfidfRepresentativity(dedupe(candidates(sk)), docs)
+    },
+    Some(s"""WITH skills AS ($skillsSql),
+            |cands AS ($candidatesSql),
+            |forms AS ($dedupedSql),
+            |docs AS (
+            |  SELECT entity, preferred_label || ' ' || description AS doc_text
+            |  FROM skills),
+            |toks AS (
+            |  SELECT entity,
+            |    unnest(regexp_extract_all(lower(doc_text),
+            |      '\\b\\w\\w+\\b', 0)) AS word
+            |  FROM docs),
+            |tf AS (SELECT entity, word, count(*) AS tf
+            |       FROM toks GROUP BY 1, 2),
+            |idf AS (
+            |  SELECT word,
+            |    ln((1.0 + (SELECT CAST(count(*) AS DOUBLE) FROM docs))
+            |      / (1.0 + CAST(count(*) AS DOUBLE))) + 1.0 AS idf
+            |  FROM tf GROUP BY word),
+            |weighted AS (
+            |  SELECT tf.entity, tf.word, tf.tf * idf.idf AS w0
+            |  FROM tf JOIN idf USING (word)),
+            |norms AS (
+            |  SELECT entity, sqrt(sum(w0 * w0)) AS nrm
+            |  FROM weighted GROUP BY entity),
+            |tfidf AS (
+            |  SELECT w.entity, w.word, w.w0 / n.nrm AS tfidf
+            |  FROM weighted w JOIN norms n ON w.entity = n.entity),
+            |sums AS (
+            |  SELECT f.entity AS linked, f.surface_form, m.entity,
+            |    round(sum(m.tfidf), 6) AS s
+            |  FROM (SELECT entity, surface_form,
+            |          unnest(string_split(surface_form, ' ')) AS word
+            |        FROM forms) f
+            |  JOIN tfidf m USING (word)
+            |  GROUP BY 1, 2, 3),
+            |best AS (
+            |  SELECT linked, surface_form, entity AS best_doc, s AS best_s
+            |  FROM (SELECT *, row_number() OVER (
+            |      PARTITION BY linked, surface_form
+            |      ORDER BY s DESC, entity ASC) AS rn FROM sums)
+            |  WHERE rn = 1),
+            |linkeds AS (
+            |  SELECT linked, surface_form, s AS linked_s
+            |  FROM sums WHERE entity = linked)
+            |SELECT f.entity, f.surface_form, f.surface_form_type
+            |FROM forms f
+            |LEFT JOIN best b
+            |  ON f.entity = b.linked AND f.surface_form = b.surface_form
+            |LEFT JOIN linkeds l
+            |  ON f.entity = l.linked AND f.surface_form = l.surface_form
+            |WHERE contains(f.surface_form_type, 'label')
+            |  OR b.best_doc = f.entity
+            |  OR (b.best_s > 1.0 AND l.linked_s > 1.0)""".stripMargin),
+  )
+
+  private val refineQ = Q(
+    "dom_surface_forms_refine",
+    (s, d) => {
+      val t = Tables(s, d)
+      val sk = skillsView(t)
+      val forms = dedupe(candidates(sk))
+      // detection-count stand-in: whitespace-boundary containment of the
+      // form in the skills descriptions (the real detector is
+      // PhraseMatch / J9) — single-word type forms hit hundreds of
+      // descriptions, exactly the too-frequent shape the refinement cuts
+      val counts = forms.select("surface_form").distinct()
+        .join(sk.select(
+          concat(lit(" "), lower(col("description")), lit(" ")).as("padded")),
+          expr("contains(padded, ' ' || surface_form || ' ')"))
+        .groupBy("surface_form").agg(count(lit(1)).as("n"))
+      frequencyRefinement(forms, counts)
+    },
+    Some(s"""WITH skills AS ($skillsSql),
+            |cands AS ($candidatesSql),
+            |forms AS ($dedupedSql),
+            |counts AS (
+            |  SELECT surface_form, count(*) AS n
+            |  FROM (SELECT DISTINCT surface_form FROM forms) f
+            |  JOIN skills s
+            |    ON contains(' ' || lower(s.description) || ' ',
+            |                ' ' || f.surface_form || ' ')
+            |  GROUP BY surface_form),
+            |thr AS (SELECT quantile_cont(n, 0.95) AS thr FROM counts),
+            |to_remove AS (
+            |  SELECT DISTINCT c.surface_form
+            |  FROM counts c CROSS JOIN thr
+            |  JOIN forms f ON c.surface_form = f.surface_form
+            |  WHERE c.n > thr.thr
+            |    AND len(string_split(c.surface_form, ' ')) <= 1
+            |    AND f.surface_form_type <> 'label_pref')
+            |SELECT entity, surface_form, surface_form_type FROM forms
+            |WHERE surface_form NOT IN (SELECT surface_form FROM to_remove)""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(buildQ, tfidfQ, refineQ)
+}
