@@ -34,6 +34,13 @@ object Bench {
     "w6_session_windows",
     "a14_cube_rollup",
     "j12_asof_join",
+    // round 2: domain-layer compositions + reworked text/similarity ops
+    "dom_salary_extract",
+    "dom_features",
+    "dom_snapshot_ads",
+    "dom_weekly_stock",
+    "dom_surface_forms_tfidf",
+    "t_bm25_topk",
   )
 
   def main(args: Array[String]): Unit = {

@@ -25,11 +25,15 @@ object ConnectedComponents {
     * when the context has a checkpoint dir configured — the cluster-mode
     * setting — else `localCheckpoint` (fast, executor-local). Same API
     * shape as GraphFrames' AggregateMessages pregel loop.
+    *
+    * Lazy (`eager = false`): the convergence-signature aggregation that
+    * immediately follows each round is the materializing action, so a
+    * round costs ONE job, not a checkpoint job plus a signature job.
     */
   private def barrier(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+      df.checkpoint(false)
+    else df.localCheckpoint(false)
 
   /** @param edges two-column DataFrame (src, dst); undirected, any order.
     * @param nodeSet optional one-column (id) universe — isolated nodes
