@@ -74,13 +74,20 @@ object DedupPipeline {
   /** Dedup-aware snapshot read (D6): ads in [from, to] minus duplicates
     * (ref dqa/data_getters.py:144-166). `links` is the full duplicate
     * edge list; blocking by date happens on the ad side.
+    *
+    * @param precomputedGraphs optional (id, component) frame — the
+    *   reference's flows pass cached `get_subgraphs_by_location` output
+    *   between steps (update_cache.py) instead of re-deriving it; pair
+    *   with [[SharedCache.materialise]] for the same effect here.
     */
   def snapshotAds(ads: DataFrame, links: DataFrame, fromDate: String,
-      toDate: String, splitByLocation: Boolean = true): DataFrame = {
+      toDate: String, splitByLocation: Boolean = true,
+      precomputedGraphs: Option[DataFrame] = None): DataFrame = {
     val inWindow = ads.filter(col("created").between(fromDate, toDate))
-    val comps = duplicateSubgraphs(links)
-    val graphs =
+    val graphs = precomputedGraphs.getOrElse {
+      val comps = duplicateSubgraphs(links)
       if (splitByLocation) subgraphsByLocation(comps, ads) else comps
+    }
     val dupes = identifyDuplicates(graphs, inWindow.select("id"))
     inWindow.join(dupes, Seq("id"), "left_anti") // J7
   }

@@ -94,7 +94,8 @@ object Getters {
     */
   def weeklyAds(spark: SparkSession, ads: DataFrame, links: DataFrame,
       start: LocalDate, end: LocalDate,
-      splitByLocation: Boolean = true): DataFrame = {
+      splitByLocation: Boolean = true,
+      precomputedGraphs: Option[DataFrame] = None): DataFrame = {
     import graft.operators.TimeWindows
     val spine = TimeWindows.iterdates(start, end).map { case (f, t) =>
       (java.sql.Date.valueOf(f), java.sql.Date.valueOf(t))
@@ -106,10 +107,11 @@ object Getters {
       col("created") >= col("window_from") &&
         col("created") <= col("week_date"))
 
-    val comps0 = DedupPipeline.duplicateSubgraphs(links)
-    val comps =
+    val comps = precomputedGraphs.getOrElse {
+      val comps0 = DedupPipeline.duplicateSubgraphs(links)
       if (splitByLocation) DedupPipeline.subgraphsByLocation(comps0, ads)
       else comps0
+    }
     // per-window exemplar: rank ids within (week, component)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("week_date", "component").orderBy(asc("id"))

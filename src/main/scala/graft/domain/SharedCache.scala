@@ -50,4 +50,22 @@ object SharedCache {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     spark.read.parquet(dir)
   }
+
+  /** By-name variant for stages whose CONSTRUCTION is itself expensive
+    * (iterative algorithms like connected components run jobs while the
+    * frame is being built): on a cache hit the builder never executes.
+    * `key` must encode everything the result depends on — inputs plus a
+    * logic version tag — exactly the reference's source-hash contract
+    * (the caller bumps the tag when the stage's logic changes).
+    */
+  def materialiseWith(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    val dir = s"$root/$name-${md5Hex(key).take(16)}"
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path, "_SUCCESS")))
+      build.write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+  }
 }

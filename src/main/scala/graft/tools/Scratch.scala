@@ -14,41 +14,44 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val d = "/root/testdata/sf0.1"
+    val t = graft.Tables(spark, d)
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
     }
-    time("warmup count")(docs.count())
-    time("signatures only") {
-      docs.select(col("doc_id"),
-        graft.functions.TextSketches.minhash_signature(col("text")).as("sig"))
-        .agg(count(lit(1))).head().getLong(0)
+    val ads = graft.domain.AdsFixture.ads(t)
+    val links = graft.domain.AdsFixture.links(t)
+    time("ads view count")(ads.count())
+    time("links count")(links.count())
+    time("dup subgraphs (CC)") {
+      graft.domain.DedupPipeline.duplicateSubgraphs(links).count()
     }
-    time("shingles only") {
-      docs.select(col("doc_id"),
-        graft.dedup.MinHashDedup.shingles(col("text")).as("sh"))
-        .select(sum(size(col("sh")))).head().getLong(0)
+    time("splitcomps fresh") {
+      graft.domain.DedupPipeline.subgraphsByLocation(
+        graft.domain.DedupPipeline.duplicateSubgraphs(links), ads).count()
     }
-    time("candidates") {
-      val sig = docs.select(col("doc_id"),
-        graft.functions.TextSketches.minhash_signature(col("text")).as("sig"))
-      val bandCols = (0 until 16).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until 4).map(r =>
-            element_at(col("sig"), b * 4 + r + 1)): _*).as("key"))
-      }
-      val buckets = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      buckets.alias("a").join(buckets.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val cached = graft.domain.SharedCache.materialise(
+      graft.domain.DedupPipeline.subgraphsByLocation(
+        graft.domain.DedupPipeline.duplicateSubgraphs(links), ads),
+      s"${System.getProperty("java.io.tmpdir")}/graft_scratch_cache", "sc")
+    time("splitcomps cached read")(cached.count())
+    time("snapshot w/ cached comps") {
+      graft.domain.DedupPipeline.snapshotAds(ads, links,
+        "1996-03-01", "1996-04-30",
+        precomputedGraphs = Some(cached)).count()
     }
-    time("full pairs") {
-      graft.dedup.MinHashDedup.nearDupPairs(docs, 0.8).count()
+    time("snapshot again") {
+      graft.domain.DedupPipeline.snapshotAds(ads, links,
+        "1996-03-01", "1996-04-30",
+        precomputedGraphs = Some(cached)).count()
+    }
+    time("weekly w/ cached comps") {
+      graft.domain.Getters.weeklyAds(spark, ads, links,
+        java.time.LocalDate.parse("1996-03-04"),
+        java.time.LocalDate.parse("1996-05-27"),
+        precomputedGraphs = Some(cached)).count()
     }
     spark.stop()
   }
