@@ -68,6 +68,67 @@ object StreamingOps {
       .withWatermark(timeCol, watermark)
       .dropDuplicates(idCols :+ timeCol)
 
+  /** State for exemplar-first near-dup delivery: the first id seen for a
+    * content key, plus the newest event time (drives the TTL timeout).
+    */
+  case class ExemplarState(exemplar: String, newestMs: Long)
+
+  /** Streaming exemplar-first dedup — the streaming twin of D5 exemplar
+    * selection: for each content key, the first row (by event time, id
+    * tiebreak) streams through as the exemplar and every later arrival is
+    * emitted flagged `is_duplicate`. State lives per key and expires via
+    * an EVENT-TIME timeout `lifespan` past the newest arrival, so state
+    * size is bounded by (arrival rate × lifespan), not corpus size —
+    * the `flatMapGroupsWithState` + timeout surface of SURVEY §2.8/§2.9.
+    */
+  def exemplarStream(spark: SparkSession, events: DataFrame,
+      keyCol: String, idCol: String, timeCol: String = "created",
+      lifespan: String = "42 days"): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, lifespan)
+      .select(col(keyCol).cast("string").as("k"),
+        col(idCol).cast("string").as("id"), col(timeCol).as("t"))
+      .as[(String, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, String, Timestamp)],
+            state: GroupState[ExemplarState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // within a micro-batch, order by (event time, id) so the
+            // exemplar matches the batch min-rule deterministically
+            val batch = rows.toVector.sortBy(r => (r._3.getTime, r._2))
+            val known = state.getOption.map(_.exemplar)
+            val exemplar = known.getOrElse(batch.head._2)
+            val newest = math.max(batch.map(_._3.getTime).max,
+              state.getOption.map(_.newestMs).getOrElse(0L))
+            state.update(ExemplarState(exemplar, newest))
+            state.setTimeoutTimestamp(newest, lifespan)
+            batch.iterator.map { case (_, id, t) =>
+              (id, key, t, known.isDefined || id != exemplar)
+            }
+          }
+      }
+      .toDF("id", "content_key", "created", "is_duplicate")
+  }
+
+  /** Streaming weekly stock: content-dedup then the sliding stock count —
+    * the streaming composition of the reference's weekly pipeline
+    * (exact-dup drop → W1 windows), one lazy plan end to end. The
+    * watermark is declared ONCE (on the dedup stage) and propagates to
+    * the window aggregate — Spark 4 rejects redefined watermarks across
+    * chained stateful operators.
+    */
+  def weeklyStockStream(events: DataFrame, keyCols: Seq[String],
+      timeCol: String = "created", watermark: String = "42 days",
+      length: String = "42 days", slide: String = "7 days"): DataFrame =
+    streamingDedup(events, keyCols, timeCol, watermark)
+      .groupBy(window(col(timeCol), length, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("ws"), col("n"))
+
   /** Drive a streaming DataFrame to completion against a memory sink —
     * used by specs and local smoke runs (batch parquet in, synchronous).
     */

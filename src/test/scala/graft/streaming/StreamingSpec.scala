@@ -88,4 +88,48 @@ class StreamingSpec extends SparkSpec {
     // update per key must match the batch counts
     assert(got == want)
   }
+
+  test("flatMapGroupsWithState exemplar stream matches batch min-rule") {
+    val dir = sf("sf0.001")
+    val stream = spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+    // content key = event_type: few keys, many arrivals per key
+    val out = StreamingOps.exemplarStream(spark, asTs(stream),
+      keyCol = "event_type", idCol = "event_id")
+    StreamingOps.runToMemory(out, "exemplar_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.sql("select id, is_duplicate from exemplar_out")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("created"), col("event_id").cast("string"))
+    val want = asTs(spark.read.parquet(dir + "/events.parquet"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_id").cast("string").as("id"),
+        (col("rn") > 1).as("is_duplicate"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    assert(got.values.exists(_ == true) && got.values.exists(_ == false))
+  }
+
+  test("streaming weekly stock (dedup -> window) equals batch composition") {
+    val dir = sf("sf0.001")
+    val stream = spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+    val agg = StreamingOps.weeklyStockStream(asTs(stream),
+      Seq("user_id"), watermark = "42 days")
+    StreamingOps.runToMemory(agg, "weekly_out") // Complete: all windows
+    val got = spark.sql("select ws, n from weekly_out").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+
+    val want = asTs(spark.read.parquet(dir + "/events.parquet"))
+      .dropDuplicates("user_id", "created")
+      .groupBy(window(col("created"), "42 days", "7 days"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("ws"), col("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
