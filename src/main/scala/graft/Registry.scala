@@ -28,6 +28,7 @@ object Registry {
       text.TextQueries.all ++
       text.Bm25.queries ++
       text.SurfaceForms.queries ++
+      text.SkillClusters.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
