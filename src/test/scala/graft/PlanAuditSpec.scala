@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape regression guard: the scale discipline that PLANS.md
+  * documents (dims broadcast, filters pushed, bounded shuffle counts) is
+  * asserted here so a future edit can't silently turn a broadcast join
+  * into a shuffle or un-push a filter. Counts are over the INITIAL
+  * physical plan (pre-AQE): `Exchange hashpartitioning` = a real
+  * shuffle boundary, `BroadcastExchange` = a broadcast build.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString()
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  private def broadcasts(p: String): Int =
+    "BroadcastExchange".r.findAllIn(p).length
+
+  test("salary rule chain is a pure map over the scan: zero shuffles") {
+    val p = plan("dom_salary_extract")
+    assert(shuffles(p) == 0, p.linesIterator.take(5).mkString("\n"))
+    assert(broadcasts(p) >= 2) // customer + nation dims
+  }
+
+  test("broadcast dim join: dims broadcast, only the agg shuffles") {
+    val p = plan("j3_broadcast_dim_join")
+    assert(broadcasts(p) >= 2)
+    assert(shuffles(p) <= 1)
+  }
+
+  test("bm25: exactly one stats aggregation shuffle, stats broadcast") {
+    val p = plan("t_bm25_topk")
+    assert(broadcasts(p) >= 1)
+    // one exchange for the stats agg; ranking is a global window on the
+    // already-tiny scored set
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("p4_date_range_filter")
+    assert(p.contains("PushedFilters: ["), "scan has pushed filters")
+    assert(!p.contains("PushedFilters: []"), "pushed filter list non-empty")
+    assert(shuffles(p) == 0)
+  }
+
+  test("top-N is TakeOrderedAndProject, not a global sort") {
+    val p = plan("a5_topn_most_common")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort [count"), "no global sort operator for top-N")
+  }
+
+  test("heavy hitters: sketch broadcast, bounded shuffles, lazy build") {
+    val p = plan("a15_heavy_hitters_topk")
+    assert(broadcasts(p) >= 1)
+    assert(shuffles(p) <= 3)
+  }
+
+  // (the LSH no-text-in-exchange invariant lives in
+  // graft.dedup.LshPlanSpec, where the candidate stage is visible)
+}

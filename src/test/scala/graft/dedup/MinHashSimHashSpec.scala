@@ -98,6 +98,28 @@ class MinHashSimHashSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 100L))
   }
 
+  test("LSH exchanges move ids and band keys, never text") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    for (df <- Seq(MinHashDedup.candidatePairs(docs),
+        SimHashDedup.bandedPairs(docs, 3))) {
+      val root = df.queryExecution.executedPlan
+      val plan = root match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val moved = plan.collect {
+        case e: ShuffleExchangeExec => e.output
+        case e: BroadcastExchangeExec => e.output
+      }
+      assert(moved.nonEmpty, "candidate stage has at least one exchange")
+      moved.foreach(attrs =>
+        assert(!attrs.exists(_.name == "text"),
+          s"text rides an exchange: ${attrs.map(_.name)}"))
+    }
+  }
+
   test("simhash: exact-copy floods bounded and output unchanged") {
     val n = 201
     val hmap = pathological.selectExpr("doc_id", "md5(text) AS h")
