@@ -29,6 +29,7 @@ object Registry {
       text.Bm25.queries ++
       text.SurfaceForms.queries ++
       text.SkillClusters.queries ++
+      text.TextCleaning.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

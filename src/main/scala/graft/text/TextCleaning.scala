@@ -1,0 +1,218 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Faithful port of the skills text-preprocessing pipeline
+  * (labs/skills/text_cleaning_utils.py) — every regex pattern and
+  * pipeline order 1:1, golden-tested against the reference's own pytest
+  * cases (tests/test_text_cleaning_utils.py).
+  *
+  * Divergences, documented:
+  *  - `lemmatise` is a rule-based English plural reducer (exception map
+  *    + ies/es/s suffix rules over lowercase alphabetic tokens) standing
+  *    in for WordNet, which isn't available in this environment; the
+  *    behaviours the reference's tests pin down (skills→skill,
+  *    policies→policy, "skills." and "Skills" untouched) are preserved.
+  *  - `stopwords` is the standard NLTK English list, embedded.
+  *
+  * Everything is plain JVM string code: applied distributed as a
+  * broadcast-closure UDF ([[cleanTextCol]]), one map stage, no state.
+  */
+object TextCleaning {
+
+  // ---- compiled patterns (mirroring the module-level constants) ----
+
+  private val bullets = "[•,‣,◦,⁃,∙]".r
+  private val dashSlashColon = "[-/:\\\\]".r
+  private val nonPreserved = "[^a-zA-Z0-9,.; #(++)]".r
+  private val nonAlphaNum = "([^a-zA-Z0-9 #(++)+])".r
+  private val paddedPunct = "( )([^a-zA-Z0-9 #(++)+])".r
+  private val missingSpace = "([a-z])([A-Z])([a-z])".r
+
+  /** NLTK English stopwords (the standard 179-word list). */
+  val Stopwords: Set[String] = Set(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down",
+    "in", "out", "on", "off", "over", "under", "again", "further",
+    "then", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so",
+    "than", "too", "very", "s", "t", "can", "will", "just", "don",
+    "don't", "should", "should've", "now", "d", "ll", "m", "o", "re",
+    "ve", "y", "ain", "aren", "aren't", "couldn", "couldn't", "didn",
+    "didn't", "doesn", "doesn't", "hadn", "hadn't", "hasn", "hasn't",
+    "haven", "haven't", "isn", "isn't", "ma", "mightn", "mightn't",
+    "mustn", "mustn't", "needn", "needn't", "shan", "shan't", "shouldn",
+    "shouldn't", "wasn", "wasn't", "weren", "weren't", "won", "won't",
+    "wouldn", "wouldn't")
+
+  private val lemmaExceptions = Map(
+    "men" -> "man", "women" -> "woman", "children" -> "child",
+    "people" -> "person", "teeth" -> "tooth", "feet" -> "foot",
+    "analyses" -> "analysis", "data" -> "data")
+
+  /** Rule-based lemmatiser (WordNet stand-in): lowercase alphabetic
+    * tokens only — anything carrying punctuation or capitals passes
+    * through untouched, like WordNet misses.
+    */
+  def lemmatise(term: String): String =
+    if (!term.forall(c => c >= 'a' && c <= 'z')) term
+    else lemmaExceptions.getOrElse(term,
+      if (term.endsWith("ies") && term.length > 4)
+        term.dropRight(3) + "y"
+      else if ((term.endsWith("sses") || term.endsWith("shes") ||
+        term.endsWith("ches") || term.endsWith("xes")) && term.length > 4)
+        term.dropRight(2)
+      else if (term.endsWith("s") && !term.endsWith("ss") &&
+        !term.endsWith("us") && !term.endsWith("is") && term.length > 2)
+        term.dropRight(1)
+      else term)
+
+  def cleanPunctuation(text: String): String = {
+    var t = bullets.replaceAllIn(text, ",")
+    t = dashSlashColon.replaceAllIn(t, " ")
+    nonPreserved.replaceAllIn(t, "")
+  }
+
+  def removePunctuation(text: String): String =
+    nonAlphaNum.replaceAllIn(text, " ")
+
+  def padPunctuation(text: String): String =
+    nonAlphaNum.replaceAllIn(text, " $1 ")
+
+  def unpadPunctuation(text: String): String =
+    paddedPunct.replaceAllIn(text, "$2")
+
+  def detectSentences(text: String): String =
+    missingSpace.replaceAllIn(text, "$1. $2$3")
+
+  def lowercase(text: String): String = text.toLowerCase
+
+  def lemmatizeParagraph(text: String): String =
+    text.split(" ", -1).map(lemmatise).mkString(" ")
+
+  def removeStopwords(text: String): String =
+    text.split(" ", -1).filterNot(Stopwords.contains).mkString(" ")
+
+  def cleanUp(text: String): String =
+    text.split("\\s+").filter(_.nonEmpty).mkString(" ").trim
+
+  /** The full preprocessing pipeline (clean_text:124-152). */
+  def cleanText(text: String, keepPunct: Boolean = false): String =
+    if (!keepPunct)
+      cleanUp(removeStopwords(lemmatizeParagraph(removePunctuation(
+        lowercase(detectSentences(text))))))
+    else
+      cleanUp(unpadPunctuation(removeStopwords(lemmatizeParagraph(
+        padPunctuation(cleanPunctuation(lowercase(detectSentences(text))))))))
+
+  /** Noun-chunk pipeline (clean_chunks:155-165). */
+  def cleanChunks(text: String): String =
+    cleanUp(removeStopwords(lemmatizeParagraph(lowercase(
+      removePunctuation(text)))))
+
+  def splitString(s: String, separator: String = "\n"): Seq[String] =
+    if (s == null) Seq.empty
+    else s.split(java.util.regex.Pattern.quote(separator), -1)
+      .map(_.trim).toSeq
+
+  /** Distributed application: one broadcast-closure UDF, a map stage. */
+  def cleanTextCol(spark: SparkSession, keepPunct: Boolean = false)
+      (c: Column): Column = {
+    val kp = keepPunct
+    udf((s: String) => if (s == null) null else cleanText(s, kp)).apply(c)
+  }
+
+  // ---- oracle: the same pipeline as DuckDB SQL, GENERATED from the
+  // constants above so the two sides cannot drift ----
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  private def lemmaSql(w: String): String = {
+    val exc = lemmaExceptions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $w = '${sq(k)}' THEN '${sq(v)}'" }
+      .mkString("\n    ")
+    s"""CASE WHEN NOT regexp_matches($w, '^[a-z]+${"$"}') THEN $w
+       |    $exc
+       |    WHEN $w LIKE '%ies' AND length($w) > 4
+       |      THEN left($w, length($w)-3) || 'y'
+       |    WHEN (ends_with($w,'sses') OR ends_with($w,'shes')
+       |          OR ends_with($w,'ches') OR ends_with($w,'xes'))
+       |         AND length($w) > 4
+       |      THEN left($w, length($w)-2)
+       |    WHEN ends_with($w,'s') AND NOT ends_with($w,'ss')
+       |         AND NOT ends_with($w,'us') AND NOT ends_with($w,'is')
+       |         AND length($w) > 2
+       |      THEN left($w, length($w)-1)
+       |    ELSE $w END""".stripMargin
+  }
+
+  private def cleanTextSql(textExpr: String): String = {
+    val stop = Stopwords.toSeq.sorted.map(sq).map("'" + _ + "'")
+      .mkString(", ")
+    s"""trim(regexp_replace(array_to_string(
+       |  list_filter(
+       |    list_transform(
+       |      string_split(
+       |        regexp_replace(
+       |          lower(regexp_replace($textExpr,
+       |            '([a-z])([A-Z])([a-z])', '\\1. \\2\\3', 'g')),
+       |          '([^a-zA-Z0-9 #(++)+])', ' ', 'g'),
+       |        ' '),
+       |      w -> ${lemmaSql("w").linesIterator.mkString(" ")}),
+       |    w -> w NOT IN ($stop)),
+       |  ' '), '\\s+', ' ', 'g'))""".stripMargin
+  }
+
+  private val q = graft.Q(
+    "dom_clean_text",
+    (s, d) => {
+      val docs = graft.Tables(s, d).documents
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        cleanTextCol(s)(org.apache.spark.sql.functions.col("text"))
+          .as("clean"))
+    },
+    Some(s"SELECT doc_id, ${cleanTextSql("text")} AS clean FROM documents"),
+  )
+
+  /** The composed reference pipeline shape (batch_detection_flow.py:73):
+    * clean_text each document, then detect dictionary surface forms in
+    * the CLEANED text. The dictionary is already in cleaned form, as the
+    * reference cleans its labels too (skills_detection_utils.py:119).
+    * Map-only at scale: broadcast automaton, no shuffle before the explode.
+    */
+  private val detectDict =
+    Seq("fast merge", "table value", "row scan", "hash value", "spark")
+
+  private val qDetect = graft.Q(
+    "dom_detect_skills_cleaned",
+    (s, d) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      graft.Tables(s, d).documents
+        .select(col("doc_id"), cleanTextCol(s)(col("text")).as("clean"))
+        .select(col("doc_id"),
+          explode(PhraseMatch.matchPhrases(s, detectDict)(col("clean")))
+            .as("surface_form"))
+    },
+    Some {
+      val lst = detectDict.map(p => s"'${sq(p)}'").mkString(",")
+      s"""SELECT doc_id, surface_form
+         |FROM (SELECT doc_id, ${cleanTextSql("text")} AS clean
+         |      FROM documents),
+         |  (SELECT unnest([$lst]) AS surface_form)
+         |WHERE contains(clean, surface_form)""".stripMargin
+    },
+  )
+
+  def queries: Seq[graft.Q] = Seq(q, qDetect)
+}
