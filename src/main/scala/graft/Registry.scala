@@ -30,6 +30,8 @@ object Registry {
       text.SurfaceForms.queries ++
       text.SkillClusters.queries ++
       text.TextCleaning.queries ++
+      text.ConsensusClusters.queries ++
+      similarity.KnnGraph.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,66 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** kNN-graph construction — `build_kNN_matrix` / `build_graph`
+  * (labs/skills/cluster_utils.py:357-434): keep each node's k most
+  * similar neighbours, symmetrize (an edge survives if EITHER endpoint
+  * ranked the other in its top k — the reference's `M = max(M, M.T)`),
+  * no self-connections. The result feeds community detection
+  * ([[graft.text.ConsensusClusters]]).
+  *
+  * Scoring is all-pairs here — the exactness baseline, same contract as
+  * [[SimilarityQueries.bruteForceTopK]]. At 100 TB substitute the
+  * LSH-bucketed candidate pairs (VectorDedup / MinHash banding) for the
+  * self-join; the per-node rank + symmetrize stages below are unchanged
+  * and stay shuffle-minimal: one hash shuffle on `src` for the window
+  * rank, and the symmetrize is a projection (least/greatest) + a
+  * map-side-combinable distinct on the already-partitioned pairs.
+  * Ranking uses 4-dp-rounded cosine with id tiebreak so results are
+  * stable across engines and partitionings.
+  */
+object KnnGraph {
+
+  /** Undirected kNN edges (src < dst) with their cosine weight. */
+  def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    val scored = embeddings.alias("a")
+      .join(embeddings.alias("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(SimilarityQueries.cosine(
+          col("a.embedding"), col("b.embedding")), 4).as("cos"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      // cosine is symmetric bit-for-bit (same element order both ways),
+      // so canonicalising endpoints + distinct merges the two directions
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("cos"))
+      .distinct()
+  }
+
+  private val q = Q(
+    "sim_knn_graph",
+    (s, d) => knnGraph(Tables(s, d).embeddings, k = 5),
+    Some(
+      """WITH scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_cosine_similarity(
+        |      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT src, dst, cos FROM (
+        |    SELECT src, dst, cos,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY cos DESC, dst ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 5)
+        |SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst,
+        |  cos
+        |FROM topk""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}

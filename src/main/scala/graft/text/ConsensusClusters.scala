@@ -1,0 +1,280 @@
+package graft.text
+
+import graft.{Q, Tables}
+import graft.dedup.ConnectedComponents
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Consensus clustering — the data-pipeline half of the reference's
+  * `ConsensusClustering` class (labs/skills/cluster_utils.py:24-294).
+  *
+  * The reference builds an ensemble of N stochastic clusterings, forms the
+  * pairwise co-clustering ("COOC") matrix — the fraction of ensemble runs
+  * that place two nodes in the same cluster (`cooccurrence_matrix`,
+  * cluster_utils.py:233-262) — and re-clusters that consensus graph
+  * (`consensus_partition`:264-271). The ensemble generation is
+  * model-construction (Leiden on one machine, out of scope per SURVEY §2);
+  * the matrix build and the consensus re-cluster are pure data-pipeline
+  * steps and distribute cleanly:
+  *
+  *  - the co-clustering count is a self-join on (run, label) — the cluster
+  *    label itself is the blocking key, so the fan-out is Σ|cluster|² per
+  *    run, never global n²; the pair count is a map-side-combinable
+  *    groupBy on (src, dst);
+  *  - the consensus re-cluster thresholds the matrix and runs the
+  *    O(log n) large/small-star components loop — deterministic, no
+  *    driver state (the reference's final Leiden pass is again
+  *    single-machine model fitting; thresholded components is the
+  *    deterministic, distributable consensus rule).
+  */
+object ConsensusClusters {
+
+  /** Pairwise consensus weights from an ensemble of clusterings.
+    *
+    * @param ensemble (run_id, node, label) — one row per node per run.
+    * @return (src, dst, w) with src < dst and w = co-clustered runs /
+    *         total runs, matching `cooccurrence_matrix`'s M / len(ensemble)
+    *         normalisation (cluster_utils.py:258-262).
+    */
+  def consensusMatrix(ensemble: DataFrame): DataFrame = {
+    val nRuns = ensemble.agg(countDistinct(col("run_id")).as("n_runs"))
+    coClusterCounts(ensemble)
+      .crossJoin(broadcast(nRuns))
+      .select(col("src"), col("dst"),
+        (col("n_co").cast("double") / col("n_runs").cast("double")).as("w"))
+  }
+
+  /** (src, dst, n_co): number of runs placing the pair in one cluster. */
+  private def coClusterCounts(ensemble: DataFrame): DataFrame =
+    ensemble.alias("a")
+      .join(ensemble.alias("b"),
+        col("a.run_id") === col("b.run_id") &&
+          col("a.label") === col("b.label") &&
+          col("a.node") < col("b.node"))
+      .groupBy(col("a.node").as("src"), col("b.node").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+
+  /** Consensus communities: keep pairs co-clustered in at least `minRuns`
+    * runs, take connected components; nodes agreeing with nobody become
+    * singletons (their own community id).
+    */
+  def consensusCommunities(ensemble: DataFrame, minRuns: Long): DataFrame =
+    ConnectedComponents.run(
+      coClusterCounts(ensemble).filter(col("n_co") >= minRuns)
+        .select("src", "dst"),
+      nodeSet = Some(ensemble.select(col("node").as("id")).distinct()))
+      .select(col("id").as("node"), col("component").as("community"))
+
+  // ---- affinity diagnostics (cluster_utils.py:437-558) -----------------
+  //
+  // All affinities reduce to S_xy / (N · sizes): an INTEGER sum of
+  // co-cluster counts divided once at the end. Summing integers (not the
+  // already-normalised doubles) keeps the result independent of
+  // aggregation order — bit-identical across engines and partitionings.
+
+  /** Symmetrized integer co-counts, diagonal included (a node co-clusters
+    * with itself in every run) — the sparse form of the reference's COOC
+    * matrix before normalisation.
+    */
+  private def symCounts(ensemble: DataFrame): DataFrame = {
+    val nRuns = ensemble.agg(countDistinct(col("run_id")).as("n_runs"))
+    val cnt = coClusterCounts(ensemble)
+    cnt.select(col("src").as("i"), col("dst").as("j"), col("n_co"))
+      .union(cnt.select(col("dst").as("i"), col("src").as("j"), col("n_co")))
+      .union(ensemble.select(col("node")).distinct()
+        .crossJoin(broadcast(nRuns))
+        .select(col("node").as("i"), col("node").as("j"),
+          col("n_runs").as("n_co")))
+  }
+
+  /** Node→cluster affinity (`node_affinity`, cluster_utils.py:437-476):
+    * the average co-clustering occurrence between a node and all members
+    * of each community — long-form (node, community, affinity), zero
+    * cells materialised like the reference's dense matrix. With
+    * `normalise` the row is scaled to sum to 1 (membership probability).
+    *
+    * Scale: the output is inherently n×k (k = number of communities —
+    * taxonomy-sized, not corpus-sized); the sparse sums join is blocked
+    * by community and map-side combined.
+    */
+  def nodeAffinity(ensemble: DataFrame, labels: DataFrame,
+      normalise: Boolean = true): DataFrame = {
+    val lbl = labels.select(col("node"), col("community"))
+    val csize = lbl.groupBy("community").agg(count(lit(1)).as("c_size"))
+    val nRuns = ensemble.agg(countDistinct(col("run_id")).as("n_runs"))
+    val sums = symCounts(ensemble)
+      .join(lbl.select(col("node").as("j"), col("community")), Seq("j"))
+      .groupBy(col("i").as("node"), col("community"))
+      .agg(sum(col("n_co")).as("s"))
+    val abs = lbl.select(col("node")).crossJoin(broadcast(csize))
+      .join(sums, Seq("node", "community"), "left")
+      .crossJoin(broadcast(nRuns))
+      .select(col("node"), col("community"),
+        (coalesce(col("s"), lit(0L)).cast("double") /
+          (col("n_runs") * col("c_size")).cast("double")).as("affinity"))
+    if (!normalise) abs
+    else abs.withColumn("affinity", col("affinity") /
+      sum(col("affinity")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("node")))
+  }
+
+  /** Cluster→cluster affinity (`cluster_affinity_matrix`,
+    * cluster_utils.py:517-558): average co-clustering occurrence between
+    * the members of two communities. Computed directly as
+    * S_kl / (N·|k|·|l|) — already symmetric because the co-count matrix
+    * is, so the reference's 0.5·(C+Cᵀ) step is the identity here.
+    */
+  def clusterAffinity(ensemble: DataFrame, labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("node"), col("community"))
+    val csize = lbl.groupBy("community").agg(count(lit(1)).as("c_size"))
+    val nRuns = ensemble.agg(countDistinct(col("run_id")).as("n_runs"))
+    val sums = symCounts(ensemble)
+      .join(lbl.select(col("node").as("i"), col("community").as("c_src")),
+        Seq("i"))
+      .join(lbl.select(col("node").as("j"), col("community").as("c_dst")),
+        Seq("j"))
+      .groupBy(col("c_src"), col("c_dst"))
+      .agg(sum(col("n_co")).as("s"))
+    csize.select(col("community").as("c_src"), col("c_size").as("size_src"))
+      .crossJoin(broadcast(
+        csize.select(col("community").as("c_dst"),
+          col("c_size").as("size_dst"))))
+      .join(sums, Seq("c_src", "c_dst"), "left")
+      .crossJoin(broadcast(nRuns))
+      .select(col("c_src"), col("c_dst"),
+        (coalesce(col("s"), lit(0L)).cast("double") /
+          (col("n_runs") * col("size_src") * col("size_dst")).cast("double"))
+          .as("affinity"))
+  }
+
+  // ---- oracled fixture queries -----------------------------------------
+  //
+  // A deterministic 3-run ensemble over documents: run r buckets doc ids
+  // at granularity 10/20/40. Same-10 pairs co-cluster in all 3 runs,
+  // same-20-not-10 in 2, same-40-not-20 in 1 — every consensus weight
+  // level appears, and minRuns=2 communities are exactly the 20-blocks.
+
+  private def ensembleOf(t: Tables): DataFrame =
+    t.documents.select(col("doc_id").as("node"),
+      explode(array(
+        struct(lit(1).as("run_id"), floor(col("doc_id") / 10).as("label")),
+        struct(lit(2).as("run_id"), floor(col("doc_id") / 20).as("label")),
+        struct(lit(3).as("run_id"), floor(col("doc_id") / 40).as("label"))))
+        .as("rl"))
+      .select(col("rl.run_id"), col("node"), col("rl.label"))
+
+  private val ensembleSql =
+    """ens AS (
+      |  SELECT r.run_id, doc_id AS node,
+      |    CASE WHEN r.run_id = 1 THEN doc_id // 10
+      |         WHEN r.run_id = 2 THEN doc_id // 20
+      |         ELSE doc_id // 40 END AS label
+      |  FROM documents, (SELECT unnest([1, 2, 3]) AS run_id) r)""".stripMargin
+
+  private val qMatrix = Q(
+    "dom_consensus_matrix",
+    (s, d) => consensusMatrix(ensembleOf(Tables(s, d))),
+    Some(
+      s"""WITH $ensembleSql
+         |SELECT a.node AS src, b.node AS dst,
+         |  CAST(count(*) AS DOUBLE) /
+         |    (SELECT CAST(count(DISTINCT run_id) AS DOUBLE) FROM ens) AS w
+         |FROM ens a JOIN ens b
+         |  ON a.run_id = b.run_id AND a.label = b.label AND a.node < b.node
+         |GROUP BY 1, 2""".stripMargin),
+  )
+
+  private val qCommunities = Q(
+    "dom_consensus_communities",
+    (s, d) => consensusCommunities(ensembleOf(Tables(s, d)), minRuns = 2L),
+    Some(
+      s"""WITH RECURSIVE $ensembleSql,
+         |edges AS (
+         |  SELECT a.node AS src, b.node AS dst
+         |  FROM ens a JOIN ens b
+         |    ON a.run_id = b.run_id AND a.label = b.label AND a.node < b.node
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 2),
+         |sym AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM sym
+         |  UNION
+         |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+         |labeled AS (
+         |  SELECT id, min(comp) AS community FROM walk GROUP BY id)
+         |SELECT n.node, coalesce(l.community, n.node) AS community
+         |FROM (SELECT DISTINCT node FROM ens) n
+         |LEFT JOIN labeled l ON n.node = l.id""".stripMargin),
+  )
+
+  // Shared oracle CTEs for the affinity queries. Labels use the closed
+  // form of the fixture's minRuns=2 communities — contiguous ids make the
+  // min-id component label exactly (node // 20) * 20, the identity the
+  // dom_consensus_communities oracle proves.
+  private val affinityCtes =
+    s"""$ensembleSql,
+       |cnt AS (
+       |  SELECT a.node AS i, b.node AS j, count(*) AS n_co
+       |  FROM ens a JOIN ens b
+       |    ON a.run_id = b.run_id AND a.label = b.label AND a.node < b.node
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT node FROM ens),
+       |nr AS (SELECT count(DISTINCT run_id) AS n_runs FROM ens),
+       |sym AS (
+       |  SELECT i, j, n_co FROM cnt
+       |  UNION ALL SELECT j, i, n_co FROM cnt
+       |  UNION ALL SELECT node, node, (SELECT n_runs FROM nr) FROM nodes),
+       |labels AS (SELECT node, (node // 20) * 20 AS community FROM nodes),
+       |csize AS (
+       |  SELECT community, count(*) AS c_size FROM labels GROUP BY 1)""".stripMargin
+
+  private val qNodeAffinity = Q(
+    "dom_node_affinity",
+    (s, d) => {
+      val ens = ensembleOf(Tables(s, d))
+      nodeAffinity(ens, consensusCommunities(ens, minRuns = 2L),
+        normalise = false)
+    },
+    Some(
+      s"""WITH RECURSIVE $affinityCtes,
+         |sums AS (
+         |  SELECT s.i AS node, lb.community, CAST(sum(s.n_co) AS BIGINT) AS s
+         |  FROM sym s JOIN labels lb ON s.j = lb.node
+         |  GROUP BY 1, 2)
+         |SELECT n.node, c.community,
+         |  CAST(coalesce(su.s, 0) AS DOUBLE) /
+         |  CAST((SELECT n_runs FROM nr) * c.c_size AS DOUBLE) AS affinity
+         |FROM nodes n CROSS JOIN csize c
+         |LEFT JOIN sums su
+         |  ON su.node = n.node AND su.community = c.community""".stripMargin),
+  )
+
+  private val qClusterAffinity = Q(
+    "dom_cluster_affinity",
+    (s, d) => {
+      val ens = ensembleOf(Tables(s, d))
+      clusterAffinity(ens, consensusCommunities(ens, minRuns = 2L))
+    },
+    Some(
+      s"""WITH RECURSIVE $affinityCtes,
+         |sums2 AS (
+         |  SELECT la.community AS c_src, lb.community AS c_dst,
+         |    CAST(sum(s.n_co) AS BIGINT) AS s
+         |  FROM sym s
+         |  JOIN labels la ON s.i = la.node
+         |  JOIN labels lb ON s.j = lb.node
+         |  GROUP BY 1, 2)
+         |SELECT a.community AS c_src, b.community AS c_dst,
+         |  CAST(coalesce(su.s, 0) AS DOUBLE) /
+         |  CAST((SELECT n_runs FROM nr) * a.c_size * b.c_size AS DOUBLE)
+         |    AS affinity
+         |FROM csize a CROSS JOIN csize b
+         |LEFT JOIN sums2 su
+         |  ON su.c_src = a.community AND su.c_dst = b.community""".stripMargin),
+  )
+
+  def queries: Seq[Q] =
+    Seq(qMatrix, qCommunities, qNodeAffinity, qClusterAffinity)
+}

@@ -1,0 +1,41 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** Two tight pairs in 2-d: k=1 must link each node to its twin, and the
+  * symmetrize step must not duplicate the mutual edges.
+  */
+class KnnGraphSpec extends SparkSpec {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.05f, 0.95f)),
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("k=1 links each node to its nearest neighbour, symmetrized once") {
+    val got = KnnGraph.knnGraph(vecs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("asymmetric top-k membership still yields the undirected edge") {
+    import spark.implicits._
+    // chain 1 -- 2 -- 6: node 6's top-1 is 2, but 2's own top-1 is 1;
+    // edge (2,6) must still appear because 6 ranked 2 (M = max(M, M.T))
+    val plus = vecs.union(
+      Seq((6L, Array(0.8f, 0.2f))).toDF("vec_id", "embedding"))
+    val got = KnnGraph.knnGraph(plus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 6L), (3L, 4L)))
+  }
+
+  test("no self-edges and src < dst canonical order") {
+    val rows = KnnGraph.knnGraph(vecs, k = 2).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
