@@ -41,6 +41,12 @@ object Bench {
     "dom_weekly_stock",
     "dom_surface_forms_tfidf",
     "t_bm25_topk",
+    // round 2b: faithful clean_text + composed detection, consensus
+    // clustering, kNN graph (grouped top-k Aggregator)
+    "dom_clean_text",
+    "dom_detect_skills_cleaned",
+    "dom_consensus_communities",
+    "sim_knn_graph",
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,6 @@ package graft.similarity
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** kNN-graph construction — `build_kNN_matrix` / `build_graph`
@@ -16,11 +15,13 @@ import org.apache.spark.sql.functions._
   * [[SimilarityQueries.bruteForceTopK]]. At 100 TB substitute the
   * LSH-bucketed candidate pairs (VectorDedup / MinHash banding) for the
   * self-join; the per-node rank + symmetrize stages below are unchanged
-  * and stay shuffle-minimal: one hash shuffle on `src` for the window
-  * rank, and the symmetrize is a projection (least/greatest) + a
-  * map-side-combinable distinct on the already-partitioned pairs.
-  * Ranking uses 4-dp-rounded cosine with id tiebreak so results are
-  * stable across engines and partitionings.
+  * and stay shuffle-minimal: the rank is a grouped top-k via the bounded
+  * [[graft.functions.TopKAgg]] Aggregator, whose map-side partial
+  * aggregation caps the shuffle at k entries per node per partition
+  * (a window row_number would move and sort the node's whole candidate
+  * degree); the symmetrize is a projection (least/greatest) + distinct
+  * on the already-small edge set. Ranking uses 4-dp-rounded cosine with
+  * id tiebreak so results are stable across engines and partitionings.
   */
 object KnnGraph {
 
@@ -31,13 +32,15 @@ object KnnGraph {
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         round(SimilarityQueries.cosine(
           col("a.embedding"), col("b.embedding")), 4).as("cos"))
-    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scored.groupBy(col("src"))
+      .agg(topk(col("cos"), col("dst")).as("nn"))
+      .select(col("src"), explode(col("nn")).as("e"))
       // cosine is symmetric bit-for-bit (same element order both ways),
       // so canonicalising endpoints + distinct merges the two directions
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"), col("cos"))
+      .select(least(col("src"), col("e.id")).as("src"),
+        greatest(col("src"), col("e.id")).as("dst"),
+        col("e.score").as("cos"))
       .distinct()
   }
 
