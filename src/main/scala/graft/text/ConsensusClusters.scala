@@ -65,6 +65,69 @@ object ConsensusClusters {
       nodeSet = Some(ensemble.select(col("node").as("id")).distinct()))
       .select(col("id").as("node"), col("component").as("community"))
 
+  // ---- hierarchical subclustering (subcluster_nodes, :674-745) ---------
+
+  /** Second-level communities: re-threshold the ensemble at a stricter
+    * `minRunsSub` and take components WITHIN each parent community (the
+    * reference re-runs clustering on one cluster's nodes at a time; the
+    * parent-equality filter is the all-clusters-at-once form of the same
+    * restriction). Returns (node, community, subcommunity).
+    */
+  def subCommunities(ensemble: DataFrame, labels: DataFrame,
+      minRunsSub: Long): DataFrame = {
+    val lbl = labels.select(col("node"), col("community"))
+    val subEdges = coClusterCounts(ensemble)
+      .filter(col("n_co") >= minRunsSub)
+      .join(lbl.select(col("node").as("src"), col("community").as("c_src")),
+        Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("community").as("c_dst")),
+        Seq("dst"))
+      .filter(col("c_src") === col("c_dst"))
+      .select("src", "dst")
+    ConnectedComponents.run(subEdges,
+        nodeSet = Some(lbl.select(col("node").as("id")).distinct()))
+      .select(col("id").as("node"), col("component").as("subcommunity"))
+      .join(lbl, Seq("node"))
+      .select(col("node"), col("community"), col("subcommunity"))
+  }
+
+  // ---- partition agreement (ensemble_AMI analog, :313-355) -------------
+
+  /** Normalized mutual information between two partitions of the same
+    * node set — the deterministic agreement score standing in for the
+    * reference's sklearn AMI (the adjustment term is a hypergeometric
+    * expectation, model-statistics land; NMI with arithmetic-mean
+    * normalisation is sklearn's `normalized_mutual_info_score` default).
+    *
+    * Everything reduces to counts; the per-cell `p·ln(...)` terms are
+    * summed via [[graft.util.Stable]] decimal casts so the result is
+    * order-independent and engine-identical. One row:
+    * (mi, h1, h2, nmi), all rounded to 6 dp.
+    */
+  def partitionNmi(p1: DataFrame, p2: DataFrame): DataFrame = {
+    val joined = p1.select(col("node"), col("label").as("l1"))
+      .join(p2.select(col("node"), col("label").as("l2")), Seq("node"))
+    val nF = broadcast(joined.agg(count(lit(1)).cast("double").as("n")))
+    val cells = joined.groupBy("l1", "l2")
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val am = joined.groupBy("l1").agg(count(lit(1)).cast("double").as("ai"))
+    val bm = joined.groupBy("l2").agg(count(lit(1)).cast("double").as("bj"))
+    val mi = cells.join(broadcast(am), "l1").join(broadcast(bm), "l2")
+      .crossJoin(nF)
+      .select(((col("nij") / col("n")) *
+        log(col("n") * col("nij") / (col("ai") * col("bj")))).as("term"))
+      .agg(graft.util.Stable.dsum(col("term"), 9).as("mi"))
+    def entropy(m: DataFrame, cnt: String, out: String) = m.crossJoin(nF)
+      .select(((col(cnt) / col("n")) * log(col(cnt) / col("n")) *
+        lit(-1.0)).as("t"))
+      .agg(graft.util.Stable.dsum(col("t"), 9).as(out))
+    broadcast(mi).crossJoin(broadcast(entropy(am, "ai", "h1")))
+      .crossJoin(broadcast(entropy(bm, "bj", "h2")))
+      .select(round(col("mi"), 6).as("mi"), round(col("h1"), 6).as("h1"),
+        round(col("h2"), 6).as("h2"),
+        round(col("mi") / ((col("h1") + col("h2")) / 2.0), 6).as("nmi"))
+  }
+
   // ---- affinity diagnostics (cluster_utils.py:437-558) -----------------
   //
   // All affinities reduce to S_xy / (N · sizes): an INTEGER sum of
@@ -275,6 +338,91 @@ object ConsensusClusters {
          |  ON su.c_src = a.community AND su.c_dst = b.community""".stripMargin),
   )
 
+  private val qSub = Q(
+    "dom_subcommunities",
+    (s, d) => {
+      val ens = ensembleOf(Tables(s, d))
+      subCommunities(ens, consensusCommunities(ens, minRuns = 2L),
+        minRunsSub = 3L)
+    },
+    Some(
+      s"""WITH RECURSIVE $ensembleSql,
+         |cnt AS (
+         |  SELECT a.node AS src, b.node AS dst, count(*) AS n_co
+         |  FROM ens a JOIN ens b
+         |    ON a.run_id = b.run_id AND a.label = b.label AND a.node < b.node
+         |  GROUP BY 1, 2),
+         |psym AS (
+         |  SELECT src AS a, dst AS b FROM cnt WHERE n_co >= 2
+         |  UNION SELECT dst, src FROM cnt WHERE n_co >= 2),
+         |pwalk(id, comp) AS (
+         |  SELECT a, a FROM psym
+         |  UNION
+         |  SELECT s.a, w.comp FROM psym s JOIN pwalk w ON s.b = w.id),
+         |parent AS (
+         |  SELECT n.node, coalesce(p.c, n.node) AS community
+         |  FROM (SELECT DISTINCT node FROM ens) n
+         |  LEFT JOIN (SELECT id, min(comp) AS c FROM pwalk GROUP BY id) p
+         |    ON n.node = p.id),
+         |ssym AS (
+         |  SELECT c.src AS a, c.dst AS b
+         |  FROM cnt c
+         |  JOIN parent pa ON c.src = pa.node
+         |  JOIN parent pb ON c.dst = pb.node
+         |  WHERE c.n_co >= 3 AND pa.community = pb.community
+         |  UNION
+         |  SELECT c.dst, c.src
+         |  FROM cnt c
+         |  JOIN parent pa ON c.src = pa.node
+         |  JOIN parent pb ON c.dst = pb.node
+         |  WHERE c.n_co >= 3 AND pa.community = pb.community),
+         |swalk(id, comp) AS (
+         |  SELECT a, a FROM ssym
+         |  UNION
+         |  SELECT s.a, w.comp FROM ssym s JOIN swalk w ON s.b = w.id)
+         |SELECT p.node, p.community,
+         |  coalesce(sq.c, p.node) AS subcommunity
+         |FROM parent p
+         |LEFT JOIN (SELECT id, min(comp) AS c FROM swalk GROUP BY id) sq
+         |  ON p.node = sq.id""".stripMargin),
+  )
+
+  private val qNmi = Q(
+    "dom_partition_nmi",
+    (s, d) => {
+      val ens = ensembleOf(Tables(s, d))
+      partitionNmi(
+        ens.filter(col("run_id") === 1).select(col("node"), col("label")),
+        ens.filter(col("run_id") === 2).select(col("node"), col("label")))
+    },
+    Some {
+      val dsum = (e: String) => graft.util.Stable.dsumSql(e, 9)
+      s"""WITH $ensembleSql,
+         |j AS (
+         |  SELECT a.node, a.label AS l1, b.label AS l2
+         |  FROM ens a JOIN ens b ON a.node = b.node
+         |  WHERE a.run_id = 1 AND b.run_id = 2),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+         |cells AS (
+         |  SELECT l1, l2, CAST(count(*) AS DOUBLE) AS nij
+         |  FROM j GROUP BY 1, 2),
+         |am AS (SELECT l1, CAST(count(*) AS DOUBLE) AS ai FROM j GROUP BY 1),
+         |bm AS (SELECT l2, CAST(count(*) AS DOUBLE) AS bj FROM j GROUP BY 1),
+         |mi AS (
+         |  SELECT ${dsum("(nij / nn.n) * ln(nn.n * nij / (ai * bj))")} AS mi
+         |  FROM cells JOIN am USING (l1) JOIN bm USING (l2), nn),
+         |h1 AS (
+         |  SELECT ${dsum("(ai / nn.n) * ln(ai / nn.n) * -1.0")} AS h1
+         |  FROM am, nn),
+         |h2 AS (
+         |  SELECT ${dsum("(bj / nn.n) * ln(bj / nn.n) * -1.0")} AS h2
+         |  FROM bm, nn)
+         |SELECT round(mi, 6) AS mi, round(h1, 6) AS h1, round(h2, 6) AS h2,
+         |  round(mi / ((h1 + h2) / 2.0), 6) AS nmi
+         |FROM mi, h1, h2""".stripMargin
+    },
+  )
+
   def queries: Seq[Q] =
-    Seq(qMatrix, qCommunities, qNodeAffinity, qClusterAffinity)
+    Seq(qMatrix, qCommunities, qNodeAffinity, qClusterAffinity, qSub, qNmi)
 }

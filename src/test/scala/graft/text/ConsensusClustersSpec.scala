@@ -85,6 +85,32 @@ class ConsensusClustersSpec extends SparkSpec {
     assert(got((3L, 3L)) == 1.0 && got((4L, 4L)) == 1.0)
   }
 
+  test("subCommunities: stricter threshold splits within parents only") {
+    import spark.implicits._
+    // r1 groups everyone; r2 splits {1,2}/{3,4}; r3 isolates 3 and 4
+    val ens3 = Seq(
+      (1, 1L, "a"), (1, 2L, "a"), (1, 3L, "a"), (1, 4L, "a"),
+      (2, 1L, "p"), (2, 2L, "p"), (2, 3L, "q"), (2, 4L, "q"),
+      (3, 1L, "u"), (3, 2L, "u"), (3, 3L, "v"), (3, 4L, "w"),
+    ).toDF("run_id", "node", "label")
+    val parents = ConsensusClusters.consensusCommunities(ens3, minRuns = 2L)
+    val got = ConsensusClusters.subCommunities(ens3, parents, minRunsSub = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 3L, 3L), (4L, 3L, 4L)))
+  }
+
+  test("partitionNmi: identical partitions score 1, independent score 0") {
+    import spark.implicits._
+    val p = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("node", "label")
+    val same = ConsensusClusters.partitionNmi(p, p).head()
+    assert(same.getDouble(3) == 1.0)
+    assert(math.abs(same.getDouble(0) - math.log(2)) < 1e-6) // MI = H = ln 2
+    val indep = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "y"))
+      .toDF("node", "label")
+    assert(ConsensusClusters.partitionNmi(p, indep).head().getDouble(3) == 0.0)
+  }
+
   test("matrix is blocked by (run, label): no cross-label pairs") {
     val pairs = ConsensusClusters.consensusMatrix(ensemble)
       .filter(col("src") === 1L && col("dst") === 4L)
