@@ -247,9 +247,23 @@ object ConsensusClusters {
          |GROUP BY 1, 2""".stripMargin),
   )
 
+  /** The minRuns=2 fixture labels, materialised content-addressed so the
+    * five queries composing them (communities, two affinities,
+    * subcommunities, and any later consumer) run the components loop once
+    * per (data, params) state — same sharing the reference gets by
+    * passing cached clusterings between flow steps.
+    */
+  private def cachedLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.domain.SharedCache.materialiseWith(s,
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      "consensus-labels", s"$d|consensus-ensemble-10-20-40-minruns2|v1") {
+      consensusCommunities(ensembleOf(Tables(s, d)), minRuns = 2L)
+    }
+
   private val qCommunities = Q(
     "dom_consensus_communities",
-    (s, d) => consensusCommunities(ensembleOf(Tables(s, d)), minRuns = 2L),
+    (s, d) => cachedLabels(s, d),
     Some(
       s"""WITH RECURSIVE $ensembleSql,
          |edges AS (
@@ -297,8 +311,7 @@ object ConsensusClusters {
     "dom_node_affinity",
     (s, d) => {
       val ens = ensembleOf(Tables(s, d))
-      nodeAffinity(ens, consensusCommunities(ens, minRuns = 2L),
-        normalise = false)
+      nodeAffinity(ens, cachedLabels(s, d), normalise = false)
     },
     Some(
       s"""WITH RECURSIVE $affinityCtes,
@@ -318,7 +331,7 @@ object ConsensusClusters {
     "dom_cluster_affinity",
     (s, d) => {
       val ens = ensembleOf(Tables(s, d))
-      clusterAffinity(ens, consensusCommunities(ens, minRuns = 2L))
+      clusterAffinity(ens, cachedLabels(s, d))
     },
     Some(
       s"""WITH RECURSIVE $affinityCtes,
@@ -342,8 +355,7 @@ object ConsensusClusters {
     "dom_subcommunities",
     (s, d) => {
       val ens = ensembleOf(Tables(s, d))
-      subCommunities(ens, consensusCommunities(ens, minRuns = 2L),
-        minRunsSub = 3L)
+      subCommunities(ens, cachedLabels(s, d), minRunsSub = 3L)
     },
     Some(
       s"""WITH RECURSIVE $ensembleSql,
