@@ -129,6 +129,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("date").as("ws"), col("n"))
 
+  /** Streaming grouped top-k (trending-entities shape: best k events per
+    * key by score). The bounded [[graft.functions.TopKAgg]] is a standard
+    * streaming aggregate, so per-key state is the k-capped sorted buffer —
+    * O(keys·k) regardless of stream length — and incremental maintenance
+    * is the same insert the batch partial aggregation uses. Complete or
+    * update output modes; identical results to the batch groupBy.
+    */
+  def topKStream(events: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    events.groupBy(col(keyCol))
+      .agg(topk(col(scoreCol), col(idCol)).as("topk"))
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink —
     * used by specs and local smoke runs (batch parquet in, synchronous).
     */

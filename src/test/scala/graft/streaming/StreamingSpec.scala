@@ -132,4 +132,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming grouped top-k equals batch grouped top-k") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val topk = StreamingOps.topKStream(asTs(stream),
+      "event_type", "value", "event_id", k = 3)
+    StreamingOps.runToMemory(topk, "topk_out")
+    def flat(rows: Array[org.apache.spark.sql.Row]) = rows.flatMap { r =>
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (r.getString(0), e.getDouble(0), e.getLong(1)))
+    }.toSet
+    val got = flat(spark.sql("select * from topk_out").collect())
+
+    val batch = asTs(spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+    val want = flat(StreamingOps.topKStream(batch,
+      "event_type", "value", "event_id", k = 3).collect())
+    assert(got == want)
+    assert(got.nonEmpty && got.size >= 3)
+  }
 }
