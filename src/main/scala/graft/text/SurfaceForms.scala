@@ -221,9 +221,24 @@ object SurfaceForms {
       |  WHERE r1 = 1)
       |WHERE r2 = 1""".stripMargin
 
+  /** Deduped candidate forms, materialised content-addressed: the build,
+    * tf-idf and refinement queries all consume this frame, and inside the
+    * tf-idf query it is read TWICE (label and chunk branches) — without
+    * materialisation Catalyst re-executes the two-window dedup subtree
+    * per consumer (the reference caches the surface-form table between
+    * flow steps the same way).
+    */
+  private def cachedForms(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.domain.SharedCache.materialiseWith(s,
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      "surface-forms", s"$d|surface-forms-dedup|v1") {
+      dedupe(candidates(skillsView(Tables(s, d))))
+    }
+
   private val buildQ = Q(
     "dom_surface_forms_build",
-    (s, d) => dedupe(candidates(skillsView(Tables(s, d)))),
+    (s, d) => cachedForms(s, d),
     Some(s"""WITH skills AS ($skillsSql),
             |cands AS ($candidatesSql)
             |$dedupedSql""".stripMargin),
@@ -236,7 +251,7 @@ object SurfaceForms {
       val docs = sk.select(col("entity"),
         concat(col("preferred_label"), lit(" "), col("description"))
           .as("doc_text"))
-      tfidfRepresentativity(dedupe(candidates(sk)), docs)
+      tfidfRepresentativity(cachedForms(s, d), docs)
     },
     Some(s"""WITH skills AS ($skillsSql),
             |cands AS ($candidatesSql),
@@ -298,7 +313,7 @@ object SurfaceForms {
     (s, d) => {
       val t = Tables(s, d)
       val sk = skillsView(t)
-      val forms = dedupe(candidates(sk))
+      val forms = cachedForms(s, d)
       // detection-count stand-in: whitespace-boundary containment of the
       // form in the skills descriptions (the real detector is
       // PhraseMatch / J9) — single-word type forms hit hundreds of
