@@ -161,6 +161,23 @@ object SurfaceForms {
     forms.join(toRemove, Seq("surface_form"), "left_anti")
   }
 
+  /** Manual curation pass (`remove_and_reassign_forms`,
+    * skills_detection_utils.py:408-467): drop rejected forms, then apply
+    * manual (form → entity) assignments — an assignment REPLACES any
+    * existing row carrying that form (the reference's
+    * `drop_duplicates(keep="last")` after append). Manual lists are
+    * curator-sized, so both correction joins broadcast.
+    */
+  def removeAndReassign(forms: DataFrame, manualRemove: DataFrame,
+      manualAssign: DataFrame): DataFrame =
+    forms
+      .join(broadcast(manualRemove.select("surface_form")),
+        Seq("surface_form"), "left_anti")
+      .join(broadcast(manualAssign.select("surface_form")),
+        Seq("surface_form"), "left_anti")
+      .unionByName(manualAssign.na.drop(Seq("surface_form"))
+        .select("surface_form", "entity", "surface_form_type"))
+
   // ---- fixture (ESCO-skills-shaped, derived from `part`) + queries ----
 
   private def skillsView(t: Tables): DataFrame =
@@ -347,5 +364,34 @@ object SurfaceForms {
             |WHERE surface_form NOT IN (SELECT surface_form FROM to_remove)""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(buildQ, tfidfQ, refineQ)
+  private val adjustQ = Q(
+    "dom_surface_forms_adjust",
+    (s, d) => {
+      val forms = cachedForms(s, d)
+      // deterministic stand-ins for the curator's manual lists
+      val rm = forms.filter(col("surface_form").startsWith("a"))
+        .select("surface_form")
+      val asg = forms.filter(col("surface_form").startsWith("b"))
+        .select(col("surface_form"), lit(-1L).as("entity"),
+          lit("manual").as("surface_form_type")).distinct()
+      removeAndReassign(forms, rm, asg)
+        .select("entity", "surface_form", "surface_form_type")
+    },
+    Some(s"""WITH skills AS ($skillsSql),
+            |cands AS ($candidatesSql),
+            |forms AS ($dedupedSql),
+            |rm AS (SELECT surface_form FROM forms
+            |       WHERE surface_form LIKE 'a%'),
+            |asg AS (SELECT DISTINCT surface_form,
+            |          CAST(-1 AS BIGINT) AS entity,
+            |          'manual' AS surface_form_type
+            |        FROM forms WHERE surface_form LIKE 'b%')
+            |SELECT entity, surface_form, surface_form_type FROM forms
+            |WHERE surface_form NOT IN (SELECT surface_form FROM rm)
+            |  AND surface_form NOT IN (SELECT surface_form FROM asg)
+            |UNION ALL
+            |SELECT entity, surface_form, surface_form_type FROM asg""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(buildQ, tfidfQ, refineQ, adjustQ)
 }
