@@ -25,18 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object KnnGraph {
 
-  /** Undirected kNN edges (src < dst) with their cosine weight. */
-  def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
-    // per-vector norm computed once before the pair fan-out (n sqrt
-    // evaluations instead of 2·n² — bit-identical: sqrt(dot(v,v)) is a
-    // deterministic function of the row wherever it is evaluated)
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      SimilarityQueries.norm(col("embedding")).as("nrm"))
-    val scored = withNorm.alias("a")
-      .join(withNorm.alias("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        round(SimilarityQueries.dot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+  // per-vector norm computed once before the pair fan-out (n sqrt
+  // evaluations instead of 2·n² — bit-identical: sqrt(dot(v,v)) is a
+  // deterministic function of the row wherever it is evaluated)
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("nrm",
+      SimilarityQueries.norm(col("embedding")))
+
+  private def scoredCos(pairs: DataFrame): DataFrame =
+    pairs.select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+      round(SimilarityQueries.dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+
+  private def rankAndSymmetrize(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(k))
     scored.groupBy(col("src"))
       .agg(topk(col("cos"), col("dst")).as("nn"))
@@ -47,6 +48,31 @@ object KnnGraph {
         greatest(col("src"), col("e.id")).as("dst"),
         col("e.score").as("cos"))
       .distinct()
+  }
+
+  /** Undirected kNN edges (src < dst) with their cosine weight —
+    * all-pairs exactness baseline.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    rankAndSymmetrize(scoredCos(e.alias("a")
+      .join(e.alias("b"), col("a.vec_id") =!= col("b.vec_id"))), k)
+  }
+
+  /** The scale path: candidate pairs restricted to a blocking key (LSH
+    * bucket, label, temporal window) so the join is an equi-shuffle on
+    * the block instead of a global cross product; rank + symmetrize are
+    * unchanged. Top-k is per node WITHIN its block — the recall/cost
+    * trade every blocked ANN makes (the brute variant is the recall
+    * ceiling to measure against).
+    */
+  def knnGraphBlocked(embeddings: DataFrame, k: Int,
+      blockCol: String): DataFrame = {
+    val e = withNorm(embeddings)
+    rankAndSymmetrize(scoredCos(e.alias("a")
+      .join(e.alias("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.vec_id") =!= col("b.vec_id"))), k)
   }
 
   private val q = Q(
@@ -70,5 +96,28 @@ object KnnGraph {
         |FROM topk""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q)
+  private val qBlocked = Q(
+    "sim_knn_graph_blocked",
+    (s, d) => knnGraphBlocked(Tables(s, d).embeddings, k = 5,
+      blockCol = "label"),
+    Some(
+      """WITH scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_cosine_similarity(
+        |      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT src, dst, cos FROM (
+        |    SELECT src, dst, cos,
+        |      row_number() OVER (PARTITION BY src
+        |                         ORDER BY cos DESC, dst ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 5)
+        |SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst,
+        |  cos
+        |FROM topk""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, qBlocked)
 }

@@ -34,6 +34,21 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 6L), (3L, 4L)))
   }
 
+  test("blocked variant equals per-block brute-force") {
+    import spark.implicits._
+    val labelled = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(0.95f, 0.05f), "A"),
+      (6L, Array(0.8f, 0.2f), "A"),
+      (3L, Array(0.0f, 1.0f), "B"),
+      (4L, Array(0.05f, 0.95f), "B"),
+    ).toDF("vec_id", "embedding", "label")
+    val got = KnnGraph.knnGraphBlocked(labelled, k = 1, blockCol = "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // block A: 1<->2 mutual, 6 ranks 2; block B: 3<->4 — no cross-block edge
+    assert(got == Set((1L, 2L), (2L, 6L), (3L, 4L)))
+  }
+
   test("no self-edges and src < dst canonical order") {
     val rows = KnnGraph.knnGraph(vecs, k = 2).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
