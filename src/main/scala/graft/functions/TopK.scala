@@ -24,11 +24,15 @@ final class TopKAgg(k: Int)
   private def better(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
+  // idempotent: re-inserting an element already held (multi-probe blocked
+  // joins and streaming re-delivery both produce duplicates) neither
+  // consumes a k-slot nor emits twice
   private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
     if (buf.length >= k && better(buf.last, x)) buf
     else {
       val (pre, post) = buf.span(better(_, x))
-      (pre ++ (x +: post)).take(k)
+      if (post.headOption.contains(x)) buf
+      else (pre ++ (x +: post)).take(k)
     }
 
   override def zero: Seq[Scored] = Seq.empty

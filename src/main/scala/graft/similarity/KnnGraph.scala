@@ -119,5 +119,23 @@ object KnnGraph {
         |FROM topk""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, qBlocked)
+  /** ANN kNN graph: IVF cell assignment as the blocking key — the
+    * composition a big corpus actually runs (build the index once, block
+    * candidates by cell, exact rank within the cell). No SQL oracle (the
+    * centroid refinement is iterative); recall against the brute ceiling
+    * is pinned in KnnGraphSpec.
+    */
+  def ivfKnnGraph(embeddings: DataFrame, k: Int, nlist: Int = 16,
+      nassign: Int = 2): DataFrame =
+    knnGraphBlocked(
+      SimilarityQueries.buildIvfIndex(embeddings, nlist, nassign)._1,
+      k, "list_id")
+
+  private val qIvf = Q(
+    "sim_knn_graph_ivf",
+    (s, d) => ivfKnnGraph(Tables(s, d).embeddings, k = 5),
+    None, // iterative index build is not SQL-expressible; recall spec'd
+  )
+
+  def queries: Seq[Q] = Seq(q, qBlocked, qIvf)
 }

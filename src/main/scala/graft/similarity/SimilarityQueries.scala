@@ -109,32 +109,37 @@ object SimilarityQueries {
     *    sort (−cos, cid) structs, slice the head. Zero shuffle of the
     *    corpus, no crossJoin row expansion, no window.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  // all centroids in one broadcastable row: array of (cid, centroid,
+  // cnorm) structs, sorted by cid for deterministic iteration
+  private def pack(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(
+      col("cid").as("cid"), col("centroid").as("centroid"),
+      norm(col("centroid")).as("cnorm")))).as("cents"))
+
+  // n nearest lists per row by cosine (desc, cid-asc tiebreak): build a
+  // (−cos, cid) struct per centroid, array_sort, slice — pure map stage
+  private def withNearest(df: DataFrame, packed: DataFrame,
+      n: Int): DataFrame = {
+    val en = norm(col("embedding"))
+    val scoredArr = transform(col("cents"), c =>
+      struct(
+        (-(dot(col("embedding"), c.getField("centroid")) /
+          (en * c.getField("cnorm")))).as("negcos"),
+        c.getField("cid").as("cid")))
+    df.crossJoin(broadcast(packed)) // 1-row frame: a broadcast constant
+      .withColumn("lists", slice(array_sort(scoredArr), 1, n))
+      .drop("cents")
+  }
+
+  /** IVF index build (seed + one dim-agnostic Lloyd refinement):
+    * (corpus rows + list_id, packed centroid row). The assignment is a
+    * pure map stage over a broadcast constant — zero corpus shuffle.
+    */
+  private[similarity] def buildIvfIndex(corpus: DataFrame,
+      nlist: Int, nassign: Int = 1): (DataFrame, DataFrame) = {
     // seed centroids: first nlist vectors by id (deterministic)
     val seeds = corpus.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-
-    // all centroids in one broadcastable row: array of (cid, centroid,
-    // cnorm) structs, sorted by cid for deterministic iteration
-    def pack(cents: DataFrame): DataFrame =
-      cents.agg(array_sort(collect_list(struct(
-        col("cid").as("cid"), col("centroid").as("centroid"),
-        norm(col("centroid")).as("cnorm")))).as("cents"))
-
-    // n nearest lists per row by cosine (desc, cid-asc tiebreak): build a
-    // (−cos, cid) struct per centroid, array_sort, slice — pure map stage
-    def withNearest(df: DataFrame, packed: DataFrame, n: Int): DataFrame = {
-      val en = norm(col("embedding"))
-      val scoredArr = transform(col("cents"), c =>
-        struct(
-          (-(dot(col("embedding"), c.getField("centroid")) /
-            (en * c.getField("cnorm")))).as("negcos"),
-          c.getField("cid").as("cid")))
-      df.crossJoin(broadcast(packed)) // 1-row frame: a broadcast constant
-        .withColumn("lists", slice(array_sort(scoredArr), 1, n))
-        .drop("cents")
-    }
 
     // one refinement: new centroid = element-wise mean of assigned vectors,
     // dim-agnostic via posexplode + partial agg on (cid, pos)
@@ -150,10 +155,20 @@ object SimilarityQueries {
       .select(col("cid"),
         transform(col("px"), p => p.getField("x")).as("centroid"))
     val packedRefined = pack(refined)
+    // nassign > 1 = multi-probe membership (FAISS's recall lever): the
+    // row joins its nassign nearest lists, so near-boundary neighbours
+    // still share a block; downstream distinct absorbs the duplication
+    val indexed = withNearest(corpus, packedRefined, nassign)
+      .select(corpus.columns.map(col) :+
+        explode(transform(col("lists"), l => l.getField("cid")))
+          .as("list_id"): _*)
+    (indexed, packedRefined)
+  }
 
-    val indexed = withNearest(corpus, packedRefined, 1)
-      .select(col("vec_id"), col("embedding"),
-        element_at(col("lists"), 1).getField("cid").as("list_id"))
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (indexedFull, packedRefined) = buildIvfIndex(corpus, nlist)
+    val indexed = indexedFull.select("vec_id", "embedding", "list_id")
 
     // probe: nprobe nearest lists per (small) query set, exact search
     // within them; probes broadcast so the corpus never shuffles

@@ -49,6 +49,17 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 6L), (3L, 4L)))
   }
 
+  test("IVF-blocked graph recalls most brute edges on the sf corpus") {
+    val e = graft.Tables(spark, sf("sf0.001")).embeddings
+    val brute = KnnGraph.knnGraph(e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = KnnGraph.ivfKnnGraph(e, k = 5, nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    assert(ivf.nonEmpty)
+  }
+
   test("no self-edges and src < dst canonical order") {
     val rows = KnnGraph.knnGraph(vecs, k = 2).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
