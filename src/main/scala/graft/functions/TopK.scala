@@ -26,9 +26,13 @@ final class TopKAgg(k: Int)
 
   // idempotent: re-inserting an element already held (multi-probe blocked
   // joins and streaming re-delivery both produce duplicates) neither
-  // consumes a k-slot nor emits twice
+  // consumes a k-slot nor emits twice. NaN scores are rejected outright —
+  // `better` is a strict order only over non-NaN values, and an undefined
+  // similarity (e.g. a zero-norm vector's 0/0 cosine) has no defensible
+  // rank, so admitting it would corrupt buffer ordering.
   private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
-    if (buf.length >= k && better(buf.last, x)) buf
+    if (x.score.isNaN) buf
+    else if (buf.length >= k && better(buf.last, x)) buf
     else {
       val (pre, post) = buf.span(better(_, x))
       if (post.headOption.contains(x)) buf

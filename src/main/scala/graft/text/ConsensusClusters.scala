@@ -125,7 +125,11 @@ object ConsensusClusters {
       .crossJoin(broadcast(entropy(bm, "bj", "h2")))
       .select(round(col("mi"), 6).as("mi"), round(col("h1"), 6).as("h1"),
         round(col("h2"), 6).as("h2"),
-        round(col("mi") / ((col("h1") + col("h2")) / 2.0), 6).as("nmi"))
+        // zero-entropy partitions (everything in one cluster) ⇒ 0, like
+        // sklearn's eps-guarded normalizer — never NaN
+        round(when(col("h1") + col("h2") === 0.0, 0.0)
+          .otherwise(col("mi") / ((col("h1") + col("h2")) / 2.0)), 6)
+          .as("nmi"))
   }
 
   // ---- affinity diagnostics (cluster_utils.py:437-558) -----------------
@@ -430,7 +434,8 @@ object ConsensusClusters {
          |  SELECT ${dsum("(bj / nn.n) * ln(bj / nn.n) * -1.0")} AS h2
          |  FROM bm, nn)
          |SELECT round(mi, 6) AS mi, round(h1, 6) AS h1, round(h2, 6) AS h2,
-         |  round(mi / ((h1 + h2) / 2.0), 6) AS nmi
+         |  round(CASE WHEN h1 + h2 = 0.0 THEN 0.0
+         |        ELSE mi / ((h1 + h2) / 2.0) END, 6) AS nmi
          |FROM mi, h1, h2""".stripMargin
     },
   )

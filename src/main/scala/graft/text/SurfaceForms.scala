@@ -165,18 +165,27 @@ object SurfaceForms {
     * skills_detection_utils.py:408-467): drop rejected forms, then apply
     * manual (form → entity) assignments — an assignment REPLACES any
     * existing row carrying that form (the reference's
-    * `drop_duplicates(keep="last")` after append). Manual lists are
-    * curator-sized, so both correction joins broadcast.
+    * `drop_duplicates(keep="last")` after append). The reference resolves
+    * conflicting assignments for one form by list position; a distributed
+    * frame has no row order, so conflicts resolve by max (entity, type) —
+    * deterministic, documented divergence (curators should submit one
+    * assignment per form). Manual lists are curator-sized, so both
+    * correction joins broadcast.
     */
   def removeAndReassign(forms: DataFrame, manualRemove: DataFrame,
-      manualAssign: DataFrame): DataFrame =
+      manualAssign: DataFrame): DataFrame = {
+    val assignOnce = manualAssign.na.drop(Seq("surface_form"))
+      .groupBy("surface_form")
+      .agg(max(struct(col("entity"), col("surface_form_type"))).as("m"))
+      .select(col("surface_form"), col("m.entity").as("entity"),
+        col("m.surface_form_type").as("surface_form_type"))
     forms
       .join(broadcast(manualRemove.select("surface_form")),
         Seq("surface_form"), "left_anti")
-      .join(broadcast(manualAssign.select("surface_form")),
+      .join(broadcast(assignOnce.select("surface_form")),
         Seq("surface_form"), "left_anti")
-      .unionByName(manualAssign.na.drop(Seq("surface_form"))
-        .select("surface_form", "entity", "surface_form_type"))
+      .unionByName(assignOnce)
+  }
 
   // ---- fixture (ESCO-skills-shaped, derived from `part`) + queries ----
 

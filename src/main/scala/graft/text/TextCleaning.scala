@@ -17,18 +17,23 @@ import org.apache.spark.sql.functions.udf
   *  - `stopwords` is the standard NLTK English list, embedded.
   *
   * Everything is plain JVM string code: applied distributed as a
-  * broadcast-closure UDF ([[cleanTextCol]]), one map stage, no state.
+  * closure UDF ([[cleanTextCol]]), one map stage, no state.
   */
 object TextCleaning {
 
   // ---- compiled patterns (mirroring the module-level constants) ----
 
+  // pattern SOURCES shared verbatim with the generated oracle SQL, so an
+  // edit here reaches both engines
+  private val nonAlphaNumPat = "([^a-zA-Z0-9 #(++)+])"
+  private val missingSpacePat = "([a-z])([A-Z])([a-z])"
+
   private val bullets = "[•,‣,◦,⁃,∙]".r
   private val dashSlashColon = "[-/:\\\\]".r
   private val nonPreserved = "[^a-zA-Z0-9,.; #(++)]".r
-  private val nonAlphaNum = "([^a-zA-Z0-9 #(++)+])".r
-  private val paddedPunct = "( )([^a-zA-Z0-9 #(++)+])".r
-  private val missingSpace = "([a-z])([A-Z])([a-z])".r
+  private val nonAlphaNum = nonAlphaNumPat.r
+  private val paddedPunct = ("( )" + nonAlphaNumPat).r
+  private val missingSpace = missingSpacePat.r
 
   /** NLTK English stopwords (the standard 179-word list). */
   val Stopwords: Set[String] = Set(
@@ -126,12 +131,10 @@ object TextCleaning {
     else s.split(java.util.regex.Pattern.quote(separator), -1)
       .map(_.trim).toSeq
 
-  /** Distributed application: one broadcast-closure UDF, a map stage. */
-  def cleanTextCol(spark: SparkSession, keepPunct: Boolean = false)
-      (c: Column): Column = {
-    val kp = keepPunct
-    udf((s: String) => if (s == null) null else cleanText(s, kp)).apply(c)
-  }
+  /** Distributed application: one closure UDF, a map stage. */
+  def cleanTextCol(keepPunct: Boolean = false)(c: Column): Column =
+    udf((s: String) => if (s == null) null else cleanText(s, keepPunct))
+      .apply(c)
 
   // ---- oracle: the same pipeline as DuckDB SQL, GENERATED from the
   // constants above so the two sides cannot drift ----
@@ -166,8 +169,8 @@ object TextCleaning {
        |      string_split(
        |        regexp_replace(
        |          lower(regexp_replace($textExpr,
-       |            '([a-z])([A-Z])([a-z])', '\\1. \\2\\3', 'g')),
-       |          '([^a-zA-Z0-9 #(++)+])', ' ', 'g'),
+       |            '${sq(missingSpacePat)}', '\\1. \\2\\3', 'g')),
+       |          '${sq(nonAlphaNumPat)}', ' ', 'g'),
        |        ' '),
        |      w -> ${lemmaSql("w").linesIterator.mkString(" ")}),
        |    w -> w NOT IN ($stop)),
@@ -179,7 +182,7 @@ object TextCleaning {
     (s, d) => {
       val docs = graft.Tables(s, d).documents
       docs.select(org.apache.spark.sql.functions.col("doc_id"),
-        cleanTextCol(s)(org.apache.spark.sql.functions.col("text"))
+        cleanTextCol()(org.apache.spark.sql.functions.col("text"))
           .as("clean"))
     },
     Some(s"SELECT doc_id, ${cleanTextSql("text")} AS clean FROM documents"),
@@ -199,7 +202,7 @@ object TextCleaning {
     (s, d) => {
       import org.apache.spark.sql.functions.{col, explode}
       graft.Tables(s, d).documents
-        .select(col("doc_id"), cleanTextCol(s)(col("text")).as("clean"))
+        .select(col("doc_id"), cleanTextCol()(col("text")).as("clean"))
         .select(col("doc_id"),
           explode(PhraseMatch.matchPhrases(s, detectDict)(col("clean")))
             .as("surface_form"))

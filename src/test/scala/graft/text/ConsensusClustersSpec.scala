@@ -109,6 +109,10 @@ class ConsensusClustersSpec extends SparkSpec {
     val indep = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "y"))
       .toDF("node", "label")
     assert(ConsensusClusters.partitionNmi(p, indep).head().getDouble(3) == 0.0)
+    // degenerate single-cluster partitions: zero entropy ⇒ 0, never NaN
+    val one = Seq((1L, "z"), (2L, "z"), (3L, "z"), (4L, "z"))
+      .toDF("node", "label")
+    assert(ConsensusClusters.partitionNmi(one, one).head().getDouble(3) == 0.0)
   }
 
   test("matrix is blocked by (run, label): no cross-label pairs") {

@@ -32,6 +32,20 @@ class SurfaceFormsSpec extends SparkSpec {
     ))
   }
 
+  test("conflicting assignments for one form resolve deterministically") {
+    import spark.implicits._
+    val forms = Seq((1L, "java", "label_pref"))
+      .toDF("entity", "surface_form", "surface_form_type")
+    val asg = Seq((9L, "java", "manual"), (10L, "java", "manual"))
+      .toDF("entity", "surface_form", "surface_form_type")
+    val got = SurfaceForms.removeAndReassign(forms,
+      Seq.empty[String].toDF("surface_form"), asg).collect()
+    // exactly one row survives: max (entity, type) wins — never two
+    // entities claiming the same form
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("entity") == 10L)
+  }
+
   test("null surface forms in the assignment list are dropped") {
     import spark.implicits._
     val forms = Seq((1L, "java", "label_pref"))
