@@ -27,15 +27,10 @@ object KnnGraph {
 
   // per-vector norm computed once before the pair fan-out (n sqrt
   // evaluations instead of 2·n² — bit-identical: sqrt(dot(v,v)) is a
-  // deterministic function of the row wherever it is evaluated).
-  // The persist is the required optimizer barrier: without it Catalyst
-  // collapses the projection into the post-join select and recomputes
-  // both norms per pair (visible in the physical plan). CacheManager
-  // dedupes by canonical plan, so repeated builds share one entry.
+  // deterministic function of the row wherever it is evaluated); the
+  // shared helper persists as the optimizer barrier
   private def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("nrm",
-      SimilarityQueries.norm(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SimilarityQueries.withNorm(embeddings)
 
   private def scoredCos(pairs: DataFrame): DataFrame =
     pairs.select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),

@@ -33,6 +33,15 @@ object SimilarityQueries {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Embeddings with their norm precomputed, persisted: the persist is
+    * the optimizer barrier that stops Catalyst collapsing the norm back
+    * into the per-pair projection (n norm evaluations, not 2n²) —
+    * CacheManager dedupes identical plans, so callers share one entry.
+    */
+  private[similarity] def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact top-k neighbours (cosine) for each query vector.
     * Ranking uses 4-dp-rounded cosine with id tiebreak so the result is
     * stable across engines and partitionings.
@@ -40,10 +49,13 @@ object SimilarityQueries {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // pin the (small) query set as the broadcast build side explicitly —
     // the corpus must always be the streamed side of the BNLJ
-    val scored = broadcast(queries.alias("q"))
-      .join(corpus.alias("c"), col("q.vec_id") =!= col("c.vec_id"))
+    val c = withNorm(corpus)
+    val q = withNorm(queries)
+    val scored = broadcast(q.alias("q"))
+      .join(c.alias("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosine(col("q.embedding"), col("c.embedding")), 4).as("cos"))
+        round(dot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm")), 4).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -76,13 +88,14 @@ object SimilarityQueries {
     (s, d) => {
       // embedding near-dup within label blocks: equi-shuffle on the block
       // key, exact cosine inside each block — never a global cartesian.
-      val e = Tables(s, d).embeddings
+      val e = withNorm(Tables(s, d).embeddings)
       e.alias("a")
         .join(e.alias("b"),
           col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+          round(dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
         .filter(col("cos") >= 0.3)
     },
     Some(
