@@ -41,7 +41,7 @@ object DomainQueries {
 
   private val dupSubgraphs = Q(
     "dom_dup_subgraphs",
-    (s, d) => DedupPipeline.duplicateSubgraphs(AdsFixture.links(Tables(s, d))),
+    (s, d) => cachedDupComps(s, d),
     Some(withCtes("lnk_ranked", "links", "banded", "comps") +
       "SELECT id, component FROM comps"),
   )
@@ -109,7 +109,8 @@ object DomainQueries {
       val t = Tables(s, d)
       Getters.getJobAds(AdsFixture.ads(t), AdsFixture.links(t),
           fromDate = Some("1997-01-01"), toDate = Some("1997-03-31"),
-          returnDescription = false, deduplicate = true)
+          returnDescription = false, deduplicate = true,
+          precomputedGraphs = Some(cachedDupComps(s, d)))
         .select("id", "created", "job_location_raw", "raw_salary_unit")
     },
     Some(withCtes("ads", "lnk_ranked", "links", "banded", "comps") +
@@ -193,16 +194,27 @@ object DomainQueries {
     * compute CC once per (code, data) state — the reference passes its
     * cached get_subgraphs_by_location between flow steps the same way.
     */
-  private def cachedSplitComps(s: org.apache.spark.sql.SparkSession,
+  /** Unsplit duplicate components, materialised once — dup_subgraphs,
+    * get_job_ads AND the split variant below all build on this single
+    * CC run (the reference's cached get_subgraphs passed between steps).
+    */
+  private def cachedDupComps(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     // by-name materialisation: CC executes jobs while its frame is being
     // BUILT, so the builder must not run at all on a warm cache
     SharedCache.materialiseWith(s,
       s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      "dupcomps", s"$d|ads-links-fixture-dupcomps|v1") {
+      DedupPipeline.duplicateSubgraphs(AdsFixture.links(Tables(s, d)))
+    }
+
+  private def cachedSplitComps(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    SharedCache.materialiseWith(s,
+      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
       "splitcomps", s"$d|ads-links-fixture-splitcomps|v1") {
       val t = Tables(s, d)
-      DedupPipeline.subgraphsByLocation(
-        DedupPipeline.duplicateSubgraphs(AdsFixture.links(t)),
+      DedupPipeline.subgraphsByLocation(cachedDupComps(s, d),
         AdsFixture.ads(t))
     }
 

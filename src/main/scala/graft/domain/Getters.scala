@@ -33,13 +33,17 @@ object Getters {
       maxDupeWeight: Double = DedupPipeline.MaxDupeWeight,
       splitDupesByLocation: Boolean = false,
       features: Option[DataFrame => DataFrame] = None,
+      precomputedGraphs: Option[DataFrame] = None,
   ): DataFrame = {
     var out = ads
     fromDate.foreach(f => out = out.filter(col("created") >= f)) // P4
     toDate.foreach(t => out = out.filter(col("created") <= t))
     if (deduplicate) {
-      val comps0 = DedupPipeline
-        .duplicateSubgraphs(links, minDupeWeight, maxDupeWeight)
+      // precomputedGraphs = the UNSPLIT duplicate components (the
+      // reference's cached get_subgraphs output passed between steps);
+      // the location split still applies on top when requested
+      val comps0 = precomputedGraphs.getOrElse(DedupPipeline
+        .duplicateSubgraphs(links, minDupeWeight, maxDupeWeight))
       val comps =
         if (splitDupesByLocation) DedupPipeline.subgraphsByLocation(comps0, ads)
         else comps0
