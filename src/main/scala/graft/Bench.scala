@@ -42,11 +42,14 @@ object Bench {
     "dom_surface_forms_tfidf",
     "t_bm25_topk",
     // round 2b: faithful clean_text + composed detection, consensus
-    // clustering, kNN graph (grouped top-k Aggregator)
+    // clustering, kNN graph (grouped top-k Aggregator), flagship
+    // composed dedup, IVF-blocked ANN graph
     "dom_clean_text",
     "dom_detect_skills_cleaned",
     "dom_consensus_communities",
     "sim_knn_graph",
+    "sim_knn_graph_ivf",
+    "d_dedup_clusters",
   )
 
   def main(args: Array[String]): Unit = {
