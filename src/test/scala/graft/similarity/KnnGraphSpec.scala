@@ -53,11 +53,15 @@ class KnnGraphSpec extends SparkSpec {
     val e = graft.Tables(spark, sf("sf0.001")).embeddings
     val brute = KnnGraph.knnGraph(e, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = KnnGraph.ivfKnnGraph(e, k = 5, nlist = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
-    assert(ivf.nonEmpty)
+    def recallAt(nassign: Int): Double = {
+      val ivf = KnnGraph.ivfKnnGraph(e, k = 5, nlist = 8, nassign = nassign)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    assert(r2 >= 0.5, s"recall@nassign=2 $r2")
+    // multi-probe is the recall lever: 2 cells must dominate 1
+    assert(r2 >= recallAt(1), "multi-probe recall must not regress")
   }
 
   test("no self-edges and src < dst canonical order") {
