@@ -58,6 +58,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 3)
   }
 
+  test("kNN graph: norms computed behind a cache barrier, grouped top-k " +
+    "partial-aggregates map-side") {
+    val p = plan("sim_knn_graph")
+    // the persist barrier: both join sides read the normed InMemoryRelation
+    assert(p.contains("InMemoryRelation"), "norm precompute must be cached")
+    // the collapsed (broken) plan computes BOTH norms in the per-pair
+    // projection — one line with SQRT(..a..) * SQRT(..b..); the barriered
+    // plan only ever has one SQRT per line (the cached build projection)
+    assert(!p.linesIterator.exists(l => "SQRT\\(".r.findAllIn(l).size >= 2),
+      "per-pair norm recompute crept back in")
+    // the rank is the bounded Aggregator (ObjectHashAggregate partial),
+    // never a window sort over the full candidate set
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("RunningWindowFunction"))
+  }
+
+  test("consensus matrix: self-join blocked on (run,label), counts " +
+    "partial-aggregated") {
+    val p = plan("dom_consensus_matrix")
+    // the pair count must shuffle on (src,dst) AFTER a map-side partial —
+    // two HashAggregates around the exchange
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      "pair counting must be map-side combined")
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
