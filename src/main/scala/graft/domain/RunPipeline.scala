@@ -77,6 +77,25 @@ object RunPipeline {
       s"$outRoot/silver/ads", "0.1.0")
     Schema.writeVersioned(links, s"$outRoot/silver/duplicate_links", "0.1.0")
 
+    // --- skills: clean text → detect surface forms → taxonomy (F6/J9/D7) ---
+    val cleaned = ads.select(col("id"),
+      graft.text.TextCleaning.cleanTextCol()(col("description"))
+        .as("description"))
+    // dictionary in cleaned form, as the reference cleans its labels too
+    val dict = Seq("description role", "plenty detail", "role")
+    val skills = Enrich.detectSkills(spark, cleaned, dict)
+    Guardrails.assertFloor(skills, "detected_skills", 1000L)
+    val skillClusters = graft.text.SkillClusters.clusters(
+      skills.select(col("id").as("job_id"),
+        col("surface_form").as("entity")), minCount = 100L)
+    val skillDemand = skills.groupBy("surface_form")
+      .agg(count(lit(1)).as("n_ads"))
+      .join(skillClusters,
+        col("surface_form") === col("entity"), "left")
+      .select(col("surface_form"), col("cluster"), col("n_ads"))
+    println(s"[pipeline] skills=${skills.count()} " +
+      s"clusters=${skillClusters.select("cluster").distinct().count()}")
+
     // --- weekly dedup-aware snapshots (D6/W1) + indicators ---
     val weekly = Getters.weeklyAds(spark, enriched, links,
       start.plusWeeks(6), start.plusWeeks(25), splitByLocation = false)
@@ -95,6 +114,8 @@ object RunPipeline {
       "Weekly stock of live job adverts, indexed to April 2021")
     Publisher.saveData(spread, outRoot, "weekly_salary_spread", "0.1.0",
       "Weekly quartiles of annualised salaries (GBP thousands)")
+    Publisher.saveData(skillDemand, outRoot, "skill_demand", "0.1.0",
+      "Ads per detected skill surface form, with taxonomy cluster")
     println(s"[pipeline] published under $outRoot/{latest,0.1.0}/")
 
     spark.stop()
