@@ -53,6 +53,13 @@ object Scratch {
         java.time.LocalDate.parse("1996-05-27"),
         precomputedGraphs = Some(cached)).count()
     }
+    // surface-forms tf-idf stage breakdown
+    time("sf: build+dedupe")(
+      graft.Registry.byName("dom_surface_forms_build").run(spark, d).count())
+    time("sf: tfidf full")(
+      graft.Registry.byName("dom_surface_forms_tfidf").run(spark, d).count())
+    time("sf: tfidf again")(
+      graft.Registry.byName("dom_surface_forms_tfidf").run(spark, d).count())
     spark.stop()
   }
 }
