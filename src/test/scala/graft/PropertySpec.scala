@@ -116,4 +116,40 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  // ---- bounded top-k vs sort-take under arbitrary partitioning ----
+  //
+  // The property that makes map-side partial top-k safe: any split of
+  // the input into partial buffers, merged in any order (with
+  // duplicated deliveries), equals the trivially-correct sorted take.
+
+  private val topkGen = for {
+    k <- Gen.choose(1, 6)
+    n <- Gen.choose(0, 40)
+    xs <- Gen.listOfN(n, for {
+      s <- Gen.choose(0, 99).map(_ / 10.0) // coarse scores force ties
+      id <- Gen.choose(0L, 30L)
+    } yield graft.functions.Scored(s, id))
+    cuts <- Gen.listOfN(3, Gen.choose(0, math.max(n, 1)))
+  } yield (k, xs.distinctBy(_.id), cuts)
+
+  test("TopKAgg equals sorted take-k under any partitioning and " +
+    "duplicate delivery") {
+    for (seed <- 1 to 25) {
+      val (k, xs, cuts) = sample(topkGen, seed.toLong)
+      val agg = new graft.functions.TopKAgg(k)
+      val expected = xs.sortBy(x => (-x.score, x.id)).take(k)
+      // split at random cut points, reduce each chunk, merge right-to-left
+      val bounds = (cuts :+ 0 :+ xs.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail)
+        .map { case (a, b) => xs.slice(a, b) }
+      val buffers = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = buffers.foldRight(agg.zero)((b, acc) => agg.merge(acc, b))
+      assert(agg.finish(merged) == expected, s"seed=$seed k=$k")
+      // duplicated delivery (retried partition) changes nothing
+      val withDup = buffers ++ buffers.take(1)
+      val merged2 = withDup.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged2) == expected, s"dup seed=$seed")
+    }
+  }
 }
