@@ -18,13 +18,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * decimal→binary in both engines), keeping the published schema simple.
   */
 object Stable {
+  // precision 30 (128-bit in both engines): 18 digits overflow-throws
+  // under ANSI once row counts reach cluster scale (1e12 rows × 1e5
+  // values = 1e17 > 10^(18-4) integral digits); 30 leaves 20+ integral
+  // digits at scale 9 — exactness is unchanged either way
+  private val Precision = 30
+
   /** Order-independent sum of a double column, exact at `scale` dp. */
   def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(Precision, scale))).cast(DoubleType)
 
   /** Matching DuckDB SQL fragment. */
   def dsumSql(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL($Precision,$scale))) AS DOUBLE)"
 
   /** Order-independent mean: exact decimal sum / count, one IEEE divide. */
   def davg(c: Column, scale: Int = 4): Column =
