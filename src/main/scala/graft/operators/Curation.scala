@@ -51,6 +51,31 @@ object Curation {
         |FROM documents""".stripMargin),
   )
 
+  private val batchesSharded = Q(
+    "t_length_batches_sharded",
+    (s, d) => {
+      // the 100 TB form of length-bucketed batching: shard by content
+      // hash first, then ntile WITHIN each shard — every window sort is
+      // per-shard (parallel, bounded memory) instead of one global total
+      // order. Padding waste is near-identical because length
+      // distributions are shard-invariant under content hashing.
+      val nTok = size(org.apache.spark.sql.functions.split(col("text"), " "))
+      Tables(s, d).documents
+        .withColumn("n_tok", nTok)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+        .withColumn("batch", ntile(20).over(
+          Window.partitionBy("shard").orderBy(desc("n_tok"), asc("doc_id"))))
+        .select("doc_id", "shard", "n_tok", "batch")
+    },
+    Some(
+      """SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(ntile(20) OVER (PARTITION BY doc_id % 8
+        |    ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC) AS INT)
+        |    AS batch
+        |FROM documents""".stripMargin),
+  )
+
   private val decontaminate = Q(
     "d_decontaminate",
     (s, d) => {
@@ -92,5 +117,5 @@ object Curation {
         |WHERE s.doc_id >= 5""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(split, batches, decontaminate)
+  def all: Seq[Q] = Seq(split, batches, batchesSharded, decontaminate)
 }
