@@ -122,6 +122,27 @@ object MultimodalQueries {
     None, // stubbed decoder — plumbing verified in MultimodalSpec
   )
 
+  // the DIMENSION half of the stub decode is byte arithmetic on the
+  // payload, so the mapPartitions batching contract gets a hash-checked
+  // row too (the FNV checksum column stays spec-verified — 64-bit
+  // wrapping multiply has no clean DuckDB form)
+  private val dims = Q(
+    "m_decode_dims",
+    (s, d) =>
+      extractFeatures(
+        Tables(s, d).documents
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .toDF()
+        .select("doc_id", "n_bytes", "width", "height"),
+    Some(
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(16 + CASE WHEN strlen(text) = 0 THEN 0
+        |    ELSE ord(substr(text, 1, 1)) & 63 END AS INT) AS width,
+        |  CAST(16 + CASE WHEN strlen(text) < 2 THEN 0
+        |    ELSE ord(substr(text, 2, 1)) & 63 END AS INT) AS height
+        |FROM documents""".stripMargin),
+  )
+
   private val partitioned = Q(
     "m_partitioned_media_pruning",
     (s, d) => {
@@ -165,8 +186,17 @@ object MultimodalQueries {
         .toDF()
         .select(col("doc_id"), col("frame_idx"),
           octet_length(col("frame")).as("frame_bytes")),
-    None,
+    // the SELECTION is pure arithmetic on the payload length (full
+    // 64-byte frames, stride 4), so the mapPartitions batch shape is
+    // checkable against an independent SQL derivation even though the
+    // decode itself is a stub
+    Some(
+      """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(64 AS INT) AS frame_bytes
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, strlen(text) // 64, 4)) AS frame_idx
+        |      FROM documents)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(meta, feats, partitioned, resize, frames)
+  def all: Seq[Q] = Seq(meta, feats, dims, partitioned, resize, frames)
 }
