@@ -174,7 +174,16 @@ object MultimodalQueries {
         .select(col("doc_id"), octet_length(col("thumb")).as("thumb_bytes"),
           substring(base64(col("thumb")), 1, 12).as("thumb_prefix"))
     },
-    None, // stub transform — shape/determinism spec-verified
+    // the stub's box-sampling is byte indexing (thumb[i] =
+    // payload[i·len/64]); fixture text is ASCII (strlen == length for
+    // every row), so char-based substr reproduces it byte-for-byte
+    Some(
+      """SELECT doc_id, CAST(64 AS INT) AS thumb_bytes,
+        |  substr(to_base64(CAST(
+        |    array_to_string(list_transform(range(0, 64), i ->
+        |      substr(text, CAST(i * strlen(text) // 64 AS INT) + 1, 1)),
+        |      '') AS BLOB)), 1, 12) AS thumb_prefix
+        |FROM documents""".stripMargin),
   )
 
   private val frames = Q(
