@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,6 +10,32 @@ import org.apache.spark.sql.functions._
   * decontamination. All deterministic and cross-engine checkable.
   */
 object Curation {
+
+  /** Incremental dedup against an already-ingested corpus: a broadcast
+    * Bloom filter over the seen keys prefilters the batch, and only the
+    * (few) possible-duplicates pay the exact anti-join — the standard
+    * shape for continuous ingest, where re-shuffling the whole history
+    * per batch is the thing that doesn't scale. Bloom filters have no
+    * false negatives, so the result EQUALS the plain anti-join (the
+    * false positives are removed by the verify join) — which is exactly
+    * what the oracle checks.
+    *
+    * The Bloom build is an explicit first phase (one aggregation over
+    * `seen`, collected to the driver and broadcast) — documented eager
+    * step, same contract as any broadcast-structure build. At 100 TB
+    * keep one bloom per seen-shard and OR them, or size `expected`
+    * to the shard.
+    */
+  def incrementalDedup(batch: DataFrame, seen: DataFrame, keyCol: String,
+      expected: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = seen.stat.bloomFilter(keyCol, expected, fpp)
+    val b = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && b.value.mightContainString(k))
+    val definitelyNew = batch.filter(!mightContain(col(keyCol)))
+    val verified = batch.filter(mightContain(col(keyCol)))
+      .join(seen.select(col(keyCol)), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
 
   private val split = Q(
     "t_train_test_split",
@@ -117,5 +144,28 @@ object Curation {
         |WHERE s.doc_id >= 5""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(split, batches, batchesSharded, decontaminate)
+  private val incremental = Q(
+    "d_incremental_dedup",
+    (s, d) => {
+      // continuous-ingest shape: docs 0-249 are the ingested history,
+      // docs 200+ the arriving batch — content keys of 200-249 are
+      // already seen and must drop
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), md5(col("text")).as("content_key"))
+      incrementalDedup(
+        docs.filter(col("doc_id") >= 200),
+        docs.filter(col("doc_id") < 250),
+        "content_key", expected = 10000L)
+        .select("doc_id", "content_key")
+    },
+    Some(
+      """SELECT doc_id, md5(text) AS content_key
+        |FROM documents
+        |WHERE doc_id >= 200
+        |  AND md5(text) NOT IN (
+        |    SELECT md5(text) FROM documents WHERE doc_id < 250)""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(split, batches, batchesSharded, decontaminate, incremental)
 }
