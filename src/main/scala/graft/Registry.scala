@@ -31,6 +31,7 @@ object Registry {
       text.SkillClusters.queries ++
       text.TextCleaning.queries ++
       text.ConsensusClusters.queries ++
+      text.PiiScrub.queries ++
       similarity.KnnGraph.queries ++
       multimodal.MultimodalQueries.all
 

@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction — the curation pass every training corpus runs before
+  * anything else sees the text. Pure `regexp_replace` chain (codegen'd,
+  * map-only, zero shuffle); patterns use only constructs with identical
+  * semantics in Java regex and RE2 so the DuckDB oracle replays them
+  * exactly (no backrefs, no lookaround).
+  *
+  * Order matters: emails first (their local parts contain digits), then
+  * dotted IPv4, then the greedy phone pattern that would otherwise eat
+  * IP fragments.
+  */
+object PiiScrub {
+
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePat = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+
+  def scrubString(s: String): String =
+    s.replaceAll(EmailPat, "<EMAIL>")
+      .replaceAll(Ipv4Pat, "<IP>")
+      .replaceAll(PhonePat, "<PHONE>")
+
+  // round-trip query: plant PII derived from fixture columns, scrub it,
+  // and let the oracle replay the same construction + redaction — the
+  // patterns are shared constants so the two sides cannot drift
+  private def sq(s: String): String = s.replace("'", "''")
+
+  private val q = Q(
+    "t_pii_scrub",
+    (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          scrub(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 or +44 7911 12"), (col("doc_id") % 100).cast("string"),
+            lit("99"))).as("clean")),
+    Some(
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com at 10.0.'
+         |      || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.1 or +44 7911 12' || CAST(doc_id % 100 AS VARCHAR)
+         |      || '99',
+         |    '${sq(EmailPat)}', '<EMAIL>', 'g'),
+         |    '${sq(Ipv4Pat)}', '<IP>', 'g'),
+         |    '${sq(PhonePat)}', '<PHONE>', 'g') AS clean
+         |FROM documents""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}
