@@ -177,6 +177,69 @@ object TextQueries {
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin),
   )
 
+  /** Repetition quality rules (the Gopher-style family): documents that
+    * are mostly repeated content are the single biggest quality leak a
+    * length/stopword filter misses. Two signals, both engine-parity
+    * exact (integer ratios):
+    *  - duplicate-word fraction: 1 − |distinct words| / |words|
+    *  - top-bigram fraction: occurrences of the most common word bigram
+    *    over total bigrams (explode + per-doc max/sum — two map-side
+    *    combinable aggregations keyed by doc, no cross-doc shuffle).
+    */
+  private val repetition = Q(
+    "t_repetition_filter",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("text"),
+          (lit(1.0) - size(array_distinct(words)).cast("double")
+            / size(words).cast("double")).as("dup_word_frac"))
+      val bigrams = base
+        .select(col("doc_id"), col("dup_word_frac"),
+          explode(zip_with(
+            slice(split(col("text"), " "), lit(1),
+              size(split(col("text"), " ")) - 1),
+            slice(split(col("text"), " "), lit(2),
+              size(split(col("text"), " ")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      bigrams.groupBy("doc_id", "dup_word_frac", "bigram")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id", "dup_word_frac")
+        .agg((max(col("n")).cast("double") /
+          sum(col("n")).cast("double")).as("top_bigram_frac"))
+        .filter(col("dup_word_frac") <= 0.8 &&
+          col("top_bigram_frac") <= 0.2)
+        .select(col("doc_id"), round(col("dup_word_frac"), 6)
+          .as("dup_word_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+    },
+    Some(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS dup_word_frac,
+        |    ws FROM w),
+        |bg AS (
+        |  SELECT doc_id, dup_word_frac,
+        |    unnest(list_transform(range(1, len(ws)), i ->
+        |      ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM base),
+        |cnt AS (
+        |  SELECT doc_id, dup_word_frac, bigram, count(*) AS n
+        |  FROM bg GROUP BY 1, 2, 3),
+        |frac AS (
+        |  SELECT doc_id, dup_word_frac,
+        |    CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        |      AS top_bigram_frac
+        |  FROM cnt GROUP BY 1, 2)
+        |SELECT doc_id, round(dup_word_frac, 6) AS dup_word_frac,
+        |  round(top_bigram_frac, 6) AS top_bigram_frac
+        |FROM frac
+        |WHERE dup_word_frac <= 0.8 AND top_bigram_frac <= 0.2""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase,
-    qualityFilter, tokenStats, heavyHitters)
+    qualityFilter, tokenStats, heavyHitters, repetition)
 }
