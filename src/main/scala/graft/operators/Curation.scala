@@ -166,6 +166,38 @@ object Curation {
         |    SELECT md5(text) FROM documents WHERE doc_id < 250)""".stripMargin),
   )
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (the pre-tokenisation step that turns a corpus into
+    * model-ready samples). A running token sum inside each content-hash
+    * shard, floor-divided by the budget — deterministic, and the window
+    * sort is per-shard (the global-order variant is the thing that
+    * cannot scale). Docs larger than the budget get their own sequence
+    * by construction (the running sum jumps a whole bin).
+    */
+  private val packing = Q(
+    "t_sequence_packing",
+    (s, d) => {
+      val budget = 512L
+      val nTok = size(org.apache.spark.sql.functions.split(col("text"), " "))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d).documents
+        .withColumn("n_tok", nTok.cast("long"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+        .withColumn("seq_id",
+          floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget))
+        .select("doc_id", "shard", "n_tok", "seq_id")
+    },
+    Some(
+      """SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(floor(CAST(coalesce(sum(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 512.0) AS BIGINT) AS seq_id
+        |FROM documents""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(split, batches, batchesSharded, decontaminate, incremental)
+    Seq(split, batches, batchesSharded, decontaminate, incremental, packing)
 }
