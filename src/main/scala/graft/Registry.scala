@@ -33,6 +33,8 @@ object Registry {
       text.ConsensusClusters.queries ++
       text.PiiScrub.queries ++
       similarity.KnnGraph.queries ++
+      sources.XlsxFixture.queries ++
+      streaming.StreamingOps.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -21,6 +21,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** `run`, memoized through [[graft.domain.SharedCache]] keyed on the
+    * canonicalized edge/node plans plus a logic-version tag: composed
+    * pipelines that reuse one duplicate graph (snapshot reads, weekly
+    * indicators, cluster exemplars — the reference passes its cached
+    * `get_subgraphs` between flow steps the same way) pay the iterative
+    * loop once per distinct edge set, not once per query. Bump the
+    * version tag whenever the algorithm in `run` changes.
+    */
+  def cached(edges: DataFrame, nodeSet: Option[DataFrame] = None,
+      maxIterations: Int = 50): DataFrame = {
+    val key = Seq("cc-largestar-v1",
+      graft.domain.SharedCache.planKey(edges),
+      nodeSet.map(graft.domain.SharedCache.planKey).getOrElse("endpoints"),
+      maxIterations.toString).mkString("|")
+    graft.domain.SharedCache.materialiseWith(edges.sparkSession,
+      graft.domain.SharedCache.defaultRoot, "cc", key)(
+      run(edges, nodeSet, maxIterations))
+  }
+
   /** Lineage barrier between rounds: `checkpoint` (fault-tolerant, HDFS)
     * when the context has a checkpoint dir configured — the cluster-mode
     * setting — else `localCheckpoint` (fast, executor-local). Same API

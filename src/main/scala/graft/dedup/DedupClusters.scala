@@ -19,7 +19,10 @@ object DedupClusters {
   def clusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = MinHashDedup.nearDupPairs(docs, threshold)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    ConnectedComponents.run(edges)
+    // cached: the dedup graph is the hub of the whole pipeline (cluster
+    // read, exemplar pick, snapshot joins all reuse it) — pay the CC
+    // loop once per distinct edge set
+    ConnectedComponents.cached(edges)
       .select(col("id").as("doc_id"), col("component").as("cluster"),
         (col("id") =!= col("component")).as("is_duplicate"))
   }

@@ -60,7 +60,7 @@ object DedupQueries {
           col("a.s_nationkey") === col("b.s_nationkey") &&
             col("a.rn") === col("b.rn") - 1)
         .select(col("a.s_suppkey").as("src"), col("b.s_suppkey").as("dst"))
-      ConnectedComponents.run(edges,
+      ConnectedComponents.cached(edges,
           nodeSet = Some(t.supplier.select(col("s_suppkey").as("id"))))
         .withColumnRenamed("id", "s_suppkey")
     },

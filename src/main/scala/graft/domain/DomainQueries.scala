@@ -203,7 +203,7 @@ object DomainQueries {
     // by-name materialisation: CC executes jobs while its frame is being
     // BUILT, so the builder must not run at all on a warm cache
     SharedCache.materialiseWith(s,
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      SharedCache.defaultRoot,
       "dupcomps", s"$d|ads-links-fixture-dupcomps|v1") {
       DedupPipeline.duplicateSubgraphs(AdsFixture.links(Tables(s, d)))
     }
@@ -211,7 +211,7 @@ object DomainQueries {
   private def cachedSplitComps(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     SharedCache.materialiseWith(s,
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      SharedCache.defaultRoot,
       "splitcomps", s"$d|ads-links-fixture-splitcomps|v1") {
       val t = Tables(s, d)
       DedupPipeline.subgraphsByLocation(cachedDupComps(s, d),

@@ -119,7 +119,36 @@ object MultimodalQueries {
         Tables(s, d).documents
           .select(col("doc_id"), col("text").cast("binary").as("payload")))
         .toDF(),
-    None, // stubbed decoder — plumbing verified in MultimodalSpec
+    // FNV-1a's 64-bit wrapping multiply replayed in DuckDB: the fold is
+    // sequential per payload, so a recursive CTE advances every document
+    // one byte per step, carrying the checksum as HUGEINT mod 2^64
+    // (ck < 2^64 and the multiplier < 2^41, so the product fits in 128
+    // bits). The xor touches only the low byte (b < 256), done on the
+    // BIGINT-safe low chunk. Payloads are ASCII text bytes, so
+    // ord(char) == the byte the Scala side folds.
+    Some(
+      """WITH RECURSIVE fnv(doc_id, i, ck) AS (
+        |  SELECT doc_id, 0, CAST('1469598103934665603' AS HUGEINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT f.doc_id, f.i + 1,
+        |    ((f.ck // 256) * 256
+        |      + xor(CAST(f.ck % 256 AS BIGINT),
+        |            CAST(ord(substr(d.text, f.i + 1, 1)) AS BIGINT)))
+        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM fnv f JOIN documents d ON f.doc_id = d.doc_id
+        |  WHERE f.i < strlen(d.text))
+        |SELECT f.doc_id,
+        |  CAST(strlen(d.text) AS INT) AS n_bytes,
+        |  CAST(16 + CASE WHEN strlen(d.text) = 0 THEN 0
+        |    ELSE ord(substr(d.text, 1, 1)) & 63 END AS INT) AS width,
+        |  CAST(16 + CASE WHEN strlen(d.text) < 2 THEN 0
+        |    ELSE ord(substr(d.text, 2, 1)) & 63 END AS INT) AS height,
+        |  CAST(CASE WHEN f.ck >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN f.ck - CAST('18446744073709551616' AS HUGEINT)
+        |    ELSE f.ck END AS BIGINT) AS checksum
+        |FROM fnv f JOIN documents d ON f.doc_id = d.doc_id
+        |WHERE f.i = strlen(d.text)""".stripMargin),
   )
 
   // the DIMENSION half of the stub decode is byte arithmetic on the

@@ -60,6 +60,17 @@ object TimeWindows {
 
   // ---- verifiable queries ----
 
+  // DuckDB replica of the epoch-aligned window assignment: a row at t
+  // belongs to the 6 grid-aligned starts floor(t/7d)*7d - k*7d, k=0..5.
+  // Shared with the streaming twin (w1_streaming_parity), which must
+  // reproduce the identical result from a file stream.
+  private[graft] val slidingStockSql =
+    """SELECT CAST(make_timestamp(CAST((floor(epoch(o_orderdate)/604800)*604800
+      |         - k*604800) AS BIGINT) * 1000000) AS DATE) AS ws,
+      |       count(*) AS n
+      |FROM orders, (SELECT unnest([0,1,2,3,4,5]) AS k)
+      |GROUP BY 1""".stripMargin
+
   private val w1 = Q(
     "w1_sliding_window_stock",
     (s, d) =>
@@ -70,14 +81,7 @@ object TimeWindows {
         .groupBy(window(col("o_orderdate"), "42 days", "7 days"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("date").as("ws"), col("n")),
-    // DuckDB replica of the epoch-aligned window assignment: a row at t
-    // belongs to the 6 grid-aligned starts floor(t/7d)*7d - k*7d, k=0..5.
-    Some(
-      """SELECT CAST(make_timestamp(CAST((floor(epoch(o_orderdate)/604800)*604800
-        |         - k*604800) AS BIGINT) * 1000000) AS DATE) AS ws,
-        |       count(*) AS n
-        |FROM orders, (SELECT unnest([0,1,2,3,4,5]) AS k)
-        |GROUP BY 1""".stripMargin),
+    Some(slidingStockSql),
   )
 
   private val w2 = Q(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import java.sql.Timestamp
+import java.util.UUID
 
 /** Streaming ingest mode (SURVEY §2.9): the reference is pure batch, but
   * its W1/W2 sliding stock windows map directly onto Structured
@@ -157,4 +158,41 @@ object StreamingOps {
     q.awaitTermination()
     q
   }
+
+  /** Batch-parity CORRECTNESS query: the orders table replayed as a FILE
+    * STREAM through `slidingStock`, drained with AvailableNow into a
+    * memory sink, checked against the exact oracle SQL of the batch
+    * `w1_sliding_window_stock` — streaming and batch must agree row for
+    * row (ref windows: dqa/data_getters.py:100-117). Complete output
+    * mode, so the final micro-batch holds the full window table and the
+    * watermark only bounds state it would drop mid-stream.
+    */
+  private val w1Parity = graft.Q(
+    "w1_streaming_parity",
+    (s, d) => {
+      val path = s"$d/orders.parquet"
+      val schema = s.read.parquet(path).schema
+      // the file-stream source ingests directories; the test tables are
+      // single files, so stage the file into a per-source spool dir —
+      // which is also the production shape (a landing dir the stream
+      // watches, files dropped in as they arrive)
+      val spool = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_spool",
+        Integer.toHexString(path.hashCode))
+      java.nio.file.Files.createDirectories(spool)
+      val staged = spool.resolve("orders.parquet")
+      if (!java.nio.file.Files.exists(staged))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+      val stream = s.readStream.schema(schema).parquet(spool.toString)
+        .select(col("o_orderdate").cast("timestamp").as("created"))
+      // unique sink name: the query may run several times per session
+      // (bench cold + warm passes) and memory sinks are session-global
+      val name = "w1p_" + UUID.randomUUID().toString.replace("-", "")
+      runToMemory(slidingStock(stream), name)
+      s.table(name).select(col("ws"), col("n"))
+    },
+    Some(graft.operators.TimeWindows.slidingStockSql),
+  )
+
+  def queries: Seq[graft.Q] = Seq(w1Parity)
 }

@@ -48,14 +48,19 @@ object Bm25 {
         (tfc + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
 
+    // rank via orderBy+limit → TakeOrderedAndProject: each partition
+    // keeps a k-sized heap and the driver merges k·p rows, vs. a global
+    // Window whose rank must see every scored row. The row_number below
+    // runs AFTER the limit, over k rows only — cosmetic, not a sort.
     base
       .crossJoin(broadcast(stats))
       .withColumn("score", round(score, 4))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("score"), asc("doc_id"))))
-      .filter(col("rank") <= k)
   }
 
   private def oracleSql(terms: Seq[String], k: Int): String = {

@@ -260,7 +260,7 @@ object ConsensusClusters {
   private def cachedLabels(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.domain.SharedCache.materialiseWith(s,
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      graft.domain.SharedCache.defaultRoot,
       "consensus-labels", s"$d|consensus-ensemble-10-20-40-minruns2|v1") {
       consensusCommunities(ensembleOf(Tables(s, d)), minRuns = 2L)
     }

@@ -257,7 +257,7 @@ object SurfaceForms {
   private def cachedForms(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.domain.SharedCache.materialiseWith(s,
-      s"${System.getProperty("java.io.tmpdir")}/graft_shared_cache",
+      graft.domain.SharedCache.defaultRoot,
       "surface-forms", s"$d|surface-forms-dedup|v1") {
       dedupe(candidates(skillsView(Tables(s, d))))
     }

@@ -76,7 +76,26 @@ object TextQueries {
       // custom codegen'd Catalyst expression — see RollingHashExpr
       Tables(s, d).documents
         .select(col("doc_id"), RollingHash.rolling_hash(col("text")).as("fp")),
-    None, // non-standard hash; golden-value spec instead
+    // hash(s) = Σ byte_i·131^i mod 2^61-1, replayed in DuckDB: a recursive
+    // CTE builds the mod-power ladder (131^i stays < 2^61, the product
+    // fits HUGEINT), then one join+sum per document folds the bytes. Texts
+    // are ASCII (asserted by octet_length below matching strlen), so
+    // ord(char) == the UTF-8 byte the Scala side hashes.
+    Some(
+      """WITH RECURSIVE mx AS (
+        |  SELECT coalesce(max(strlen(text)), 0) AS m FROM documents
+        |  WHERE octet_length(CAST(text AS BLOB)) = strlen(text)),
+        |pw(i, p) AS (
+        |  SELECT 1, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT i + 1, (p * 131) % 2305843009213693951
+        |  FROM pw, mx WHERE i < mx.m)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum((CAST(ord(substr(d.text, pw.i, 1)) AS HUGEINT)
+        |        * pw.p) % 2305843009213693951), 0)
+        |    % 2305843009213693951 AS BIGINT) AS fp
+        |FROM documents d LEFT JOIN pw ON pw.i <= strlen(d.text)
+        |GROUP BY d.doc_id""".stripMargin),
   )
 
   private val langid = Q(

@@ -37,6 +37,40 @@ class SharedCacheSpec extends SparkSpec {
       .head().getLong(0) == 55)
   }
 
+  test("racing writers publish atomically: one complete entry, no temp debris") {
+    val root = Files.createTempDirectory("graft_cache3").toString
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build() = { builds.incrementAndGet(); spark.range(1000).toDF("id") }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 2).map { _ =>
+      Future(SharedCache.materialiseWith(spark, root, "raced", "k1")(build())
+        .count())
+    }
+    val counts = racers.map(Await.result(_, 120.seconds))
+    assert(counts == Seq(1000L, 1000L), "both racers read a complete entry")
+    assert(builds.get() >= 1 && builds.get() <= 2)
+
+    val dir = new java.io.File(root)
+    val children = dir.listFiles().map(_.getName).toSeq
+    assert(children.count(_.startsWith("raced-")) == 1,
+      s"exactly one published entry, got $children")
+    assert(!children.exists(_.startsWith(".tmp-")),
+      s"loser cleaned up its temp dir, got $children")
+    // nothing nested under the published entry but parquet parts
+    val entry = new java.io.File(dir, children.find(_.startsWith("raced-")).get)
+    assert(!entry.listFiles().exists(_.isDirectory),
+      "no stray renamed-into-dest child")
+
+    // a later call is a pure cache hit: the builder must not run again
+    val before = builds.get()
+    assert(SharedCache.materialiseWith(spark, root, "raced", "k1")(build())
+      .count() == 1000)
+    assert(builds.get() == before, "warm call did not rebuild")
+  }
+
   test("guardrail floors pass through or abort with the stage name") {
     val df = Seq(1, 2, 3).toDF("x")
     assert(Guardrails.assertFloor(df, "ok", 3).count() == 3)
