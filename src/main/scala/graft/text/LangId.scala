@@ -19,7 +19,7 @@ object LangId {
 
   // top distinguishing trigrams per language (hand-picked from public
   // frequency tables; lowercase, space-padded conventions inline)
-  private val profiles: Seq[(String, Seq[String])] = Seq(
+  private[text] val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", " of",
       "of ", " to", "to ", "ed ", " in", "ion", "is "),
     "de" -> Seq("en ", "er ", " de", "der", "ie ", " di", "die", "ch ",
@@ -68,5 +68,41 @@ object LangId {
   def detectCol(spark: SparkSession)(text: Column): Column = {
     val f = udf((t: String) => detect(t))
     f(text)
+  }
+
+  /** DuckDB replica of the Latin-script trigram tier, generated from the
+    * SAME profile constants (the TextCleaning pattern: one source of
+    * truth, two engines). Overlapping-occurrence counts come from a
+    * position unnest; arg-max ties break by profile order, all-zero
+    * scores fall back to "und", exactly like `detect`. The Unicode-block
+    * tiers are NOT replicated — the oracle corpus is ASCII (asserted for
+    * the hash oracles too), so they never fire there; the spec covers
+    * them on synthetic non-Latin strings.
+    */
+  private[text] def oracleSql: String = {
+    val rows = profiles.zipWithIndex.flatMap { case ((lang, prof), pri) =>
+      prof.map(g => s"('$lang', $pri, '$g')")
+    }.mkString(",\n    ")
+    s"""WITH prof(plang, pri, g) AS (VALUES
+       |    $rows),
+       |pad AS (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+       |        FROM pad)),
+       |scores AS (
+       |  SELECT doc_id, plang, pri, count(*) AS sc
+       |  FROM tri JOIN prof USING (g) GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT doc_id, plang, sc,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY sc DESC, pri ASC) AS rn
+       |  FROM scores)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(CASE WHEN b.sc > 0 THEN b.plang END, 'und') AS predicted
+       |FROM documents d
+       |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1""".stripMargin
   }
 }

@@ -90,21 +90,41 @@ object SurfaceForms {
     * documents (entity, doc_text).
     */
   def tfidfMatrix(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("entity"),
-      explode(expr(
-        "regexp_extract_all(lower(doc_text), '\\\\b\\\\w\\\\w+\\\\b', 0)"))
-        .as("word"))
+    // Pinned-parallelism exchanges throughout this pipeline: every frame
+    // here is a few MB, so both the single-file scan (one input split)
+    // and AQE's size-based coalescing would otherwise serialise the regex
+    // tokenisation, the windows, and — fatally — the downstream sparse
+    // product that pipelines onto the final exchange, onto ONE task
+    // (observed as a 2.2s single-task stage = 90% of the tf-idf query).
+    // User repartitions are exempt from coalescing; each keys on what the
+    // next operator needs, so no ENSURE_REQUIREMENTS exchange is added.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col("entity"))
+      .select(col("entity"),
+        explode(expr(
+          "regexp_extract_all(lower(doc_text), '\\\\b\\\\w\\\\w+\\\\b', 0)"))
+          .as("word"))
+    // hash(entity) clusters (entity, word) too — tf aggregates in place
     val tf = toks.groupBy("entity", "word").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
-    val idf = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    // df and the row norms as WINDOW aggregates, not groupBy+self-join:
+    // a join back onto `tf` makes Catalyst execute the token/tf subtree
+    // once per consumer (no subtree sharing across a self-join diamond),
+    // which dominated this query's profile. Windows keep one linear
+    // pipeline — tf is computed once, each window is an exchange of the
+    // (entity, word)-sized matrix only — and the final by-entity window
+    // leaves the output hash(entity)-partitioned, exactly what the
+    // downstream representativity aggregation wants.
+    val byWord = Window.partitionBy("word")
+    val byEntity = Window.partitionBy("entity")
+    tf
+      .repartition(par, col("word"))
+      .withColumn("df", count(lit(1)).over(byWord).cast("double"))
       .crossJoin(broadcast(nDocs))
-      .select(col("word"),
-        (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1.0).as("idf"))
-    val weighted = tf.join(idf, "word")
-      .select(col("entity"), col("word"), (col("tf") * col("idf")).as("w0"))
-    val norms = weighted.groupBy("entity")
-      .agg(sqrt(sum(col("w0") * col("w0"))).as("nrm"))
-    weighted.join(norms, "entity")
+      .withColumn("w0", col("tf") *
+        (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1.0))
+      .repartition(par, col("entity"))
+      .withColumn("nrm", sqrt(sum(col("w0") * col("w0")).over(byEntity)))
       .select(col("entity"), col("word"), (col("w0") / col("nrm")).as("tfidf"))
   }
 
@@ -118,29 +138,68 @@ object SurfaceForms {
     // to the small candidate set
     val labelForms = forms.filter(col("surface_form_type").contains("label"))
     val chunkForms = forms.filter(!col("surface_form_type").contains("label"))
+    // The scoring is a sparse matrix product (form,word)×(word,entity);
+    // its output (Σ_form Σ_word df(word) rows — every form reaches every
+    // doc sharing a word) dwarfs both inputs, so the product must never
+    // cross the network: (a) the form side is taxonomy-bounded
+    // (ESCO-sized), so it broadcasts into the matrix, which arrives
+    // hash(entity)-partitioned from its normalisation window; (b) the
+    // per-(form,entity) sum then groups on a superset of the partitioning
+    // keys — zero exchange for the fanout-sized aggregate; (c) the
+    // arg-max aggregate partial-reduces to ≤|forms| rows per partition
+    // before its (tiny) exchange.
+    // the matrix arrives hash(entity)-partitioned at pinned parallelism
+    // (see tfidfMatrix) — the product stage below inherits both
     val tfidf = tfidfMatrix(docs)
-    val sums = chunkForms
-      .select(col("entity").as("linked"), col("surface_form"),
+    // dense integer ids for the (tiny) form side: the fanout-sized
+    // aggregate below then hashes three longs per row instead of copying
+    // and comparing the surface-form string 10^(large) times — the string
+    // rejoins on the |forms|-row dim after the reduction. The id window
+    // is global but runs over the taxonomy-bounded form set only.
+    val formDim = chunkForms
+      .select(col("entity").as("linked"), col("surface_form"))
+      .withColumn("form_id",
+        row_number().over(Window.orderBy("surface_form")).cast("long"))
+    val formWords = formDim
+      .select(col("form_id"), col("linked"),
         explode(split(col("surface_form"), " ")).as("word"))
-      .join(tfidf, "word")
-      .groupBy(col("linked"), col("surface_form"), col("entity"))
-      .agg(round(sum(col("tfidf")), 6).as("s"))
-    // arg-max via one hash aggregate (map-side combined), not a
-    // sort-window: max(struct(s, -entity)) = highest score, lowest-entity
-    // tiebreak — measured 10× cheaper at sf0.1 than row_number over the
-    // (form × docs-sharing-a-word) fanout
-    val decided = sums.groupBy("linked", "surface_form")
-      .agg(max(struct(col("s"), (-col("entity")).as("nent"))).as("m"),
-        max(when(col("entity") === col("linked"), col("s"))).as("linked_s"))
+    // score kept in exact 6-dp integer space from the start: one HALF_UP
+    // rounding per group (round() goes through BigDecimal — doing it
+    // twice per group showed up in the profile as GC pressure), same
+    // decisions as the oracle's round(sum, 6)
+    val sums = tfidf
+      .join(broadcast(formWords), "word")
+      .groupBy(col("form_id"), col("linked"), col("entity"))
+      .agg(round(sum(col("tfidf")) * 1e6, 0).cast("long").as("s6"))
+    // Arg-max via one HASH aggregate: max(struct(...)) would be exact but
+    // structs aren't mutable-buffer types, so Spark demotes it to a
+    // SortAggregate — a full sort of the fanout-sized frame. Instead pack
+    // (score, entity) into one long: scores are already 6-dp-rounded, so
+    // s·10^6 is an exact integer, and max(s6·2^40 − entity) = highest
+    // score with lowest-entity tiebreak. Valid while s < 2^23/10^6 (a
+    // form's score is ≤ its word count — L2-normalised terms are ≤ 1)
+    // and 0 ≤ entity < 2^40; both hold for taxonomy-sized inputs by a
+    // wide margin. Threshold tests stay in exact integer space.
+    val P = 1L << 40
+    val thr6 = (AmbigThreshold * 1e6).toLong
+    val decided = sums.groupBy("form_id")
+      .agg(max(col("s6") * P - col("entity")).as("pk"),
+        max(when(col("entity") === col("linked"), col("s6"))).as("linked_s6"))
+      .withColumn("rem", pmod(col("pk"), lit(P)))
+      .withColumn("best_doc",
+        when(col("rem") === 0, lit(0L)).otherwise(lit(P) - col("rem")))
+      // pk + best_doc = s6·2^40 exactly; decode by shift (long `/` is
+      // double division in Spark and loses exactness at this magnitude)
+      .withColumn("best_s6", shiftright(col("pk") + col("best_doc"), 40))
+      .join(broadcast(formDim), "form_id")
       .select(col("linked").as("b_entity"),
         col("surface_form").as("b_form"),
-        (-col("m.nent")).as("best_doc"), col("m.s").as("best_s"),
-        col("linked_s"))
+        col("best_doc"), col("best_s6"), col("linked_s6"))
     val keptChunks = chunkForms
       .join(decided, col("entity") === col("b_entity") &&
         col("surface_form") === col("b_form"), "left_outer")
       .filter(col("best_doc") === col("entity") ||
-        (col("best_s") > AmbigThreshold && col("linked_s") > AmbigThreshold))
+        (col("best_s6") > thr6 && col("linked_s6") > thr6))
       .select("entity", "surface_form", "surface_form_type")
     labelForms.select("entity", "surface_form", "surface_form_type")
       .union(keptChunks)

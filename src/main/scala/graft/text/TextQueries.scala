@@ -104,7 +104,9 @@ object TextQueries {
       Tables(s, d).documents
         .select(col("doc_id"), col("lang"),
           LangId.detectCol(s)(col("text")).as("predicted")),
-    None, // heuristic model; accuracy asserted in LangIdSpec
+    // oracle generated from the same trigram-profile constants; accuracy
+    // (vs the labelled lang column) additionally asserted in LangIdSpec
+    Some(LangId.oracleSql),
   )
 
   private val phrase = Q(

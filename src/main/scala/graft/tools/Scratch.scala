@@ -15,51 +15,35 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val t = graft.Tables(spark, d)
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
     }
-    val ads = graft.domain.AdsFixture.ads(t)
-    val links = graft.domain.AdsFixture.links(t)
-    time("ads view count")(ads.count())
-    time("links count")(links.count())
-    time("dup subgraphs (CC)") {
-      graft.domain.DedupPipeline.duplicateSubgraphs(links).count()
-    }
-    time("splitcomps fresh") {
-      graft.domain.DedupPipeline.subgraphsByLocation(
-        graft.domain.DedupPipeline.duplicateSubgraphs(links), ads).count()
-    }
-    val cached = graft.domain.SharedCache.materialise(
-      graft.domain.DedupPipeline.subgraphsByLocation(
-        graft.domain.DedupPipeline.duplicateSubgraphs(links), ads),
-      s"${System.getProperty("java.io.tmpdir")}/graft_scratch_cache", "sc")
-    time("splitcomps cached read")(cached.count())
-    time("snapshot w/ cached comps") {
-      graft.domain.DedupPipeline.snapshotAds(ads, links,
-        "1996-03-01", "1996-04-30",
-        precomputedGraphs = Some(cached)).count()
-    }
-    time("snapshot again") {
-      graft.domain.DedupPipeline.snapshotAds(ads, links,
-        "1996-03-01", "1996-04-30",
-        precomputedGraphs = Some(cached)).count()
-    }
-    time("weekly w/ cached comps") {
-      graft.domain.Getters.weeklyAds(spark, ads, links,
-        java.time.LocalDate.parse("1996-03-04"),
-        java.time.LocalDate.parse("1996-05-27"),
-        precomputedGraphs = Some(cached)).count()
-    }
-    // surface-forms tf-idf stage breakdown
-    time("sf: build+dedupe")(
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val t = (si.completionTime.get - si.submissionTime.get) / 1000.0
+          if (t > 0.15) {
+            val scopes = si.rddInfos.flatMap(_.scope).map(_.name).distinct
+            val m = si.taskMetrics
+            println(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+              f"time=$t%6.2fs run=${m.executorRunTime / 1000.0}%6.2fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%6.2fs " +
+              f"deser=${m.executorDeserializeTime / 1000.0}%5.2fs " +
+              f"gc=${m.jvmGCTime / 1000.0}%5.2fs " +
+              scopes.mkString(",").take(70))
+          }
+        }
+      })
+    val tfidfQ = graft.Registry.byName("dom_surface_forms_tfidf")
+    time("warmup build")(
       graft.Registry.byName("dom_surface_forms_build").run(spark, d).count())
-    time("sf: tfidf full")(
-      graft.Registry.byName("dom_surface_forms_tfidf").run(spark, d).count())
-    time("sf: tfidf again")(
-      graft.Registry.byName("dom_surface_forms_tfidf").run(spark, d).count())
+    (1 to 3).foreach { i =>
+      time(s"tfidf run $i")(tfidfQ.run(spark, d).count())
+    }
     spark.stop()
   }
 }

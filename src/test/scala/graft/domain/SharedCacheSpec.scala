@@ -37,6 +37,19 @@ class SharedCacheSpec extends SparkSpec {
       .head().getLong(0) == 55)
   }
 
+  test("same-shaped reads from different paths get different plan keys") {
+    // regression: LogicalRelation's string form has no path, so two scale
+    // factors of the same table once collided to one cache entry
+    val p1 = Files.createTempDirectory("graft_pk1").toString
+    val p2 = Files.createTempDirectory("graft_pk2").toString
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(p1)
+    spark.range(20).toDF("id").write.mode("overwrite").parquet(p2)
+    val a = spark.read.parquet(p1)
+    val b = spark.read.parquet(p2)
+    assert(SharedCache.planKey(a) != SharedCache.planKey(b))
+    assert(SharedCache.planKey(a) == SharedCache.planKey(spark.read.parquet(p1)))
+  }
+
   test("racing writers publish atomically: one complete entry, no temp debris") {
     val root = Files.createTempDirectory("graft_cache3").toString
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
