@@ -91,6 +91,9 @@ object MinHashDedup {
     * pre-dedup joins carry (16-byte hash, id) pairs only.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // (a scan-widening repartition was tried here and REVERTED: the added
+    // exchanges cost more than the serial md5 map they parallelised —
+    // the sketch expressions already run after the semi join's shuffle)
     // stage 0: one exemplar (min doc_id) per exact-content group
     val hmap = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val rep = hmap.groupBy("h").agg(min(col("doc_id")).as("rep"))

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
+  /** Salt fan-out for the banded self-join; ≥ the core count ÷ expected
+    * bucket count keeps every core busy on clustered-length corpora.
+    */
+  val Salts = 8
+
   def bigrams(textCol: String): org.apache.spark.sql.Column =
     MinHashDedup.shingles(col(textCol), 2)
 
@@ -27,20 +32,42 @@ object NgramJaccard {
     // the banded join then shuffles packed longs, prunes on the free
     // size-ratio bound (J ≤ |smaller|/|larger|), and merge-scans the
     // survivors with a native expression — see JaccardOps.
-    val base = docs.select(col("doc_id"), col("n_chars"),
-      graft.functions.JaccardOps.sorted_shingle_hashes(col("text"), 2)
-        .as("grams"))
+    // repartition the RAW text before the shingle-hash-sort expression:
+    // the test tables are single files (one input split), so the heavy
+    // per-doc expression would otherwise run on one task per join side.
+    // The exchange carries cheap raw text, is deduplicated across the
+    // self-join's two branches by ReuseExchange, and the per-doc sketch
+    // computes at full width downstream of it.
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.JaccardOps.sorted_shingle_hashes(col("text"), 2)
+          .as("grams"))
       .withColumn("n_grams", size(col("grams")))
+    // Length buckets are inherently LOW-cardinality for natural text
+    // (lengths cluster), so the banded join alone degenerates to a
+    // handful of serial tasks — measured as a 2s single-task stage doing
+    // most of this query at sf0.1. Salting fans each bucket into `Salts`
+    // cells: the exploded side carries a deterministic doc-hash salt, the
+    // other side is replicated across all salt values (the SkewJoin
+    // pattern, inlined because this is a SELF join with a compound band
+    // predicate). Every pair still meets exactly once; the replicated
+    // side pays a bounded Salts× shuffle in exchange for unbounded task
+    // skew. Prefix filtering (PPJoin) was measured as an alternative and
+    // REJECTED for this corpus shape: a dense shingle vocabulary makes
+    // prefix-token candidates 4× the banded count.
+    val bkt = (col("n_chars") / lengthBand).cast("long")
     val a = base
-      .withColumn("bucket",
-        explode(array(
-          (col("n_chars") / lengthBand).cast("long") - 1,
-          (col("n_chars") / lengthBand).cast("long"),
-          (col("n_chars") / lengthBand).cast("long") + 1)))
-    val b = base.withColumn("bucket", (col("n_chars") / lengthBand).cast("long"))
+      .withColumn("bucket", explode(array(bkt - 1, bkt, bkt + 1)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(Salts)))
+    val b = base
+      .withColumn("bucket", bkt)
+      .withColumn("salt",
+        explode(array((0 until Salts).map(i => lit(i.toLong)): _*)))
     a.alias("a")
       .join(b.alias("b"),
         col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= lengthBand &&
           least(col("a.n_grams"), col("b.n_grams")).cast("double") >=

@@ -198,6 +198,45 @@ object Curation {
         |FROM documents""".stripMargin),
   )
 
+  /** Domain-mixture sampling — the "data mixture" step of a training-data
+    * pipeline: per domain (here `lang`), admit documents in a
+    * deterministic content-hash order until the domain's token budget is
+    * exhausted. Hash order (not quality order) makes the sample an
+    * unbiased, reproducible draw per domain — the same property the
+    * train/test split gets from md5-prefix arithmetic — and the running
+    * token total turns per-domain WEIGHTS into per-domain token COUNTS,
+    * which is how mixtures are actually specified for LLM corpora.
+    *
+    * Scale shape: one window per domain — partition-parallel, sorts only
+    * within a domain. For one giant domain, compose with the shard trick
+    * of `t_length_batches_sharded` (budget split across shards).
+    */
+  private val mixture = Q(
+    "t_domain_mixture",
+    (s, d) => {
+      val nTok = size(org.apache.spark.sql.functions.split(col("text"), " "))
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables(s, d).documents
+        .withColumn("n_tok", nTok)
+        .withColumn("cum_tok",
+          sum(col("n_tok").cast("long")).over(w))
+        .filter(col("cum_tok") <= 2000)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+    },
+    Some(
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(cum AS BIGINT) AS cum_tok
+        |FROM (
+        |  SELECT doc_id, lang, text,
+        |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS cum
+        |  FROM documents)
+        |WHERE cum <= 2000""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(split, batches, batchesSharded, decontaminate, incremental, packing)
+    Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
+      mixture)
 }

@@ -37,9 +37,16 @@ object SimilarityQueries {
     * the optimizer barrier that stops Catalyst collapsing the norm back
     * into the per-pair projection (n norm evaluations, not 2n²) —
     * CacheManager dedupes identical plans, so callers share one entry.
+    *
+    * The repartition widens a single-split scan BEFORE the persist: the
+    * cached partitioning is inherited by every downstream pair join and
+    * dot-product stage, so without it the whole similarity family runs
+    * at the file count's parallelism (observed: 0.6–1.1s single-task
+    * stages in the kNN-graph queries at sf0.1).
     */
   private[similarity] def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", norm(col("embedding")))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("nrm", norm(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact top-k neighbours (cosine) for each query vector.

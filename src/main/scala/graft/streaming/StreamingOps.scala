@@ -167,32 +167,69 @@ object StreamingOps {
     * mode, so the final micro-batch holds the full window table and the
     * watermark only bounds state it would drop mid-stream.
     */
+  /** Stage a single-file test table into a spool directory the file
+    * stream can watch — also the production shape (a landing dir, files
+    * dropped in as they arrive).
+    */
+  private def spooledStream(s: SparkSession, path: String): DataFrame = {
+    val schema = s.read.parquet(path).schema
+    val spool = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_spool",
+      Integer.toHexString(path.hashCode))
+    java.nio.file.Files.createDirectories(spool)
+    val staged = spool.resolve(
+      java.nio.file.Paths.get(path).getFileName.toString)
+    if (!java.nio.file.Files.exists(staged))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    s.readStream.schema(schema).parquet(spool.toString)
+  }
+
+  /** Unique memory-sink name: a query may run several times per session
+    * (bench cold + warm passes) and memory sinks are session-global.
+    */
+  private def sinkName(prefix: String): String =
+    prefix + UUID.randomUUID().toString.replace("-", "")
+
   private val w1Parity = graft.Q(
     "w1_streaming_parity",
     (s, d) => {
-      val path = s"$d/orders.parquet"
-      val schema = s.read.parquet(path).schema
-      // the file-stream source ingests directories; the test tables are
-      // single files, so stage the file into a per-source spool dir —
-      // which is also the production shape (a landing dir the stream
-      // watches, files dropped in as they arrive)
-      val spool = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream_spool",
-        Integer.toHexString(path.hashCode))
-      java.nio.file.Files.createDirectories(spool)
-      val staged = spool.resolve("orders.parquet")
-      if (!java.nio.file.Files.exists(staged))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
-      val stream = s.readStream.schema(schema).parquet(spool.toString)
+      val stream = spooledStream(s, s"$d/orders.parquet")
         .select(col("o_orderdate").cast("timestamp").as("created"))
-      // unique sink name: the query may run several times per session
-      // (bench cold + warm passes) and memory sinks are session-global
-      val name = "w1p_" + UUID.randomUUID().toString.replace("-", "")
+      val name = sinkName("w1p_")
       runToMemory(slidingStock(stream), name)
       s.table(name).select(col("ws"), col("n"))
     },
     Some(graft.operators.TimeWindows.slidingStockSql),
   )
 
-  def queries: Seq[graft.Q] = Seq(w1Parity)
+  /** Exemplar-stream parity: orders replayed as a file stream through
+    * `exemplarStream` (key = customer, id = order, event time = order
+    * date). A single AvailableNow batch makes the stream's first-SEEN
+    * exemplar coincide with the global (time, id)-min rule, which a SQL
+    * window replays independently — so the flatMapGroupsWithState path
+    * itself gets a hash-checked CORRECTNESS row, not just a spec.
+    */
+  private val exemplarParity = graft.Q(
+    "d_streaming_exemplar_parity",
+    (s, d) => {
+      val stream = spooledStream(s, s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("created"))
+      val name = sinkName("exp_")
+      runToMemory(
+        exemplarStream(s, stream, "o_custkey", "o_orderkey"),
+        name, OutputMode.Append())
+      s.table(name)
+    },
+    Some(
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |  CAST(o_custkey AS VARCHAR) AS content_key,
+        |  CAST(o_orderdate AS TIMESTAMP) AS created,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, CAST(o_orderkey AS VARCHAR)) > 1
+        |    AS is_duplicate
+        |FROM orders""".stripMargin),
+  )
+
+  def queries: Seq[graft.Q] = Seq(w1Parity, exemplarParity)
 }
