@@ -236,7 +236,70 @@ object Curation {
         |WHERE cum <= 2000""".stripMargin),
   )
 
+  /** Cross-document duplicate-n-gram fraction (RefinedWeb-style quality
+    * cut): for each doc, the fraction of its DISTINCT word 5-grams that
+    * also occur in at least one other document; boilerplate-heavy docs
+    * score high and are cut. Distinct from `d_decontaminate` (overlap vs
+    * an external benchmark set) and `t_repetition_filter` (WITHIN-doc
+    * repetition) — this one needs the corpus-wide gram frequency.
+    *
+    * Scale shape: explode → one hash aggregate keyed by gram (high
+    * cardinality, map-side combined) → join back on gram → per-doc
+    * aggregate. Everything is linear in total gram count; the dup/total
+    * ratio is exact integer division, so it hashes identically across
+    * engines.
+    */
+  private val crossdoc = Q(
+    "t_crossdoc_ngram_dup",
+    (s, d) => {
+      val words = org.apache.spark.sql.functions.split(col("text"), " ")
+      val g5 = when(size(words) >= 5,
+        transform(sequence(lit(1), size(words) - 4), i =>
+          concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+            element_at(words, i + 2), element_at(words, i + 3),
+            element_at(words, i + 4)))).otherwise(array())
+      val docs = Tables(s, d).documents
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(g5)).as("g"))
+      val gramDf = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      val perDoc = grams.join(gramDf, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)))
+            .as("dup_frac"))
+        .withColumn("keep", col("dup_frac") <= 0.3)
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE
+        |    WHEN len(string_split(text, ' ')) >= 5 THEN
+        |      list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> concat_ws(' ', string_split(text, ' ')[i],
+        |          string_split(text, ' ')[i+1], string_split(text, ' ')[i+2],
+        |          string_split(text, ' ')[i+3], string_split(text, ' ')[i+4]))
+        |    ELSE [] END)) AS gram
+        |  FROM documents),
+        |freq AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM g JOIN freq USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_grams, 0) AS n_grams,
+        |  CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+        |    / greatest(COALESCE(p.n_grams, 0), 1) AS dup_frac,
+        |  CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+        |    / greatest(COALESCE(p.n_grams, 0), 1) <= 0.3 AS keep
+        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
-      mixture)
+      mixture, crossdoc)
 }

@@ -224,7 +224,35 @@ object SimilarityQueries {
       val recon = Quantize.reconstructed(e, "embedding")
       bruteForceTopK(recon, recon.filter(col("vec_id") < 10), 5)
     },
-    None,
+    // the whole quantize→reconstruct→search chain replayed in DuckDB
+    // with matched float/double arithmetic: scale = max|x|/127 as FLOAT,
+    // q = round-half-away(x/scale) as TINYINT, reconstruction in FLOAT
+    // (float×float stays float in both engines), then the brute-force
+    // ranking over the reconstructed vectors
+    Some(
+      """WITH recon AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(CAST(round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE))
+        |        AS TINYINT) AS FLOAT) * scale) AS emb
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CAST(CASE WHEN mx > 0 THEN CAST(mx AS DOUBLE) / 127.0
+        |           ELSE 1.0 END AS FLOAT) AS scale
+        |    FROM (SELECT vec_id, embedding,
+        |            list_max(list_transform(embedding, x -> abs(x))) AS mx
+        |          FROM embeddings)))
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(
+        |      q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC,
+        |               c.vec_id ASC) AS rn
+        |  FROM recon q JOIN recon c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rn <= 5""".stripMargin),
   )
 
   def queries: Seq[Q] = Seq(brute, cosineDedup, ivf, quantized)

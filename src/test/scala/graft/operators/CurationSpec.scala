@@ -27,4 +27,37 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0))).toSet
     assert(got == Set(Some("b"), None))
   }
+
+  test("domain mixture: budgets respected per domain, admission is prefix-closed") {
+    val rows = graft.Registry.byName("t_domain_mixture")
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.values.foreach { rs =>
+      val cums = rs.map(_.getLong(3)).sorted
+      assert(cums.last <= 2000, "running token total stays within budget")
+      // each admitted doc's cum = previous cum + its own n_tok (prefix of
+      // the hash-ordered sequence, no gaps)
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.foldLeft(0L) { (prev, r) =>
+        assert(r.getLong(3) == prev + r.getInt(2)); r.getLong(3)
+      }
+    }
+  }
+
+  test("cross-doc dup fraction: bounded, keep-rule consistent, full cover") {
+    val d = sf("sf0.001")
+    val rows = graft.Registry.byName("t_crossdoc_ngram_dup")
+      .run(spark, d).collect()
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length == nDocs, "one verdict per document")
+    rows.foreach { r =>
+      val frac = r.getDouble(2)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getBoolean(3) == (frac <= 0.3))
+    }
+    // the synthetic corpus shares heavy boilerplate — some doc must
+    // actually trip the cut, or the filter tests nothing
+    assert(rows.exists(!_.getBoolean(3)))
+  }
 }
