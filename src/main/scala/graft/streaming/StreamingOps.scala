@@ -231,5 +231,32 @@ object StreamingOps {
         |FROM orders""".stripMargin),
   )
 
-  def queries: Seq[graft.Q] = Seq(w1Parity, exemplarParity)
+  /** mapGroupsWithState parity: per-customer running counts over the
+    * order stream; after the stream drains, state equals the plain batch
+    * aggregate (count + latest timestamp), which SQL replays directly.
+    * Completes the stateful-API coverage: window aggregate
+    * (w1_streaming_parity), flatMapGroupsWithState
+    * (d_streaming_exemplar_parity), mapGroupsWithState (this row).
+    */
+  private val countsParity = graft.Q(
+    "w7_streaming_counts_parity",
+    (s, d) => {
+      val stream = spooledStream(s, s"$d/orders.parquet")
+        .select(col("o_custkey").cast("string").as("cust"),
+          col("o_orderdate").cast("timestamp").as("created"))
+      val name = sinkName("rc_")
+      runToMemory(runningCounts(s, stream, "cust", "created"), name,
+        OutputMode.Update())
+      // Update mode emits one row per key per batch; the LAST batch's
+      // state is the final answer — with one batch, the table IS final
+      s.table(name).select(col("key"), col("n"), col("lastSeen"))
+    },
+    Some(
+      """SELECT CAST(o_custkey AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(o_orderdate) AS TIMESTAMP) AS lastSeen
+        |FROM orders GROUP BY 1""".stripMargin),
+  )
+
+  def queries: Seq[graft.Q] = Seq(w1Parity, exemplarParity, countsParity)
 }
