@@ -66,6 +66,9 @@ object Bench {
     "sim_knn_graph_blocked",
     "sim_knn_graph_ivf",
     "d_dedup_clusters",
+    // round 3: new curation operators
+    "t_domain_mixture",
+    "t_crossdoc_ngram_dup",
   )
 
   def main(args: Array[String]): Unit = {

@@ -28,15 +28,23 @@ object ConnectedComponents {
     * `get_subgraphs` between flow steps the same way) pay the iterative
     * loop once per distinct edge set, not once per query. Bump the
     * version tag whenever the algorithm in `run` changes.
+    *
+    * Pass `key` when the edge plan contains an RDD-backed leaf (a
+    * checkpoint/localCheckpoint barrier): such leaves have NO content
+    * identity, so the derived plan key changes per invocation and the
+    * cache would never hit. The caller then supplies a key derived from
+    * the barrier's INPUTS (e.g. `planKey` of the source table + the
+    * pipeline's parameters).
     */
   def cached(edges: DataFrame, nodeSet: Option[DataFrame] = None,
-      maxIterations: Int = 50): DataFrame = {
-    val key = Seq("cc-largestar-v1",
-      graft.domain.SharedCache.planKey(edges),
-      nodeSet.map(graft.domain.SharedCache.planKey).getOrElse("endpoints"),
+      maxIterations: Int = 50, key: Option[String] = None): DataFrame = {
+    val k = Seq("cc-largestar-v1",
+      key.getOrElse(Seq(graft.domain.SharedCache.planKey(edges),
+        nodeSet.map(graft.domain.SharedCache.planKey).getOrElse("endpoints"))
+        .mkString("|")),
       maxIterations.toString).mkString("|")
     graft.domain.SharedCache.materialiseWith(edges.sparkSession,
-      graft.domain.SharedCache.defaultRoot, "cc", key)(
+      graft.domain.SharedCache.defaultRoot, "cc", k)(
       run(edges, nodeSet, maxIterations))
   }
 

@@ -21,8 +21,12 @@ object DedupClusters {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // cached: the dedup graph is the hub of the whole pipeline (cluster
     // read, exemplar pick, snapshot joins all reuse it) — pay the CC
-    // loop once per distinct edge set
-    ConnectedComponents.cached(edges)
+    // loop once per distinct edge set. Explicit key: the LSH pipeline
+    // checkpoints its candidate pairs, and an RDD-backed leaf has no
+    // stable plan identity — key on the INPUT corpus plan + parameters
+    // instead (bump the version tag when nearDupPairs logic changes).
+    ConnectedComponents.cached(edges, key = Some(
+      s"minhash-clusters-v1|${graft.domain.SharedCache.planKey(docs)}|$threshold"))
       .select(col("id").as("doc_id"), col("component").as("cluster"),
         (col("id") =!= col("component")).as("is_duplicate"))
   }
