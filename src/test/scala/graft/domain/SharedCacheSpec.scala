@@ -84,6 +84,25 @@ class SharedCacheSpec extends SparkSpec {
     assert(builds.get() == before, "warm call did not rebuild")
   }
 
+  test("observed floor piggybacks on the caller's action — no extra job") {
+    val df = spark.range(50).toDF("x")
+    val (observed, check) = Guardrails.observedFloor(df, "stage_ok", 10)
+    // before any action the metric is in its zero state — the check
+    // fails conservatively rather than vouch for an unobserved stage
+    val e0 = intercept[Guardrails.FloorViolation] { check() }
+    assert(e0.actual == 0)
+    assert(observed.count() == 50) // the pipeline's own action
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    check() // passes, and runs zero additional jobs
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore, "check() itself launched no job")
+
+    val (obs2, check2) = Guardrails.observedFloor(df, "stage_low", 1000)
+    obs2.count()
+    val e = intercept[Guardrails.FloorViolation] { check2() }
+    assert(e.floor == 1000 && e.actual == 50)
+  }
+
   test("guardrail floors pass through or abort with the stage name") {
     val df = Seq(1, 2, 3).toDF("x")
     assert(Guardrails.assertFloor(df, "ok", 3).count() == 3)

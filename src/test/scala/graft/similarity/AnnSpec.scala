@@ -47,6 +47,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("ivf recall sweep: monotone non-decreasing in nprobe, 1.0 at nprobe=nlist") {
+    // FAISS's recall lever behaves the same here: probing more lists can
+    // only add candidates, so recall is monotone in nprobe and exact
+    // (rank-tie caveats aside) when every list is probed. A sweep pins
+    // the whole curve, not one point — regressions in the assignment or
+    // refinement stages show up as a dented curve long before a single
+    // threshold trips.
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val sweep = Seq(1, 2, 4, 8, 16).map(p => p -> recallVsBrute(e, 16, p))
+    sweep.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 + 1e-9 >= r1,
+        s"recall fell from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
+    case _ => ()
+    }
+    assert(sweep.last._2 >= 0.999,
+      s"full probe should equal brute force, got ${sweep.last._2}")
+    assert(sweep.head._2 >= 0.2, "even nprobe=1 finds the home-list hits")
+  }
+
   test("int8 quantization: bounded reconstruction error, high topk recall") {
     import spark.implicits._
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
