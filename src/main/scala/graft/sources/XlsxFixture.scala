@@ -62,10 +62,17 @@ object XlsxFixture {
         |</sheetData></worksheet>""".stripMargin,
   )
 
-  /** Write the workbook once per process (content is constant). */
+  /** Write the workbook once per content version: the filename carries a
+    * hash of the parts, so editing the fixture republishes instead of
+    * replaying a stale copy from a previous checkout.
+    */
   def path(): String = {
+    val contentKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.map { case (n, c) => s"$n=$c" }.mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val p = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_soc_index_fixture.xlsx")
+      s"graft_soc_index_fixture_$contentKey.xlsx")
     if (!Files.exists(p)) {
       val tmp = Files.createTempFile("graft_soc_index", ".xlsx")
       val zos = new ZipOutputStream(new FileOutputStream(tmp.toFile))

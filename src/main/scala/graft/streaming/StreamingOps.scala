@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import java.sql.Timestamp
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 
 /** Streaming ingest mode (SURVEY §2.9): the reference is pure batch, but
   * its W1/W2 sliding stock windows map directly onto Structured
@@ -172,15 +173,28 @@ object StreamingOps {
     * dropped in as they arrive).
     */
   private def spooledStream(s: SparkSession, path: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val schema = s.read.parquet(path).schema
-    val spool = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_spool",
-      Integer.toHexString(path.hashCode))
-    java.nio.file.Files.createDirectories(spool)
-    val staged = spool.resolve(
-      java.nio.file.Paths.get(path).getFileName.toString)
-    if (!java.nio.file.Files.exists(staged))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), staged)
+    val src = Paths.get(path)
+    // source = a single parquet file OR a Spark-written directory of
+    // part files; spool the data file(s) flat. The spool dir is keyed on
+    // path + size + mtime so a regenerated source gets a fresh spool
+    // instead of silently replaying stale bytes.
+    val dataFiles =
+      if (Files.isDirectory(src))
+        Files.list(src).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      else Seq(src)
+    val stamp = dataFiles.map(p =>
+      s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .mkString("|")
+    val spool = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_spool", Integer.toHexString(stamp.hashCode))
+    Files.createDirectories(spool)
+    dataFiles.zipWithIndex.foreach { case (p, i) =>
+      val staged = spool.resolve(s"part-$i.parquet")
+      if (!Files.exists(staged)) Files.copy(p, staged)
+    }
     s.readStream.schema(schema).parquet(spool.toString)
   }
 

@@ -54,7 +54,10 @@ object LangId {
       .filter(c => c >= 0x0600 && c <= 0x06FF).count()
     if (arabic * 4 > text.length) return "ar"
 
-    val t = " " + text.toLowerCase + " "
+    // Locale.ROOT: a Turkish-family default locale lowercases "I" to
+    // dotless ı, silently breaking trigram matches (and oracle parity
+    // with DuckDB's locale-independent lower())
+    val t = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
     val grams = t.sliding(3).toSeq
     if (grams.isEmpty) return "und"
     val counts = grams.groupBy(identity).map { case (g, v) => g -> v.size }

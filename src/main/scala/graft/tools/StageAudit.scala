@@ -42,10 +42,15 @@ object StageAudit {
     names.foreach { n =>
       val q = graft.Registry.byName(n)
       q.run(spark, d).count() // warm
+      // stage-completed events arrive async on the listener bus; give
+      // the warm run's tail a moment to land before clearing, and the
+      // measured run's tail a moment to land before reading
+      Thread.sleep(300)
       stages.clear()
       val t0 = System.nanoTime()
       q.run(spark, d).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
       import scala.jdk.CollectionConverters._
       val ss = stages.asScala.toSeq
       val oneTask = ss.filter(s => s.tasks == 1 && s.secs > 0.25)

@@ -84,6 +84,22 @@ class SharedCacheSpec extends SparkSpec {
     assert(builds.get() == before, "warm call did not rebuild")
   }
 
+  test("an incomplete published entry (crashed publish) is repaired, not served") {
+    val root = Files.createTempDirectory("graft_cache4").toString
+    val key = "crashkey"
+    val keyHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // simulate a publish that died mid-copy: dir present, no _SUCCESS
+    val partial = new java.io.File(root, s"crashed-$keyHash")
+    assert(partial.mkdirs())
+    Files.writeString(partial.toPath.resolve("part-00000.parquet"), "junk")
+    val healed = SharedCache.materialiseWith(spark, root, "crashed", key) {
+      spark.range(25).toDF("id")
+    }
+    assert(healed.count() == 25, "rebuilt over the poisoned entry")
+    assert(new java.io.File(partial, "_SUCCESS").exists())
+  }
+
   test("observed floor piggybacks on the caller's action — no extra job") {
     val df = spark.range(50).toDF("x")
     val (observed, check) = Guardrails.observedFloor(df, "stage_ok", 10)
