@@ -37,6 +37,35 @@ class PlanAuditSpec extends SparkSpec {
     // one exchange for the stats agg; ranking is a global window on the
     // already-tiny scored set
     assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
+    // ranking must be per-partition heaps + driver merge, and the only
+    // Window left is the cosmetic rank over the k-row limited result
+    assert(p.contains("TakeOrderedAndProject"), "rank via orderBy.limit")
+  }
+
+  test("surface-forms tf-idf: the sparse product never crosses the network") {
+    val p = plan("dom_surface_forms_tfidf")
+    // the form side broadcasts into the entity-partitioned matrix…
+    assert(broadcasts(p) >= 2, "formWords + nDocs broadcast")
+    // …and the fanout-sized per-(form,entity) aggregate runs WITHOUT its
+    // own exchange: every hashpartitioning exchange in this plan carries
+    // matrix-or-smaller keys (entity / word / form_id), never the
+    // product. The arg-max is a hash aggregate (packed-long max), not a
+    // SortAggregate over the fanout.
+    assert(!p.contains("SortAggregate"),
+      "packed arg-max must stay in hash aggregation")
+    // pinned parallelism at the fanout boundaries: user repartitions are
+    // REPARTITION_BY_NUM nodes, visible pre-AQE
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).length >= 2,
+      "fanout-boundary repartitions must survive optimization")
+  }
+
+  test("ngram jaccard: banded self-join is salted against low-cardinality buckets") {
+    val p = plan("d_ngram_jaccard_pairs")
+    assert(p.contains("salt"), "salt column must reach the join key")
+    // at tiny SF one side legitimately broadcasts; what must hold at any
+    // size is that the pair-dedup distinct still shuffles and the salt
+    // participates in the join keys
+    assert(shuffles(p) >= 1)
   }
 
   test("filter pushdown reaches the parquet scan") {
