@@ -16,6 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // hermetic gate: start from a cold shared cache so a previous
+    // process's materialisations (different SF, different logic version)
+    // can never leak into the correctness run
+    val cacheRoot = new org.apache.hadoop.fs.Path(
+      domain.SharedCache.defaultRoot)
+    cacheRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(cacheRoot, true)
     // SPARK_GRAFT_ONLY=<substring> restricts the dump for fast local
     // iteration; the driver never sets it, so its runs stay complete.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
