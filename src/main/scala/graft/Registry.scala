@@ -35,6 +35,7 @@ object Registry {
       similarity.KnnGraph.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
+      streaming.StreamingDedup.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

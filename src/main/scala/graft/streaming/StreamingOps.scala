@@ -172,7 +172,8 @@ object StreamingOps {
     * stream can watch — also the production shape (a landing dir, files
     * dropped in as they arrive).
     */
-  private def spooledStream(s: SparkSession, path: String): DataFrame = {
+  private[streaming] def spooledStream(s: SparkSession,
+      path: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val schema = s.read.parquet(path).schema
     val src = Paths.get(path)
@@ -201,7 +202,7 @@ object StreamingOps {
   /** Unique memory-sink name: a query may run several times per session
     * (bench cold + warm passes) and memory sinks are session-global.
     */
-  private def sinkName(prefix: String): String =
+  private[streaming] def sinkName(prefix: String): String =
     prefix + UUID.randomUUID().toString.replace("-", "")
 
   private val w1Parity = graft.Q(

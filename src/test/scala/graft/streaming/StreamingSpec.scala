@@ -150,4 +150,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty && got.size >= 3)
   }
+
+  test("streaming near-dup: planted pairs surface, unrelated don't, " +
+    "flooded buckets stay bounded") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("tau", "taux") // one shingle's difference
+    val unrelated = (1 to 20).map(i => s"w${i}a w${i}b w${i}c").mkString(" ")
+    // flood: 100 identical docs land in the SAME 16 buckets — the
+    // resident cap must keep state and output bounded (batch analog:
+    // the exemplar stage-0 hardening)
+    val flood = (100L until 200L).map(i =>
+      (i, "copy of the same boilerplate text repeated verbatim", ts(i)))
+    val rows = Seq(
+      (1L, base, ts(1)), (2L, near, ts(2)), (3L, unrelated, ts(3))
+    ) ++ flood
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream")
+    rows.toDF("doc_id", "text", "created")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val pairs = StreamingDedup.nearDupPairs(spark, stream,
+      minEstJaccard = 0.5)
+    StreamingOps.runToMemory(pairs, "neardup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("neardup_out")
+      .select("doc_a", "doc_b", "est_jaccard")
+      .dropDuplicates("doc_a", "doc_b").collect()
+
+    val planted = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(planted.isDefined, s"planted near-dup not found in ${got.toSeq}")
+    assert(planted.get.getDouble(2) >= 0.5)
+    assert(!got.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      "unrelated doc must pair with nobody")
+    // flood: candidate pairs bounded by the resident cap, not O(k²) —
+    // each arrival meets at most MaxBucketResidents residents
+    val floodPairs = got.count(r => r.getLong(0) >= 100L)
+    val cap = StreamingDedup.MaxBucketResidents
+    assert(floodPairs <= cap * (cap - 1) / 2 + cap * (100 - cap),
+      s"flood emitted $floodPairs pairs")
+    assert(floodPairs > 0, "exact copies are near-dups and must surface")
+  }
+
+  private def ts(i: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + i * 60000L)
 }
