@@ -201,7 +201,11 @@ object TextCleaning {
     "dom_detect_skills_cleaned",
     (s, d) => {
       import org.apache.spark.sql.functions.{col, explode}
+      // widen the single-split scan: clean_text + Aho–Corasick are the
+      // heavy per-row work and would otherwise run at file-count
+      // parallelism (a 0.7s single-task stage at sf0.1)
       graft.Tables(s, d).documents
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), cleanTextCol()(col("text")).as("clean"))
         .select(col("doc_id"),
           explode(PhraseMatch.matchPhrases(s, detectDict)(col("clean")))

@@ -20,7 +20,10 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "a3_multikey_agg", "j3_broadcast_dim_join", "p4_date_range_filter",
       "j6_feature_assembly", "p8_topn_membership", "a5_topn_most_common",
-      "w1_sliding_window_stock", "d_minhash_lsh_pairs")
+      "w1_sliding_window_stock", "d_minhash_lsh_pairs",
+      // round 3: reworked plans worth re-auditing after any edit
+      "dom_surface_forms_tfidf", "d_ngram_jaccard_pairs",
+      "sim_knn_graph_blocked", "t_bm25_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = Registry.byName(n).run(spark, "/root/testdata/sf0.01")
