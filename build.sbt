@@ -17,6 +17,10 @@ run / fork := true
 // through verbatim, so the final JSON line is bare and parseable.
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time" line, so the JSON line a
+// bench run prints is the LAST stdout line, whatever the tail-parser's
+// strictness (last-line-only or scan-backwards both work).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
