@@ -39,9 +39,12 @@ object MinHashDedup {
     * with values bit-identical to the min-over-exploded-shingles
     * formulation (same XXH64 seed chain).
     */
-  def signatures(docs: DataFrame): DataFrame = {
+  def signatures(docs: DataFrame, fnv: Boolean = false): DataFrame = {
+    val sigCol =
+      if (fnv) graft.functions.TextSketches.minhash_signature_fnv(col("text"))
+      else graft.functions.TextSketches.minhash_signature(col("text"))
     val sig = docs.select(col("doc_id"), shingles(col("text")).as("sh"),
-      graft.functions.TextSketches.minhash_signature(col("text")).as("sig"))
+      sigCol.as("sig"))
     val mCols = (0 until NumHashes).map(j =>
       element_at(col("sig"), j + 1).as(s"m$j"))
     sig.select(col("doc_id") +: col("sh") +: mCols: _*)
@@ -166,10 +169,45 @@ object MinHashDedup {
   private val sigQ = Q(
     "d_minhash_signatures",
     (s, d) =>
-      // signature dump (first 4 hash slots) — deterministic, rows-only check
-      signatures(Tables(s, d).documents)
+      // signature dump (first 4 hash slots), FNV mode: the shingle hash is
+      // the repo's FNV-1a fold (replayable by a recursive CTE) and the
+      // slot hashes a BIGINT-safe universal family over 2^31-1, so the
+      // minhash values themselves are hash-checked against DuckDB — the
+      // XXH64 production chain keeps its spec coverage
+      signatures(Tables(s, d).documents, fnv = true)
         .select("doc_id", "m0", "m1", "m2", "m3"),
-    None,
+    // a_j = ((j+1)·2654435761) mod p, b_j = ((j+1)·2246822519) mod p,
+    // p = 2^31-1, inlined below for j = 0..3
+    Some(
+      """WITH RECURSIVE
+        |dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sl AS (SELECT doc_id,
+        |         list_transform(range(greatest(len(w) - 2, 1)),
+        |                        i -> array_to_string(w[i+1:i+3], ' ')) AS sh
+        |       FROM dd),
+        |si AS (SELECT doc_id, sh, unnest(range(len(sh))) AS i FROM sl),
+        |sg AS (SELECT doc_id, i, sh[i+1] AS t FROM si),
+        |f(doc_id, i, ci, ck) AS (
+        |  SELECT doc_id, i, 0, CAST('1469598103934665603' AS HUGEINT) FROM sg
+        |  UNION ALL
+        |  SELECT f.doc_id, f.i, f.ci + 1,
+        |    ((f.ck // 256) * 256
+        |      + xor(CAST(f.ck % 256 AS BIGINT),
+        |            CAST(ord(substr(t.t, f.ci + 1, 1)) AS BIGINT)))
+        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM f JOIN sg t ON f.doc_id = t.doc_id AND f.i = t.i
+        |  WHERE f.ci < strlen(t.t)),
+        |hh AS (
+        |  SELECT f.doc_id,
+        |    CAST(CAST(f.ck AS UBIGINT) % 2147483647 AS BIGINT) AS h
+        |  FROM f JOIN sg t ON f.doc_id = t.doc_id AND f.i = t.i
+        |  WHERE f.ci = strlen(t.t))
+        |SELECT doc_id,
+        |  min((506952114 * h + 99338872) % 2147483647) AS m0,
+        |  min((1013904228 * h + 198677744) % 2147483647) AS m1,
+        |  min((1520856342 * h + 298016616) % 2147483647) AS m2,
+        |  min((2027808456 * h + 397355488) % 2147483647) AS m3
+        |FROM hh GROUP BY doc_id""".stripMargin),
   )
 
   def queries: Seq[Q] = Seq(pairs, sigQ)

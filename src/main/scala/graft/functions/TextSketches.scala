@@ -26,6 +26,38 @@ object TextSketches {
   final val NumHashes = 64
   final val ShingleN = 3
 
+  // FNV-1a-style 64-bit fold — same constants as the multimodal stub
+  // decoder's checksum (MultimodalQueries.scala), because that pair is
+  // already replayed byte-for-byte by a DuckDB recursive CTE: any sketch
+  // built on this fold gets a hash-exact oracle, which xxhash64 (XXH64's
+  // rotate/lane mixing has no tractable SQL form) cannot. Production
+  // default stays XXH64 (Spark-native, bit-compatible with the SQL
+  // `xxhash64` function); FNV mode exists so the correctness gate can
+  // hash-check the FULL sketch pipeline, not just specs.
+  final val FnvBasis = 1469598103934665603L
+  final val FnvPrime = 1099511628211L
+  // universal-hash family for FNV-mode minhash slots, over the Mersenne
+  // prime 2^31-1: slot_j(h) = (a_j·(h mod p) + b_j) mod p with a_j, b_j
+  // derived from j by fixed multipliers — every operand stays < 2^62, so
+  // the same arithmetic runs overflow-free in BIGINT SQL.
+  final val P31 = 2147483647L
+  private val fnvA: Array[Long] =
+    Array.tabulate(NumHashes)(j => ((j + 1) * 2654435761L) % P31)
+  private val fnvB: Array[Long] =
+    Array.tabulate(NumHashes)(j => ((j + 1) * 2246822519L) % P31)
+
+  def fnv1a64(s: UTF8String): Long = {
+    if (s == null) return FnvBasis
+    val bytes = s.getBytes
+    var ck = FnvBasis
+    var i = 0
+    while (i < bytes.length) {
+      ck = (ck ^ (bytes(i) & 0xffL)) * FnvPrime // JVM wrapping mul = mod 2^64
+      i += 1
+    }
+    ck
+  }
+
   /** seeds(j) = XXH64(int j, 42) — the seed chain Spark's
     * xxhash64(lit(j), h) produces for the first argument.
     */
@@ -90,6 +122,71 @@ object TextSketches {
     new GenericArrayData(mins)
   }
 
+  /** simhash over space-separated tokens, FNV-mode: identical vote logic
+    * to [[simhash64]] with [[fnv1a64]] as the token hash — replayable in
+    * SQL (recursive-CTE byte fold), so the oracle checks the fingerprint
+    * itself, not just the pipeline around it.
+    */
+  def simhash64Fnv(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val tokens = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = fnv1a64(UTF8String.fromString(tokens(t)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** 64 minhashes over word-`ShingleN` shingles, FNV-mode: shingle hash
+    * is [[fnv1a64]] reduced mod 2^31-1, slot hashes are the (a_j, b_j)
+    * universal family above. Values live in [0, 2^31) — a narrower range
+    * than the XXH64 chain, irrelevant for min-sketch quality and exactly
+    * reproducible by BIGINT-only SQL arithmetic.
+    */
+  def minhashSigFnv(text: UTF8String): ArrayData = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    if (text != null) {
+      val words = text.toString.split(" ", -1)
+      val nShingles = math.max(words.length - ShingleN + 1, 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < nShingles) {
+        sb.setLength(0)
+        var k = 0
+        while (k < ShingleN) {
+          if (i + k < words.length) {
+            if (sb.length() > 0) sb.append(' ')
+            sb.append(words(i + k))
+          }
+          k += 1
+        }
+        val h = java.lang.Long.remainderUnsigned(
+          fnv1a64(UTF8String.fromString(sb.toString)), P31)
+        var j = 0
+        while (j < NumHashes) {
+          val hj = (fnvA(j) * h + fnvB(j)) % P31
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Distinct word n-gram shingles — value-compatible with the
     * `transform(sequence(...), concat_ws(...))` + `array_distinct`
     * column formulation, but a single JVM loop (higher-order array
@@ -129,6 +226,15 @@ object TextSketches {
   def minhash_signature(c: Column): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(c.cast("string"))))
 
+  def fnv1a(c: Column): Column =
+    Bridge.column(Fnv1a64Expr(Bridge.expression(c.cast("string"))))
+
+  def simhash_fnv(c: Column): Column =
+    Bridge.column(SimHashFnvExpr(Bridge.expression(c.cast("string"))))
+
+  def minhash_signature_fnv(c: Column): Column =
+    Bridge.column(MinHashSigFnvExpr(Bridge.expression(c.cast("string"))))
+
   def shingles(c: Column, n: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(c.cast("string")), n))
 }
@@ -152,6 +258,39 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextSketches.shingleArray($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.fnv1a64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHashFnvExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_fnv"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.simhash64Fnv(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.simhash64Fnv($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashSigFnvExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_fnv"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.minhashSigFnv(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.minhashSigFnv($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

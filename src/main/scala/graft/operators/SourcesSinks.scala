@@ -79,6 +79,36 @@ object SourcesSinks {
     None,
   )
 
+  /** Deterministic Bernoulli-style sampler: keep rows whose md5(key)
+    * prefix falls under the rate's hex threshold. Unlike seeded RNG
+    * sampling (engine- and partitioning-specific), membership is a pure
+    * function of the key — stable across engines, retries, repartitions
+    * and backfills, which is what a reproducible training-data pipeline
+    * actually needs (and it makes the sample hash-checkable cross-engine).
+    * Rate resolution is 1/16^8 ≈ 2.3e-10.
+    */
+  def deterministicSample(df: org.apache.spark.sql.DataFrame, key: String,
+      rate: Double): org.apache.spark.sql.DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    if (rate == 1.0) df // 2^32 is 9 hex chars — the < compare breaks there
+    else {
+      val threshold = f"${math.floor(rate * (1L << 32)).toLong}%08x"
+      df.filter(substring(md5(col(key).cast("string")), 1, 8) < threshold)
+    }
+  }
+
+  private val p7b = Q(
+    "p7b_deterministic_sample",
+    (s, d) => deterministicSample(Tables(s, d).orders, "o_orderkey", 0.1)
+      .select("o_orderkey"),
+    // same md5-prefix comparison verbatim — byte-wise ASCII compare on
+    // lowercase hex in both engines (floor(0.1·2^32) = 0x19999999)
+    Some(
+      """SELECT o_orderkey FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'"""
+        .stripMargin),
+  )
+
   private val s1 = Q(
     "s1_binary_listing_scan",
     (s, d) =>
@@ -92,5 +122,5 @@ object SourcesSinks {
     None, // filesystem metadata — rows-only check
   )
 
-  def all: Seq[Q] = Seq(s1, s5, s7, s9, p7)
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, p7, p7b)
 }

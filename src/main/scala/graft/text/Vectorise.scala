@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Vectorise {
 
-  def embed(docs: DataFrame, textCol: String, dim: Int = 64): DataFrame = {
+  /** `fnv = true` buckets with the repo's FNV-1a fold instead of XXH64 —
+    * same operator, but SQL-replayable so the registered query gets a
+    * hash-exact oracle. pmod-of-signed equals unsigned-mod only when
+    * `dim` divides 2^64, so FNV mode requires a power-of-two `dim`.
+    */
+  def embed(docs: DataFrame, textCol: String, dim: Int = 64,
+      fnv: Boolean = false): DataFrame = {
+    require(!fnv || (dim & (dim - 1)) == 0, s"fnv mode needs power-of-2 dim, got $dim")
     val keyCols = docs.columns.map(col).toIndexedSeq
+    val hashCol =
+      if (fnv) graft.functions.TextSketches.fnv1a(col("w"))
+      else xxhash64(col("w"))
     val tok = docs
       .withColumn("w", explode(split(col(textCol), " ")))
-      .withColumn("bucket", pmod(xxhash64(col("w")), lit(dim)))
+      .withColumn("bucket", pmod(hashCol, lit(dim)))
     val counts = (0 until dim).map(i =>
       sum(when(col("bucket") === i, 1).otherwise(0)).cast("double")
         .as(s"b$i"))
