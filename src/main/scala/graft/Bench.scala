@@ -69,6 +69,10 @@ object Bench {
     // round 3: new curation operators
     "t_domain_mixture",
     "t_crossdoc_ngram_dup",
+    "t_chunk_documents",
+    "t_unigram_logprob",
+    "t_corpus_shuffle",
+    "a17_table_profile",
   )
 
   def main(args: Array[String]): Unit = {

@@ -299,7 +299,136 @@ object Curation {
         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin),
   )
 
+  /** Overlapping token-window chunking (the RAG/embedding prep step):
+    * every document yields chunks of `chunkTokens` words starting at
+    * multiples of `stride` (stride < chunk ⇒ overlap). Pure map stage —
+    * sequence + posexplode + slice inside one codegen span, no shuffle,
+    * no UDF; output size is (1/stride) × corpus tokens regardless of
+    * document skew, so a 100 TB corpus chunks at scan speed.
+    */
+  private val chunk = Q(
+    "t_chunk_documents",
+    (s, d) => {
+      val C = 32
+      val S = 24
+      val words = org.apache.spark.sql.functions.split(col("text"), " ")
+      Tables(s, d).documents
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+            lit(S))).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("w"), col("start") + 1, lit(C)), " ").as("chunk"),
+          least(size(col("w")) - col("start"), lit(C)).as("n_tok"))
+    },
+    Some(
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |st AS (SELECT doc_id, w,
+        |         unnest(range(0, greatest(len(w) - 1, 0) + 1, 24)) AS start
+        |       FROM dd)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+        |  array_to_string(w[start+1:start+32], ' ') AS chunk,
+        |  CAST(least(len(w) - start, 32) AS INT) AS n_tok
+        |FROM st""".stripMargin),
+  )
+
+  /** Unigram-LM fluency score — the cheap corpus-statistics stand-in for
+    * a perplexity filter (KenLM-style model inference is out of engine
+    * scope): score(doc) = mean ln p(w) under the corpus unigram
+    * distribution. Two aggregates: the vocab frequency table (bounded by
+    * vocab size, not corpus size — Zipf makes this broadcastable even at
+    * 100 TB, cap to top-V + an OOV floor if it isn't) broadcast into the
+    * token scan, then a per-doc mean. Decimal-stable sum so the mean is
+    * partition-order-independent.
+    */
+  private val logprob = Q(
+    "t_unigram_logprob",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      val tok = docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      tok
+        .join(broadcast(freq), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(graft.util.Stable.dsum(
+            log(col("cnt").cast("double") / col("total").cast("double")), 6)
+            / count(lit(1)), 4).as("logprob"))
+    },
+    Some(
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         |tot AS (SELECT sum(cnt) AS total FROM freq)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  round(${graft.util.Stable.dsumSql(
+             "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))", 6)}
+         |    / count(*), 4) AS logprob
+         |FROM tok JOIN freq USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin),
+  )
+
+  /** Deterministic sharded corpus shuffle — the "global shuffle before
+    * training" step, without a global sort: shard = first hex digit of a
+    * salted key hash (16 shards), position = rank of the full hash within
+    * the shard. Each window sorts one shard (parallel, bounded memory);
+    * the concatenation shard 0..15 by position is a uniform pseudorandom
+    * permutation of the corpus, reproducible from the salt alone across
+    * engines, retries and repartitions.
+    */
+  private val shuffle = Q(
+    "t_corpus_shuffle",
+    (s, d) => {
+      val h = md5(concat(col("doc_id").cast("string"), lit(":42")))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      Tables(s, d).documents
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    },
+    Some(
+      """WITH h AS (
+        |  SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
+        |    AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+        |    ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h""".stripMargin),
+  )
+
+  /** Exact-count stratified sample: n docs per stratum, chosen by
+    * content-independent hash rank — the reproducible form of "sample k
+    * per domain". One window per stratum, sorts only within the stratum.
+    */
+  private val stratified = Q(
+    "t_stratified_sample",
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, d).documents
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select(col("doc_id"), col("source"), col("rk"))
+    },
+    Some(
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
-      mixture, crossdoc)
+      mixture, crossdoc, chunk, logprob, shuffle, stratified)
 }

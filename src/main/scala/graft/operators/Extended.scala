@@ -259,7 +259,82 @@ object Extended {
     None, // HLL implementation is engine-specific — spec-verified
   )
 
-  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16)
+  /** One-pass column profiler — the ANALYZE/data-quality-report surface
+    * (per-column null count, distinct count, min/max) in a single
+    * aggregate job over one scan. Numerics render through DECIMAL(18,2)
+    * so min/max strings are engine-portable. The multi-column exact
+    * countDistinct expands the scan ×4 (Spark's Expand operator); at
+    * 100 TB swap exact for approx_count_distinct per column (a16 covers
+    * the sketch) — the shape stays one job either way.
+    */
+  private val a17 = Q(
+    "a17_table_profile",
+    (s, d) => {
+      def decS(c: String) = col(c).cast("decimal(18,2)")
+      val agg = Tables(s, d).lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("q_null"),
+        countDistinct(col("l_quantity")).as("q_dist"),
+        min(decS("l_quantity")).cast("string").as("q_min"),
+        max(decS("l_quantity")).cast("string").as("q_max"),
+        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("e_null"),
+        countDistinct(col("l_extendedprice")).as("e_dist"),
+        min(decS("l_extendedprice")).cast("string").as("e_min"),
+        max(decS("l_extendedprice")).cast("string").as("e_max"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("r_null"),
+        countDistinct(col("l_returnflag")).as("r_dist"),
+        min(col("l_returnflag")).as("r_min"),
+        max(col("l_returnflag")).as("r_max"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("s_null"),
+        countDistinct(col("l_shipdate")).as("s_dist"),
+        min(col("l_shipdate")).cast("string").as("s_min"),
+        max(col("l_shipdate")).cast("string").as("s_max"))
+      agg.select(col("n_rows"), expr(
+        """stack(4,
+          |  'l_quantity', q_null, q_dist, q_min, q_max,
+          |  'l_extendedprice', e_null, e_dist, e_min, e_max,
+          |  'l_returnflag', r_null, r_dist, r_min, r_max,
+          |  'l_shipdate', s_null, s_dist, s_min, s_max)
+          |AS (col_name, n_null, n_distinct, min_val, max_val)""".stripMargin))
+        .select("col_name", "n_rows", "n_null", "n_distinct",
+          "min_val", "max_val")
+    },
+    Some(
+      """WITH s AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS q_null,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_dist,
+        |  CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS q_min,
+        |  CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS q_max,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS e_null,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS e_dist,
+        |  CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS e_min,
+        |  CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS e_max,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS r_null,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r_dist,
+        |  min(l_returnflag) AS r_min,
+        |  max(l_returnflag) AS r_max,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS s_null,
+        |  CAST(count(DISTINCT l_shipdate) AS BIGINT) AS s_dist,
+        |  CAST(min(l_shipdate) AS VARCHAR) AS s_min,
+        |  CAST(max(l_shipdate) AS VARCHAR) AS s_max
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n_rows, q_null AS n_null,
+        |  q_dist AS n_distinct, q_min AS min_val, q_max AS max_val FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows, e_null, e_dist, e_min, e_max FROM s
+        |UNION ALL
+        |SELECT 'l_returnflag', n_rows, r_null, r_dist, r_min, r_max FROM s
+        |UNION ALL
+        |SELECT 'l_shipdate', n_rows, s_null, s_dist, s_min, s_max FROM s"""
+        .stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(
