@@ -112,6 +112,43 @@ class PlanAuditSpec extends SparkSpec {
       "pair counting must be map-side combined")
   }
 
+  test("chunking is a pure map stage: zero shuffles, zero broadcasts") {
+    val p = plan("t_chunk_documents")
+    assert(shuffles(p) == 0, p.linesIterator.take(5).mkString("\n"))
+    assert(broadcasts(p) == 0)
+    assert(p.contains("Generate posexplode"), "chunk fanout stays codegen")
+  }
+
+  test("unigram logprob: vocab table broadcast into the token scan") {
+    val p = plan("t_unigram_logprob")
+    // freq + total both broadcast; shuffles = vocab agg + per-doc agg
+    assert(broadcasts(p) >= 2, "freq and total must broadcast")
+    assert(shuffles(p) <= 3, s"shuffles=${shuffles(p)}")
+  }
+
+  test("corpus shuffle + stratified sample: per-shard windows only") {
+    for (q <- Seq("t_corpus_shuffle", "t_stratified_sample")) {
+      val p = plan(q)
+      // exactly one exchange: the partitionBy(shard/stratum) for the
+      // window — never an all-to-one global sort
+      assert(shuffles(p) == 1, s"$q shuffles=${shuffles(p)}")
+      assert(!p.contains("SinglePartition"), s"$q must not serialise")
+    }
+  }
+
+  test("table profiler is one scan: a single aggregate job, no joins") {
+    val p = plan("a17_table_profile")
+    assert(!p.contains("Join"), "profiler must not self-join per column")
+    // one scan only (Expand replicates rows, not scans)
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("deterministic sampler pushes nothing but a scan + filter") {
+    val p = plan("p7b_deterministic_sample")
+    assert(shuffles(p) == 0)
+    assert(broadcasts(p) == 0)
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
