@@ -121,9 +121,10 @@ object KnnGraph {
 
   /** ANN kNN graph: IVF cell assignment as the blocking key — the
     * composition a big corpus actually runs (build the index once, block
-    * candidates by cell, exact rank within the cell). No SQL oracle (the
-    * centroid refinement is iterative); recall against the brute ceiling
-    * is pinned in KnnGraphSpec.
+    * candidates by cell, exact rank within the cell). Deterministic
+    * end-to-end (decimal-stable Lloyd step), so it is hash-checked
+    * against a full SQL replay; recall against the brute ceiling is
+    * additionally pinned in KnnGraphSpec.
     */
   def ivfKnnGraph(embeddings: DataFrame, k: Int, nlist: Int = 16,
       nassign: Int = 2): DataFrame =
@@ -134,7 +135,34 @@ object KnnGraph {
   private val qIvf = Q(
     "sim_knn_graph_ivf",
     (s, d) => ivfKnnGraph(Tables(s, d).embeddings, k = 5),
-    None, // iterative index build is not SQL-expressible; recall spec'd
+    // the index build is deterministic (decimal-stable Lloyd step, cid
+    // tiebreaks) so the full composition replays in SQL: index CTEs from
+    // SimilarityQueries, pair candidates = share ≥1 of the 2 assigned
+    // lists (DISTINCT mirrors TopKAgg's duplicate idempotence), rank by
+    // 4-dp cosine with id tiebreak, symmetrize via least/greatest
+    Some(
+      s"""WITH ${SimilarityQueries.ivfOracleCtes(dim = 64, nlist = 16,
+             nassign = 2)},
+         |pairs AS (
+         |  SELECT DISTINCT ia.vec_id AS src, ib.vec_id AS dst
+         |  FROM idx ia JOIN idx ib
+         |    ON ia.list_id = ib.list_id AND ia.vec_id <> ib.vec_id),
+         |scored AS (
+         |  SELECT p.src, p.dst,
+         |    round((${SimilarityQueries.dotSql("a.v", "b.v", 64)})
+         |      / (a.nrm * b.nrm), 4) AS cos
+         |  FROM pairs p JOIN en a ON p.src = a.vec_id
+         |               JOIN en b ON p.dst = b.vec_id),
+         |topk AS (
+         |  SELECT src, dst, cos FROM (
+         |    SELECT src, dst, cos,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY cos DESC, dst ASC) AS rn
+         |    FROM scored)
+         |  WHERE rn <= 5)
+         |SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst,
+         |  cos
+         |FROM topk""".stripMargin),
   )
 
   def queries: Seq[Q] = Seq(q, qBlocked, qIvf)

@@ -169,7 +169,13 @@ object SimilarityQueries {
     val refined = assigned0
       .select(col("cid"), posexplode(col("embedding")))
       .groupBy(col("cid"), col("pos"))
-      .agg(avg(col("col")).as("x"))
+      // decimal-stable mean (scale 9): the refined centroid is then a
+      // partition-order-INDEPENDENT function of the assignment — the
+      // index build is reproducible run-to-run on any cluster layout,
+      // and exactly replayable by the SQL oracle (a plain avg(double)
+      // reorders additions under partial aggregation)
+      .agg((graft.util.Stable.dsum(col("col").cast("double"), 9)
+        / count(lit(1))).as("x"))
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
       .select(col("cid"),
@@ -206,13 +212,92 @@ object SimilarityQueries {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** Explicit left-to-right 64-term dot product: SQL `+` is
+    * left-associative, so the fold order — and therefore every IEEE
+    * rounding step — matches [[graft.functions.VectorOps.dotArrays]]
+    * bit-for-bit.
+    */
+  private[similarity] def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  /** The IVF index build replayed in SQL, for the registered queries'
+    * oracles (the QUERY stays dim-agnostic; the oracle is generated for
+    * the test table's dimensionality). Yields CTEs `en(vec_id, v, nrm)`
+    * and `idx(vec_id, list_id)` + packed centroids `cn(cid, c, cn)`.
+    * Replayable because every stage is deterministic: seed centroids are
+    * the first `nlist` ids, the one Lloyd step uses the decimal-stable
+    * mean above, and assignment ties break on cid.
+    */
+  private[similarity] def ivfOracleCtes(dim: Int, nlist: Int,
+      nassign: Int): String = {
+    val dvv = dotSql("en.v", "s.c", dim)
+    val dvk = dotSql("en.v", "k.c", dim)
+    s"""en AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(${dotSql("(embedding::DOUBLE[])", "(embedding::DOUBLE[])", dim)}) AS nrm
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, v AS c, nrm AS cn FROM en
+       |          ORDER BY vec_id LIMIT $nlist),
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT en.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY -(($dvv) / (en.nrm * s.cn)), s.cid) AS rn
+       |    FROM en CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |rf AS (
+       |  SELECT a0.cid, p.pos,
+       |    CAST(sum(CAST(en.v[p.pos] AS DECIMAL(30,9))) AS DOUBLE)
+       |      / count(*) AS x
+       |  FROM a0 JOIN en USING (vec_id),
+       |       LATERAL (SELECT unnest(range(1, ${dim + 1})) AS pos) p
+       |  GROUP BY a0.cid, p.pos),
+       |cents AS (SELECT cid, list(x ORDER BY pos) AS c FROM rf GROUP BY cid),
+       |cn AS (SELECT cid, c, sqrt(${dotSql("c", "c", dim)}) AS cn
+       |       FROM cents),
+       |idx AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT en.vec_id, k.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY -(($dvk) / (en.nrm * k.cn)), k.cid) AS rn
+       |    FROM en CROSS JOIN cn k)
+       |  WHERE rn <= $nassign)""".stripMargin
+  }
+
   private val ivf = Q(
     "ann_ivf_topk",
     (s, d) => {
       val e = Tables(s, d).embeddings
       ivfTopK(e, e.filter(col("vec_id") < 10), 5)
     },
-    None, // approximate — recall vs brute force asserted in AnnSpec
+    // approximate vs brute force (recall pinned in AnnSpec) but fully
+    // DETERMINISTIC end-to-end, so the whole index build + probe replays
+    // in SQL: membership only flips if two centroids tie to ~1 ulp, and
+    // the output rank orders by 4-dp-rounded cosine with id tiebreak
+    Some(
+      s"""WITH ${ivfOracleCtes(dim = 64, nlist = 16, nassign = 1)},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS list_id FROM (
+         |    SELECT en.vec_id, k.cid,
+         |      row_number() OVER (PARTITION BY en.vec_id
+         |        ORDER BY -((${dotSql("en.v", "k.c", 64)}) / (en.nrm * k.cn)),
+         |          k.cid) AS rn
+         |    FROM en CROSS JOIN cn k WHERE en.vec_id < 10)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+         |  FROM probes p JOIN idx i USING (list_id)
+         |  WHERE i.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round((${dotSql("q.v", "n.v", 64)}) / (q.nrm * n.nrm), 4) AS cos
+         |  FROM cand c JOIN en q ON c.query_id = q.vec_id
+         |              JOIN en n ON c.neighbor_id = n.vec_id)
+         |SELECT query_id, neighbor_id, cos, rn FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin),
   )
 
   private val quantized = Q(
