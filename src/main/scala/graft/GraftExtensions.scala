@@ -33,6 +33,9 @@ object GraftFunctions {
     "rolling_hash" -> (exprs => RollingHashExpr(exprs.head)),
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "minhash_signature" -> (exprs => MinHashSigExpr(exprs.head)),
+    "fnv1a64" -> (exprs => Fnv1a64Expr(exprs.head)),
+    "simhash64_fnv" -> (exprs => SimHashFnvExpr(exprs.head)),
+    "minhash_signature_fnv" -> (exprs => MinHashSigFnvExpr(exprs.head)),
     "shingles" -> (exprs => ShinglesExpr(exprs.head,
       exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3))),
     "sorted_shingle_hashes" -> (exprs =>

@@ -60,5 +60,47 @@ object DedupClusters {
         |FROM walk GROUP BY id""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q)
+  /** The deliverable the pipeline exists for: the corpus with near-dup
+    * clusters collapsed to their exemplar — exemplars and never-matched
+    * docs survive, flagged duplicates drop. Anti-join against the cached
+    * cluster table, so the CC loop is shared with every other consumer.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    docs.join(
+      clusters(docs, threshold).filter(col("is_duplicate"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  private val corpusQ = Q(
+    "d_dedup_corpus",
+    (s, d) => dedupCorpus(Tables(s, d).documents, 0.8)
+      .select("doc_id", "n_chars"),
+    Some(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2]))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+        |dups AS (
+        |  SELECT id FROM walk GROUP BY id HAVING id <> min(comp))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM dups)""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, corpusQ)
 }

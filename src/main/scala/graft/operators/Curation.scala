@@ -428,7 +428,62 @@ object Curation {
         |WHERE rk <= 25""".stripMargin),
   )
 
+  /** Chunk-level exact dedup with reassembly (the C4-style "remove
+    * repeated spans corpus-wide, keep the rest of the document" pass):
+    * split each doc into non-overlapping token chunks, keep only the
+    * globally FIRST occurrence of each distinct chunk (by (doc_id,
+    * chunk_id) — deterministic), rebuild documents from their surviving
+    * chunks in order. Docs made entirely of boilerplate vanish.
+    *
+    * Scale shape: chunking is the zero-shuffle map above; first-
+    * occurrence is one window keyed by chunk hash (high cardinality —
+    * parallel); reassembly is one doc-keyed aggregate. Nothing pairwise.
+    */
+  private val chunkDedup = Q(
+    "t_chunk_dedup_reassemble",
+    (s, d) => {
+      val C = 32
+      val words = org.apache.spark.sql.functions.split(col("text"), " ")
+      val chunks = Tables(s, d).documents
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+            lit(C))).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("w"), col("start") + 1, lit(C)), " ")
+            .as("chunk"))
+      val firsts = chunks
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(col("chunk")))
+            .orderBy(col("doc_id"), col("chunk_id"))))
+        .filter(col("rk") === 1)
+      firsts.groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            c => c.getField("chunk")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+    },
+    Some(
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |st AS (SELECT doc_id, w,
+        |         unnest(range(0, greatest(len(w) - 1, 0) + 1, 32)) AS start
+        |       FROM dd),
+        |ch AS (SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
+        |         array_to_string(w[start+1:start+32], ' ') AS chunk
+        |       FROM st),
+        |fo AS (SELECT doc_id, chunk_id, chunk,
+        |         row_number() OVER (PARTITION BY md5(chunk)
+        |                            ORDER BY doc_id, chunk_id) AS rk
+        |       FROM ch)
+        |SELECT doc_id,
+        |  string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM fo WHERE rk = 1 GROUP BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
-      mixture, crossdoc, chunk, logprob, shuffle, stratified)
+      mixture, crossdoc, chunk, logprob, shuffle, stratified, chunkDedup)
 }

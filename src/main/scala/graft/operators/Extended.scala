@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -259,45 +260,41 @@ object Extended {
     None, // HLL implementation is engine-specific — spec-verified
   )
 
-  /** One-pass column profiler — the ANALYZE/data-quality-report surface
-    * (per-column null count, distinct count, min/max) in a single
-    * aggregate job over one scan. Numerics render through DECIMAL(18,2)
-    * so min/max strings are engine-portable. The multi-column exact
-    * countDistinct expands the scan ×4 (Spark's Expand operator); at
-    * 100 TB swap exact for approx_count_distinct per column (a16 covers
-    * the sketch) — the shape stays one job either way.
+  /** Column profiler — the ANALYZE/data-quality-report surface
+    * (per-column null count, distinct count, min/max), one column-pruned
+    * scan per column unioned into a long-format report. In a column
+    * store, N scans of 1 column read the same bytes as 1 scan of N
+    * columns — and this shape avoids both pathologies of the flat
+    * multi-countDistinct aggregate: the ×N Expand of every row, and the
+    * SortAggregate a string min/max forces on the whole node (measured
+    * 7.9 s vs 0.9 s at sf0.1). Per column: `groupBy(value)` is a
+    * map-side-combined hash aggregate whose shuffle is bounded by the
+    * column's distinct cardinality; nulls/total come off the same
+    * grouped frame, and min/max sort only the distinct values (3 rows
+    * for a flag column), never the table.
     */
   private val a17 = Q(
     "a17_table_profile",
     (s, d) => {
-      def decS(c: String) = col(c).cast("decimal(18,2)")
-      val agg = Tables(s, d).lineitem.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("q_null"),
-        countDistinct(col("l_quantity")).as("q_dist"),
-        min(decS("l_quantity")).cast("string").as("q_min"),
-        max(decS("l_quantity")).cast("string").as("q_max"),
-        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("e_null"),
-        countDistinct(col("l_extendedprice")).as("e_dist"),
-        min(decS("l_extendedprice")).cast("string").as("e_min"),
-        max(decS("l_extendedprice")).cast("string").as("e_max"),
-        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("r_null"),
-        countDistinct(col("l_returnflag")).as("r_dist"),
-        min(col("l_returnflag")).as("r_min"),
-        max(col("l_returnflag")).as("r_max"),
-        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("s_null"),
-        countDistinct(col("l_shipdate")).as("s_dist"),
-        min(col("l_shipdate")).cast("string").as("s_min"),
-        max(col("l_shipdate")).cast("string").as("s_max"))
-      agg.select(col("n_rows"), expr(
-        """stack(4,
-          |  'l_quantity', q_null, q_dist, q_min, q_max,
-          |  'l_extendedprice', e_null, e_dist, e_min, e_max,
-          |  'l_returnflag', r_null, r_dist, r_min, r_max,
-          |  'l_shipdate', s_null, s_dist, s_min, s_max)
-          |AS (col_name, n_null, n_distinct, min_val, max_val)""".stripMargin))
-        .select("col_name", "n_rows", "n_null", "n_distinct",
-          "min_val", "max_val")
+      def profile(name: String, minMax: Column => Column): DataFrame = {
+        val g = Tables(s, d).lineitem
+          .groupBy(col(name).as("v")).agg(count(lit(1)).as("cnt"))
+        g.agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          minMax(min(col("v"))).as("min_val"),
+          minMax(max(col("v"))).as("max_val"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }
+      def dec2(c: Column) = c.cast("decimal(18,2)").cast("string")
+      def str(c: Column) = c.cast("string")
+      profile("l_quantity", dec2)
+        .unionByName(profile("l_extendedprice", dec2))
+        .unionByName(profile("l_returnflag", str))
+        .unionByName(profile("l_shipdate", str))
     },
     Some(
       """WITH s AS (SELECT

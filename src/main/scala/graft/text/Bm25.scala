@@ -34,6 +34,8 @@ object Bm25 {
     // the whole tokenize+score pipeline runs at the file count's
     // parallelism (measured: a 1.1s single-task stage at sf0.1)
     val base = docs
+      .select(col("doc_id"), col("text")) // prune before the exchange:
+      // the widening repartition should move two columns, not the table
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), words.as("w"), size(words).as("dl"))
 

@@ -38,11 +38,11 @@ object Scratch {
           }
         }
       })
-    val tfidfQ = graft.Registry.byName("dom_surface_forms_tfidf")
-    time("warmup build")(
-      graft.Registry.byName("dom_surface_forms_build").run(spark, d).count())
-    (1 to 3).foreach { i =>
-      time(s"tfidf run $i")(tfidfQ.run(spark, d).count())
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("a17_table_profile", "t_bm25_topk")
+    names.foreach { n =>
+      val q = graft.Registry.byName(n)
+      (1 to 3).foreach(i => time(s"$n run $i")(q.run(spark, d).count()))
     }
     spark.stop()
   }

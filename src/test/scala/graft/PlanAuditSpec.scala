@@ -136,11 +136,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("table profiler is one scan: a single aggregate job, no joins") {
+  test("table profiler: column-pruned scans, hash-agg distinct, no Expand") {
     val p = plan("a17_table_profile")
     assert(!p.contains("Join"), "profiler must not self-join per column")
-    // one scan only (Expand replicates rows, not scans)
-    assert("FileScan parquet".r.findAllIn(p).length == 1)
+    // one scan per profiled column, each pruned to exactly that column —
+    // byte-equal to a single 4-column scan in a column store
+    assert("FileScan parquet".r.findAllIn(p).length == 4)
+    assert("ReadSchema: struct<l_[a-z]+:[a-z_0-9()]+>".r.findAllIn(p).length == 4,
+      "each scan must read exactly one column")
+    // no multi-distinct Expand, and no SortAggregate over table rows —
+    // the string min/max sorts only the already-distinct values
+    assert(!p.contains("Expand"), "no multi-countDistinct row expansion")
   }
 
   test("deterministic sampler pushes nothing but a scan + filter") {
