@@ -168,5 +168,30 @@ object ScalarFns {
         |  FROM orders GROUP BY 1)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(f1, f3, f4, f8, f10, f11, f12, f14)
+  /** JSON path extraction over a string column — the semi-structured
+    * surface (the reference stores JSON chunks in S3 and dict payloads in
+    * ORM columns; an engine needs the column-level form). Both the
+    * untyped path getter and the schema'd parse, codegen'd map stages.
+    */
+  private val f15 = Q(
+    "f15_json_extract",
+    (s, d) => {
+      val schema = "k INT"
+      Tables(s, d).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType
+            .fromDDL(schema)).getField("k").as("k_typed"))
+        .filter(col("k_path") > 50)
+    },
+    Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_typed
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50"""
+        .stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(f1, f3, f4, f8, f10, f11, f12, f14, f15)
 }

@@ -331,7 +331,42 @@ object Extended {
         .stripMargin),
   )
 
-  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17)
+  /** Pivot (long→wide reshaping): per-day event counts fanned into one
+    * column per event type. The pivot values are DECLARED, which is the
+    * scale discipline — an undeclared pivot runs an extra distinct job
+    * over the pivot column and can blow the column budget; a declared one
+    * is a single hash aggregate with conditional counts, one shuffle.
+    */
+  private val a18 = Q(
+    "a18_pivot",
+    (s, d) =>
+    {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables(s, d).events
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // a (day, type) cell with no rows pivots to NULL; the relational
+      // reading (and the oracle's conditional sum) is 0
+      wide.select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+    Some(
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17, a18)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(
