@@ -23,7 +23,11 @@ object Explain {
       "w1_sliding_window_stock", "d_minhash_lsh_pairs",
       // round 3: reworked plans worth re-auditing after any edit
       "dom_surface_forms_tfidf", "d_ngram_jaccard_pairs",
-      "sim_knn_graph_blocked", "t_bm25_topk")
+      "sim_knn_graph_blocked", "t_bm25_topk",
+      // round-3 additions
+      "t_chunk_documents", "t_unigram_logprob", "t_corpus_shuffle",
+      "t_chunk_dedup_reassemble", "a17_table_profile", "a18_pivot",
+      "d_dedup_corpus", "ann_ivf_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = Registry.byName(n).run(spark, "/root/testdata/sf0.01")
