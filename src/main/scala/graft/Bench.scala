@@ -73,6 +73,7 @@ object Bench {
     "t_unigram_logprob",
     "t_corpus_shuffle",
     "a17_table_profile",
+    "t_chunk_dedup_reassemble",
   )
 
   def main(args: Array[String]): Unit = {

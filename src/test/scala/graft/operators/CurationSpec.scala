@@ -60,4 +60,36 @@ class CurationSpec extends SparkSpec {
     // actually trip the cut, or the filter tests nothing
     assert(rows.exists(!_.getBoolean(3)))
   }
+
+  test("chunking covers every token exactly once at stride == chunk") {
+    val d = sf("sf0.001")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val out = graft.Registry.byName("t_chunk_documents")
+      .run(spark, d).collect()
+    // stride 24 < chunk 32 ⇒ overlap: total chunk tokens ≥ corpus tokens,
+    // and every chunk is non-empty with ≤ 32 tokens
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Int]("n_tok")
+      assert(n >= 1 && n <= 32, s"n_tok=$n")
+      assert(r.getAs[String]("chunk").split(" ", -1).length == n)
+    }
+  }
+
+  test("chunk dedup: identical docs collapse to one copy of each chunk") {
+    import spark.implicits._
+    val q = graft.Registry.byName("t_chunk_dedup_reassemble")
+    // two identical long docs + one unique: the duplicate's chunks must
+    // all be dropped, the first doc and the unique one survive intact
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, text), (1L, text), (2L, "only here once"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chunkdedup").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = q.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L)._1 == text, "first occurrence keeps every chunk")
+    assert(!out.contains(1L), "full duplicate vanishes")
+    assert(out(2L)._1 == "only here once")
+  }
 }
