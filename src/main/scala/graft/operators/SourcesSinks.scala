@@ -79,6 +79,21 @@ object SourcesSinks {
     None,
   )
 
+  private val s13 = Q(
+    "s13_orc_roundtrip",
+    (s, d) => {
+      // second columnar format: ORC write → read-back (spark-sql
+      // built-in; same pushdown/pruning machinery as parquet). A user
+      // switching warehouses keeps the whole query surface.
+      val out = tmp("s13_orc")
+      Tables(s, d).part
+        .select("p_partkey", "p_name", "p_retailprice")
+        .write.mode(SaveMode.Overwrite).orc(out)
+      s.read.orc(out)
+    },
+    Some("SELECT p_partkey, p_name, p_retailprice FROM part"),
+  )
+
   /** Deterministic Bernoulli-style sampler: keep rows whose md5(key)
     * prefix falls under the rate's hex threshold. Unlike seeded RNG
     * sampling (engine- and partitioning-specific), membership is a pure
@@ -122,5 +137,5 @@ object SourcesSinks {
     None, // filesystem metadata — rows-only check
   )
 
-  def all: Seq[Q] = Seq(s1, s5, s7, s9, p7, p7b)
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, p7, p7b)
 }
