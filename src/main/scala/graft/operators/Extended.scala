@@ -366,7 +366,106 @@ object Extended {
         |FROM events GROUP BY 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17, a18)
+  /** Banded fuzzy string join (approximate entity matching): candidate
+    * pairs share a blocking key (here the head noun — an equi join, so
+    * the pair space is Σ|block|², never n²) and survive an edit-distance
+    * verify. The same shape as every similarity join in the engine:
+    * block first, verify exactly, never go quadratic.
+    */
+  private val j13 = Q(
+    "j13_fuzzy_name_join",
+    (s, d) => {
+      val p = Tables(s, d).part.select(col("p_partkey"), col("p_name"),
+        element_at(org.apache.spark.sql.functions.split(col("p_name"), " "),
+          -1).as("noun"))
+      p.alias("a")
+        .join(p.alias("b"),
+          col("a.noun") === col("b.noun") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("dist",
+          levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("dist") <= 3)
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("dist"))
+    },
+    Some(
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin),
+  )
+
+  /** Fixed-width histogram — binning as pure column arithmetic (no stats
+    * pass, no sampling): one hash aggregate keyed by bucket. Totals go
+    * through the decimal-stable sum so they are partition-order-
+    * independent and engine-identical.
+    */
+  private val a19 = Q(
+    "a19_histogram",
+    (s, d) =>
+      Tables(s, d).lineitem
+        .select(floor(col("l_extendedprice") / 5000).cast("int").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          graft.util.Stable.dsum(col("l_extendedprice"), 2).as("total")),
+    Some(
+      s"""SELECT CAST(floor(l_extendedprice / 5000) AS INT) AS bucket,
+         |  count(*) AS n,
+         |  ${graft.util.Stable.dsumSql("l_extendedprice", 2)} AS total
+         |FROM lineitem GROUP BY 1""".stripMargin),
+  )
+
+  /** Pearson correlation + population covariance from exact decimal
+    * moments: the five sums are order-independent (decimal addends), and
+    * the final combination is one fixed double expression mirrored
+    * verbatim by the oracle — so a STATISTICAL aggregate hash-matches
+    * across engines, which `corr()`/`covar_pop()` (streaming-update
+    * implementations, accumulation-order-dependent) cannot.
+    */
+  private val a20 = Q(
+    "a20_corr_moments",
+    (s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      import graft.util.Stable.dsum
+      Tables(s, d).lineitem
+        .agg(count(lit(1)).as("n"), dsum(x, 4).as("sx"), dsum(y, 4).as("sy"),
+          dsum(x * y, 4).as("sxy"), dsum(x * x, 4).as("sxx"),
+          dsum(y * y, 4).as("syy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n").cast("double") * col("n")), 6).as("covar_pop"))
+    },
+    Some {
+      import graft.util.Stable.dsumSql
+      val sx = dsumSql("l_quantity", 4)
+      val sy = dsumSql("l_extendedprice", 4)
+      val sxy = dsumSql("l_quantity * l_extendedprice", 4)
+      val sxx = dsumSql("l_quantity * l_quantity", 4)
+      val syy = dsumSql("l_extendedprice * l_extendedprice", 4)
+      s"""SELECT n,
+         |  round((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         |    AS corr_qty_price,
+         |  round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6)
+         |    AS covar_pop
+         |FROM (SELECT count(*) AS n, $sx AS sx, $sy AS sy, $sxy AS sxy,
+         |        $sxx AS sxx, $syy AS syy
+         |      FROM lineitem)""".stripMargin
+    },
+  )
+
+  def all: Seq[Q] =
+    Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17, a18, j13, a19, a20)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

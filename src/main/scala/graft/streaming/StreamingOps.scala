@@ -273,5 +273,48 @@ object StreamingOps {
         |FROM orders GROUP BY 1""".stripMargin),
   )
 
-  def queries: Seq[graft.Q] = Seq(w1Parity, exemplarParity, countsParity)
+  /** Stream-stream inner join with event-time bounds — the last
+    * Structured Streaming surface the engine lacked a CORRECTNESS row
+    * for. Both sides carry watermarks and the join condition bounds the
+    * event-time gap, so each side's state is evictable (bounded by
+    * lifespan × arrival rate, not stream length). Drained with
+    * AvailableNow, the result must equal the batch join — which is
+    * exactly what the oracle SQL states.
+    */
+  def streamJoin(orders: DataFrame, items: DataFrame,
+      maxLag: String = "90 days"): DataFrame =
+    orders.withWatermark("o_ts", maxLag)
+      .join(items.withWatermark("l_ts", maxLag),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_ts") >= col("o_ts") &&
+          col("l_ts") <= col("o_ts") + expr(s"INTERVAL $maxLag"),
+        "inner")
+
+  private val joinParity = graft.Q(
+    "w8_streaming_join_parity",
+    (s, d) => {
+      // parquet timestamps read as NTZ; watermarks require TIMESTAMP —
+      // same instant under the UTC session the engine pins
+      val os = spooledStream(s, s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
+      val ls = spooledStream(s, s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").as("l_ts"))
+      val name = sinkName("w8p_")
+      runToMemory(
+        streamJoin(os, ls).select(col("o_orderkey"), col("l_linenumber"),
+          col("l_ts").cast("date").as("ship_day")),
+        name, OutputMode.Append())
+      s.table(name)
+    },
+    Some(
+      """SELECT o_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY""".stripMargin),
+  )
+
+  def queries: Seq[graft.Q] =
+    Seq(w1Parity, exemplarParity, countsParity, joinParity)
 }
