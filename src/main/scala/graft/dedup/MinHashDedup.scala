@@ -179,29 +179,11 @@ object MinHashDedup {
     // a_j = ((j+1)·2654435761) mod p, b_j = ((j+1)·2246822519) mod p,
     // p = 2^31-1, inlined below for j = 0..3
     Some(
-      """WITH RECURSIVE
-        |dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sl AS (SELECT doc_id,
-        |         list_transform(range(greatest(len(w) - 2, 1)),
-        |                        i -> array_to_string(w[i+1:i+3], ' ')) AS sh
-        |       FROM dd),
-        |si AS (SELECT doc_id, sh, unnest(range(len(sh))) AS i FROM sl),
-        |sg AS (SELECT doc_id, i, sh[i+1] AS t FROM si),
-        |f(doc_id, i, ci, ck) AS (
-        |  SELECT doc_id, i, 0, CAST('1469598103934665603' AS HUGEINT) FROM sg
-        |  UNION ALL
-        |  SELECT f.doc_id, f.i, f.ci + 1,
-        |    ((f.ck // 256) * 256
-        |      + xor(CAST(f.ck % 256 AS BIGINT),
-        |            CAST(ord(substr(t.t, f.ci + 1, 1)) AS BIGINT)))
-        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  FROM f JOIN sg t ON f.doc_id = t.doc_id AND f.i = t.i
-        |  WHERE f.ci < strlen(t.t)),
+      s"""WITH RECURSIVE
+        |${graft.functions.OracleSql.shingleItems("documents")},
+        |${graft.functions.OracleSql.fnvFold("sg")},
         |hh AS (
-        |  SELECT f.doc_id,
-        |    CAST(CAST(f.ck AS UBIGINT) % 2147483647 AS BIGINT) AS h
-        |  FROM f JOIN sg t ON f.doc_id = t.doc_id AND f.i = t.i
-        |  WHERE f.ci = strlen(t.t))
+        |  SELECT doc_id, CAST(h % 2147483647 AS BIGINT) AS h FROM done)
         |SELECT doc_id,
         |  min((506952114 * h + 99338872) % 2147483647) AS m0,
         |  min((1013904228 * h + 198677744) % 2147483647) AS m1,

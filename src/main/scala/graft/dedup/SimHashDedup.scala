@@ -105,23 +105,8 @@ object SimHashDedup {
     * CTE (doc_id, text) to fingerprint; yields `fp(doc_id, ufp UBIGINT)`.
     */
   private def fnvFingerprintCtes(src: String): String =
-    s"""dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
-       |ti AS (SELECT doc_id, w, unnest(range(len(w))) AS i FROM dd),
-       |tok AS (SELECT doc_id, i, w[i+1] AS t FROM ti),
-       |f(doc_id, i, ci, ck) AS (
-       |  SELECT doc_id, i, 0, CAST('1469598103934665603' AS HUGEINT) FROM tok
-       |  UNION ALL
-       |  SELECT f.doc_id, f.i, f.ci + 1,
-       |    ((f.ck // 256) * 256
-       |      + xor(CAST(f.ck % 256 AS BIGINT),
-       |            CAST(ord(substr(t.t, f.ci + 1, 1)) AS BIGINT)))
-       |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-       |  FROM f JOIN tok t ON f.doc_id = t.doc_id AND f.i = t.i
-       |  WHERE f.ci < strlen(t.t)),
-       |done AS (
-       |  SELECT f.doc_id, f.i, CAST(f.ck AS UBIGINT) AS h
-       |  FROM f JOIN tok t ON f.doc_id = t.doc_id AND f.i = t.i
-       |  WHERE f.ci = strlen(t.t)),
+    s"""${graft.functions.OracleSql.tokenItems(src)},
+       |${graft.functions.OracleSql.fnvFold("tok")},
        |bits AS (SELECT doc_id, h, unnest(range(64)) AS b FROM done),
        |votes AS (
        |  SELECT doc_id, b,

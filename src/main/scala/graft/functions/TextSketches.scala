@@ -46,6 +46,27 @@ object TextSketches {
   private val fnvB: Array[Long] =
     Array.tabulate(NumHashes)(j => ((j + 1) * 2246822519L) % P31)
 
+  /** One shingle of up to `n` words from `i`, joined with single spaces —
+    * exactly `concat_ws(' ', w[i], …)` / `array_to_string(w[i+1:i+n])`
+    * semantics: words past the end are skipped, but EMPTY words (from
+    * consecutive/leading separators) keep their separator, so "a  b"
+    * shingles to "a  b", not "a b". The position-based guard matters:
+    * a buffer-emptiness guard silently eats the separator after an
+    * empty first word and breaks hash parity with the SQL oracles.
+    */
+  private def buildShingle(sb: java.lang.StringBuilder, words: Array[String],
+      i: Int, n: Int): Unit = {
+    sb.setLength(0)
+    var k = 0
+    while (k < n) {
+      if (i + k < words.length) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+      }
+      k += 1
+    }
+  }
+
   def fnv1a64(s: UTF8String): Long = {
     if (s == null) return FnvBasis
     val bytes = s.getBytes
@@ -99,16 +120,7 @@ object TextSketches {
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i < nShingles) {
-        sb.setLength(0)
-        var k = 0
-        while (k < ShingleN) {
-          // concat_ws semantics: skip missing words past the end
-          if (i + k < words.length) {
-            if (sb.length() > 0) sb.append(' ')
-            sb.append(words(i + k))
-          }
-          k += 1
-        }
+        buildShingle(sb, words, i, ShingleN)
         val h = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), XxSeed)
         var j = 0
         while (j < NumHashes) {
@@ -164,15 +176,7 @@ object TextSketches {
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i < nShingles) {
-        sb.setLength(0)
-        var k = 0
-        while (k < ShingleN) {
-          if (i + k < words.length) {
-            if (sb.length() > 0) sb.append(' ')
-            sb.append(words(i + k))
-          }
-          k += 1
-        }
+        buildShingle(sb, words, i, ShingleN)
         val h = java.lang.Long.remainderUnsigned(
           fnv1a64(UTF8String.fromString(sb.toString)), P31)
         var j = 0
@@ -201,15 +205,7 @@ object TextSketches {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < nShingles) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (i + k < words.length) {
-          if (sb.length() > 0) sb.append(' ')
-          sb.append(words(i + k))
-        }
-        k += 1
-      }
+      buildShingle(sb, words, i, n)
       seen.add(sb.toString)
       i += 1
     }

@@ -306,31 +306,43 @@ object Curation {
     * no UDF; output size is (1/stride) × corpus tokens regardless of
     * document skew, so a 100 TB corpus chunks at scan speed.
     */
+  /** Shared chunk fan-out: chunks of `chunk` words starting at multiples
+    * of `stride` → (doc_id, chunk_id, chunk, n_tok). One codegen span,
+    * no shuffle. The SQL twin below must stay in lockstep.
+    */
+  private def chunkStage(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    val words = org.apache.spark.sql.functions.split(col("text"), " ")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("w"), col("start") + 1, lit(chunk)), " ")
+          .as("chunk"),
+        least(size(col("w")) - col("start"), lit(chunk)).as("n_tok"))
+  }
+
+  /** SQL twin of [[chunkStage]]: CTEs yielding `ch(doc_id, chunk_id,
+    * chunk, n_tok)` over `documents`.
+    */
+  private def chunkCtes(chunk: Int, stride: Int): String =
+    s"""dd AS (SELECT doc_id, string_split(text, ' ') AS w
+       |            FROM documents),
+       |st AS (SELECT doc_id, w,
+       |         unnest(range(0, greatest(len(w) - 1, 0) + 1, $stride)) AS start
+       |       FROM dd),
+       |ch AS (SELECT doc_id, CAST(start // $stride AS INT) AS chunk_id,
+       |         array_to_string(w[start+1:start+$chunk], ' ') AS chunk,
+       |         CAST(least(len(w) - start, $chunk) AS INT) AS n_tok
+       |       FROM st)""".stripMargin
+
   private val chunk = Q(
     "t_chunk_documents",
-    (s, d) => {
-      val C = 32
-      val S = 24
-      val words = org.apache.spark.sql.functions.split(col("text"), " ")
-      Tables(s, d).documents
-        .select(col("doc_id"), words.as("w"))
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
-            lit(S))).as(Seq("chunk_id", "start")))
-        .select(col("doc_id"), col("chunk_id"),
-          array_join(slice(col("w"), col("start") + 1, lit(C)), " ").as("chunk"),
-          least(size(col("w")) - col("start"), lit(C)).as("n_tok"))
-    },
+    (s, d) => chunkStage(Tables(s, d).documents, chunk = 32, stride = 24),
     Some(
-      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents),
-        |st AS (SELECT doc_id, w,
-        |         unnest(range(0, greatest(len(w) - 1, 0) + 1, 24)) AS start
-        |       FROM dd)
-        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
-        |  array_to_string(w[start+1:start+32], ' ') AS chunk,
-        |  CAST(least(len(w) - start, 32) AS INT) AS n_tok
-        |FROM st""".stripMargin),
+      s"""WITH ${chunkCtes(chunk = 32, stride = 24)}
+        |SELECT doc_id, chunk_id, chunk, n_tok FROM ch""".stripMargin),
   )
 
   /** Unigram-LM fluency score — the cheap corpus-statistics stand-in for
@@ -442,17 +454,7 @@ object Curation {
   private val chunkDedup = Q(
     "t_chunk_dedup_reassemble",
     (s, d) => {
-      val C = 32
-      val words = org.apache.spark.sql.functions.split(col("text"), " ")
-      val chunks = Tables(s, d).documents
-        .select(col("doc_id"), words.as("w"))
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
-            lit(C))).as(Seq("chunk_id", "start")))
-        .select(col("doc_id"), col("chunk_id"),
-          array_join(slice(col("w"), col("start") + 1, lit(C)), " ")
-            .as("chunk"))
-      val firsts = chunks
+      val firsts = chunkStage(Tables(s, d).documents, chunk = 32, stride = 32)
         .withColumn("rk", row_number().over(
           Window.partitionBy(md5(col("chunk")))
             .orderBy(col("doc_id"), col("chunk_id"))))
@@ -465,14 +467,7 @@ object Curation {
           count(lit(1)).as("n_kept"))
     },
     Some(
-      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents),
-        |st AS (SELECT doc_id, w,
-        |         unnest(range(0, greatest(len(w) - 1, 0) + 1, 32)) AS start
-        |       FROM dd),
-        |ch AS (SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
-        |         array_to_string(w[start+1:start+32], ' ') AS chunk
-        |       FROM st),
+      s"""WITH ${chunkCtes(chunk = 32, stride = 32)},
         |fo AS (SELECT doc_id, chunk_id, chunk,
         |         row_number() OVER (PARTITION BY md5(chunk)
         |                            ORDER BY doc_id, chunk_id) AS rk

@@ -194,26 +194,12 @@ object Extended {
     // FNV-mode hashing trick: bucket = fnv1a(word) mod 16 replayed by the
     // recursive-CTE byte fold, then the L2 norm in plain SQL arithmetic
     Some(
-      """WITH RECURSIVE
-        |dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |ti AS (SELECT doc_id, w, unnest(range(len(w))) AS i FROM dd),
-        |tok AS (SELECT doc_id, i, w[i+1] AS t FROM ti),
-        |f(doc_id, i, ci, ck) AS (
-        |  SELECT doc_id, i, 0, CAST('1469598103934665603' AS HUGEINT) FROM tok
-        |  UNION ALL
-        |  SELECT f.doc_id, f.i, f.ci + 1,
-        |    ((f.ck // 256) * 256
-        |      + xor(CAST(f.ck % 256 AS BIGINT),
-        |            CAST(ord(substr(t.t, f.ci + 1, 1)) AS BIGINT)))
-        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  FROM f JOIN tok t ON f.doc_id = t.doc_id AND f.i = t.i
-        |  WHERE f.ci < strlen(t.t)),
-        |done AS (
-        |  SELECT f.doc_id, CAST(CAST(f.ck AS UBIGINT) % 16 AS BIGINT) AS bucket
-        |  FROM f JOIN tok t ON f.doc_id = t.doc_id AND f.i = t.i
-        |  WHERE f.ci = strlen(t.t)),
+      s"""WITH RECURSIVE
+        |${graft.functions.OracleSql.tokenItems("documents")},
+        |${graft.functions.OracleSql.fnvFold("tok")},
+        |bk AS (SELECT doc_id, CAST(h % 16 AS BIGINT) AS bucket FROM done),
         |bc AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c
-        |       FROM done GROUP BY 1, 2),
+        |       FROM bk GROUP BY 1, 2),
         |nm AS (SELECT doc_id, sqrt(sum(c * c)) AS norm,
         |         sum(CASE WHEN bucket = 0 THEN c ELSE 0 END) AS c0
         |       FROM bc GROUP BY 1)

@@ -23,7 +23,6 @@ object Vectorise {
   def embed(docs: DataFrame, textCol: String, dim: Int = 64,
       fnv: Boolean = false): DataFrame = {
     require(!fnv || (dim & (dim - 1)) == 0, s"fnv mode needs power-of-2 dim, got $dim")
-    val keyCols = docs.columns.map(col).toIndexedSeq
     val hashCol =
       if (fnv) graft.functions.TextSketches.fnv1a(col("w"))
       else xxhash64(col("w"))

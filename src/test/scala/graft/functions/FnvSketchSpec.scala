@@ -37,8 +37,13 @@ class FnvSketchSpec extends SparkSpec {
     assert(TextSketches.simhash64Fnv(UTF8String.fromString(text)) === exp)
   }
 
-  test("minhashSigFnv slots are the universal family over 2^31-1") {
-    val text = "a b c d e f"
+  test("minhashSigFnv slots are the universal family over 2^31-1 " +
+    "(incl. irregular whitespace: empty tokens keep their separator)") {
+    // the doubled space makes words = [..., "", ...]; mkString below —
+    // like the SQL oracle's array_to_string — keeps the separator, so
+    // this test pins the shingle-builder parity a buffer-emptiness
+    // guard would silently break
+    val text = "a  b c  d e f"
     val words = text.split(" ", -1)
     val shingles = (0 until math.max(words.length - 2, 1))
       .map(i => words.slice(i, i + 3).mkString(" "))
