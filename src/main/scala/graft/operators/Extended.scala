@@ -355,25 +355,32 @@ object Extended {
   /** Banded fuzzy string join (approximate entity matching): candidate
     * pairs share a blocking key (here the head noun — an equi join, so
     * the pair space is Σ|block|², never n²) and survive an edit-distance
-    * verify. The same shape as every similarity join in the engine:
-    * block first, verify exactly, never go quadratic.
+    * verify after a cheap length prefilter (|len Δ| > k ⇒ distance > k).
+    *
+    * The blocking key is LOW-cardinality (~tens of nouns), so a plain
+    * equi join lands every block on a handful of reducers — measured as
+    * ONE 42-second task at sf0.1. `SkewJoin.saltedJoin` fans each block
+    * across 32 salted partitions (verify work is embarrassingly parallel
+    * within a block); same output, 32-way parallelism. This is the
+    * blocking-key-cardinality trap SCALING.md documents, and the salted
+    * join is the standing fix when the key space is small.
     */
   private val j13 = Q(
     "j13_fuzzy_name_join",
     (s, d) => {
-      val p = Tables(s, d).part.select(col("p_partkey"), col("p_name"),
-        element_at(org.apache.spark.sql.functions.split(col("p_name"), " "),
-          -1).as("noun"))
-      p.alias("a")
-        .join(p.alias("b"),
-          col("a.noun") === col("b.noun") &&
-            col("a.p_partkey") < col("b.p_partkey"))
-        .withColumn("dist",
-          levenshtein(col("a.p_name"), col("b.p_name")))
+      val noun = element_at(
+        org.apache.spark.sql.functions.split(col("p_name"), " "), -1)
+      def side(k: String, n: String) = Tables(s, d).part
+        .select(col("p_partkey").as(k), col("p_name").as(n),
+          noun.as("noun"))
+      graft.util.SkewJoin
+        .saltedJoin(side("key_a", "name_a"), side("key_b", "name_b"),
+          "noun", salts = 32)
+        .filter(col("key_a") < col("key_b"))
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 3)
-        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-          col("dist"))
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
     },
     Some(
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

@@ -24,6 +24,15 @@ object SkewJoin {
         lit(salts)))
     val expanded = dim.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    salted.join(expanded, Seq(key, "__salt")).drop("__salt")
+    // pin the join's parallelism: a salted join exists because per-row
+    // WORK dwarfs per-row bytes, and AQE sizes post-shuffle stages by
+    // bytes — it will coalesce the small salted shuffle back onto one
+    // task and undo the fan-out (measured: a 42 s one-task verify stage
+    // at sf0.1). User repartitions are exempt from AQE coalescing, and
+    // keying them on exactly the join keys adds no extra exchange.
+    salted.repartition(salts, col(key), col("__salt"))
+      .join(expanded.repartition(salts, col(key), col("__salt")),
+        Seq(key, "__salt"))
+      .drop("__salt")
   }
 }
