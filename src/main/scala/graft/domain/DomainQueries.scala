@@ -528,6 +528,10 @@ object DomainQueries {
   private val extractReed = Q(
     "dom_extract_reed",
     (s, d) => Extract.reed(
+      // (a scan-widening exchange was tried here and REVERTED: with a
+      // 150k-row fixture the serial shuffle write of the single-split
+      // source costs what the parallel regex saves — measured neutral
+      // at sf0.1, and at scale the fixture has many splits anyway)
       AdsFixture.ads(Tables(s, d)).select(reedPage.as("text"))),
     Some(withCtes("ads") +
       """SELECT CAST(id AS VARCHAR) AS id,
@@ -613,7 +617,9 @@ object DomainQueries {
   private val vectorDedupQ = Q(
     "dom_vector_dedup_links",
     (s, d) => {
-      val e = Tables(s, d).embeddings
+      // per-window pair scoring is CPU-bound over the single-split
+      // embeddings file — widen before the window fan-out
+      val e = graft.util.Widen.cpuHeavy(Tables(s, d).embeddings)
       val vecs = e.select(col("vec_id").as("id"),
         expr("timestamp'1995-01-01 00:00:00' + " +
           "make_interval(0, 0, 0, CAST(vec_id % 100 AS INT), 0, 0, 0)")

@@ -404,8 +404,8 @@ object SurfaceForms {
       // PhraseMatch / J9) — single-word type forms hit hundreds of
       // descriptions, exactly the too-frequent shape the refinement cuts
       val counts = forms.select("surface_form").distinct()
-        .join(sk.select(
-          concat(lit(" "), lower(col("description")), lit(" ")).as("padded")),
+        .join(graft.util.Widen.cpuHeavy(sk.select(
+          concat(lit(" "), lower(col("description")), lit(" ")).as("padded"))),
           expr("contains(padded, ' ' || surface_form || ' ')"))
         .groupBy("surface_form").agg(count(lit(1)).as("n"))
       frequencyRefinement(forms, counts)

@@ -211,7 +211,11 @@ object TextQueries {
     "t_repetition_filter",
     (s, d) => {
       val words = split(col("text"), " ")
-      val base = Tables(s, d).documents
+      // the bigram fanout below is the registry's heaviest per-row HOF
+      // chain; widen the single-split scan ahead of it (StageAudit
+      // measured a 0.75 s one-task stage at sf0.1)
+      val base = graft.util.Widen.cpuHeavy(
+          Tables(s, d).documents.select("doc_id", "text"))
         .select(col("doc_id"), col("text"),
           (lit(1.0) - size(array_distinct(words)).cast("double")
             / size(words).cast("double")).as("dup_word_frac"))
