@@ -79,6 +79,71 @@ object SourcesSinks {
     None,
   )
 
+  /** Upsert/merge (MERGE INTO semantics without a table format): apply a
+    * change batch of upserts and deletes to a base table in one pass —
+    * full outer join on the key, change rows win, delete tombstones drop
+    * the row. The equi join is the only shuffle; at scale this is the
+    * standard shape under every incremental table-maintenance system
+    * (the table format only adds transactional commit around it).
+    *
+    * The fixture change-batch derives deterministically from the base:
+    * every 10th key re-prices (upsert-update), every 17th is tombstoned,
+    * and shifted +1M keys arrive as inserts.
+    */
+  def upsertMerge(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      key: String, deleteCol: String): org.apache.spark.sql.DataFrame = {
+    val b = base.alias("b")
+    val c = changes.alias("c")
+    val dataCols = base.columns.filterNot(_ == key)
+    b.join(c, col(s"b.$key") === col(s"c.$key"), "full_outer")
+      .filter(coalesce(col(s"c.$deleteCol"), lit(false)) === false)
+      .select(
+        coalesce(col(s"c.$key"), col(s"b.$key")).as(key) +:
+          dataCols.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
+  }
+
+  private val s14 = Q(
+    "s14_upsert_merge",
+    (s, d) => {
+      val base = Tables(s, d).customer
+        .select("c_custkey", "c_name", "c_acctbal")
+      val k = col("c_custkey")
+      val updates = base.filter(k % 10 === 0)
+        .select(k.as("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+          lit(false).as("is_delete"))
+      // %10 exclusion keeps change keys unique (a real merge enforces
+      // one change row per key)
+      val deletes = base.filter(k % 17 === 0 && k % 10 =!= 0)
+        .select(k.as("c_custkey"), lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"), lit(true).as("is_delete"))
+      val inserts = base.filter(k % 13 === 0)
+        .select((k + 1000000L).as("c_custkey"),
+          concat(lit("new "), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"), lit(false).as("is_delete"))
+      upsertMerge(base, updates.unionByName(deletes).unionByName(inserts),
+        "c_custkey", "is_delete")
+    },
+    Some(
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+        |         false AS is_delete
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, true FROM base
+        |  WHERE c_custkey % 17 = 0 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new ' || c_name, 0.0, false
+        |  FROM base WHERE c_custkey % 13 = 0)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |  coalesce(c.c_name, b.c_name) AS c_name,
+        |  coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+        |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+        |WHERE coalesce(c.is_delete, false) = false""".stripMargin),
+  )
+
   private val s13 = Q(
     "s13_orc_roundtrip",
     (s, d) => {
@@ -137,5 +202,5 @@ object SourcesSinks {
     None, // filesystem metadata — rows-only check
   )
 
-  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, p7, p7b)
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, p7, p7b)
 }

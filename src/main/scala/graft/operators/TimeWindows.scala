@@ -138,5 +138,34 @@ object TimeWindows {
         |  FROM orders)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(w1, w2, w3, w3b)
+  /** SCD2 validity intervals: each key's change events become
+    * [valid_from, valid_to) ranges with a current-row flag — the
+    * slowly-changing-dimension history shape every warehouse carries.
+    * One window per key (lead over the key's own events); nothing
+    * global.
+    */
+  private val w9 = Q(
+    "w9_scd2_intervals",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, d).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("valid_to",
+          lead(col("o_orderdate"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("is_current"))
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9)
 }

@@ -152,4 +152,44 @@ class PropertySpec extends SparkSpec {
       assert(agg.finish(merged2) == expected, s"dup seed=$seed")
     }
   }
+
+  // ---- deterministic sampler: monotone in the rate ----
+
+  test("deterministicSample(p1) is a subset of deterministicSample(p2) " +
+    "for p1 <= p2, and rates land near nominal") {
+    import spark.implicits._
+    val df = (1 to 5000).toDF("k")
+    def ids(p: Double): Set[Int] = graft.operators.SourcesSinks
+      .deterministicSample(df, "k", p).collect().map(_.getInt(0)).toSet
+    val rates = Seq(0.05, 0.1, 0.3, 0.7)
+    val sets = rates.map(ids)
+    rates.indices.tail.foreach { i =>
+      assert(sets(i - 1).subsetOf(sets(i)),
+        s"${rates(i - 1)} not within ${rates(i)}")
+      // threshold-form membership makes growing the sample a pure
+      // extension — the property that lets a pipeline raise its sampling
+      // rate WITHOUT invalidating work done on the smaller sample
+    }
+    rates.zip(sets).foreach { case (p, s) =>
+      assert(math.abs(s.size / 5000.0 - p) < 0.03, s"rate $p got ${s.size}")
+    }
+  }
+
+  // ---- chunk dedup: reassembly is the identity on a dup-free corpus ----
+
+  test("chunk dedup reassembles originals when no chunk repeats") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 70).map(j => s"u${i}_$j").mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("chunkprop").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = Registry.byName("t_chunk_dedup_reassemble")
+      .run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == text, s"doc $id not reassembled losslessly")
+    }
+  }
 }
