@@ -457,8 +457,48 @@ object Extended {
     },
   )
 
+  /** Typed Dataset surface (SURVEY §1.1 "Dataset[T] where type safety
+    * helps"): per-key imperative logic via `groupByKey.mapGroups` with
+    * case-class Encoders — order-gap statistics that WOULD be a window
+    * in SQL, expressed as plain Scala over each key's sorted events. The
+    * shuffle is the groupByKey only; each group folds in one pass.
+    * The SQL oracle replays it with a lag window — same result, two
+    * idioms, which is exactly what the typed API promises.
+    */
+  private val a21 = Q(
+    "a21_typed_group_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables(s, d).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1990-01-01").cast("date")).as("day"))
+        .as[(Long, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (cust, rows) =>
+          val days = rows.map(r => (r._3, r._2)).toSeq.sorted.map(_._1)
+          val gaps = days.zip(days.tail).map { case (a, b) => b - a }
+          (cust, days.length.toLong,
+            if (gaps.isEmpty) 0 else gaps.max)
+        }
+        .toDF("c_custkey", "n_orders", "max_gap_days")
+    },
+    Some(
+      """SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+        |  CAST(coalesce(max(gap), 0) AS INT) AS max_gap_days
+        |FROM (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS gap
+        |  FROM orders)
+        |GROUP BY o_custkey""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17, a18, j13, a19, a20)
+    Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a17, a18, j13, a19, a20,
+      a21)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

@@ -315,6 +315,30 @@ object StreamingOps {
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY""".stripMargin),
   )
 
+  /** Stream-static enrichment: the arriving stream joins a static
+    * dimension (planned as a broadcast per micro-batch — the static side
+    * is re-resolved each batch, so a dim refresh is picked up without
+    * restarting the query). The everyday streaming-ETL shape.
+    */
+  private val enrichParity = graft.Q(
+    "w10_stream_static_enrich_parity",
+    (s, d) => {
+      val os = spooledStream(s, s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val name = sinkName("w10p_")
+      runToMemory(
+        os.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment")),
+        name, OutputMode.Append())
+      s.table(name)
+    },
+    Some(
+      """SELECT o_orderkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
+  )
+
   def queries: Seq[graft.Q] =
-    Seq(w1Parity, exemplarParity, countsParity, joinParity)
+    Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity)
 }
