@@ -74,6 +74,9 @@ object Bench {
     "t_corpus_shuffle",
     "a17_table_profile",
     "t_chunk_dedup_reassemble",
+    // fuzzy join: 40M salted levenshtein verifies — the heaviest single
+    // workload in the registry, kept headline so its cost stays visible
+    "j13_fuzzy_name_join",
   )
 
   def main(args: Array[String]): Unit = {
