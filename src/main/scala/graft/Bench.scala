@@ -77,6 +77,8 @@ object Bench {
     // fuzzy join: 40M salted levenshtein verifies — the heaviest single
     // workload in the registry, kept headline so its cost stays visible
     "j13_fuzzy_name_join",
+    // the composed dedup→quality→decontaminate→split→pack pipeline
+    "t_curation_pipeline",
   )
 
   def main(args: Array[String]): Unit = {

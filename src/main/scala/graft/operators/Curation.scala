@@ -478,7 +478,104 @@ object Curation {
         |FROM fo WHERE rk = 1 GROUP BY doc_id""".stripMargin),
   )
 
+  /** The composed curation pipeline — the end-to-end path a corpus
+    * actually takes, as ONE lazy plan: exact dedup (first copy per
+    * content hash) → quality gate (length + stopword ratio) →
+    * benchmark decontamination (broadcast 5-gram overlap) → train split
+    * (md5-bucket arithmetic) → sequence packing (per-shard token
+    * budgets). Five stages, each individually oracle-green above; this
+    * query hash-checks their COMPOSITION, because pipelines fail at the
+    * seams (column contracts, dropped rows, stage ordering), not inside
+    * stages that already pass.
+    *
+    * Scale shape is inherited: one content-hash window, one broadcast
+    * semi join, pure-arithmetic filters, per-shard packing windows — no
+    * stage is new, so neither is any shuffle.
+    */
+  private val pipeline = Q(
+    "t_curation_pipeline",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      val words = org.apache.spark.sql.functions.split(col("text"), " ")
+      // 1. exact dedup
+      val deduped = docs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+      // 2. quality gate (same predicate as t_quality_filter)
+      val stopN = size(filter(words,
+        w => w.isInCollection(graft.text.TextQueries.stopwords)))
+      val quality = deduped.filter(size(words) >= 30 &&
+        stopN.cast("double") / size(words) <= 0.25)
+      // 3. decontaminate vs the benchmark set (doc_id < 5), as in
+      //    d_decontaminate: broadcast bench grams, semi join, anti join
+      val g5 = graft.functions.TextSketches.shingles(col("text"), 5)
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(explode(g5).as("g")).distinct()
+      val corpus = quality.filter(col("doc_id") >= 5)
+      val contaminated = corpus.select(col("doc_id"), explode(g5).as("g"))
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. train-side of the hash split
+      val train = clean.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100 < 80)
+      // 5. sequence packing (same form as t_sequence_packing)
+      val wPack = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      train
+        .withColumn("n_tok", size(words).cast("long"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+        .withColumn("seq_id",
+          floor(coalesce(sum(col("n_tok")).over(wPack), lit(0L)) / 512L))
+        .select("doc_id", "shard", "n_tok", "seq_id")
+    },
+    Some(
+      """WITH dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rk
+        |    FROM documents)
+        |  WHERE rk = 1),
+        |quality AS (
+        |  SELECT doc_id, text FROM dedup
+        |  WHERE len(string_split(text,' ')) >= 30
+        |    AND CAST(len(list_filter(string_split(text,' '),
+        |         w -> w IN ('a','the','of','and'))) AS DOUBLE)
+        |      / len(string_split(text,' ')) <= 0.25),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2],
+        |                          string_split(text,' ')[i+3],
+        |                          string_split(text,' ')[i+4]))) AS sh
+        |  FROM documents),
+        |bench AS (
+        |  SELECT list(DISTINCT g) AS bg FROM (
+        |    SELECT unnest(sh) AS g FROM sh WHERE doc_id < 5)),
+        |clean AS (
+        |  SELECT q.doc_id, q.text
+        |  FROM quality q JOIN sh s USING (doc_id) CROSS JOIN bench b
+        |  WHERE q.doc_id >= 5 AND len(list_intersect(s.sh, b.bg)) = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM clean
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS INTEGER) % 100 < 80)
+        |SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(floor(CAST(coalesce(sum(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 512.0) AS BIGINT) AS seq_id
+        |FROM train""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
-      mixture, crossdoc, chunk, logprob, shuffle, stratified, chunkDedup)
+      mixture, crossdoc, chunk, logprob, shuffle, stratified, chunkDedup,
+      pipeline)
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val stopwords = Seq("a", "the", "of", "and")
+  private[graft] val stopwords = Seq("a", "the", "of", "and")
 
   private val quality = Q(
     "t_quality_score",
