@@ -33,6 +33,7 @@ object Registry {
       text.ConsensusClusters.queries ++
       text.PiiScrub.queries ++
       similarity.KnnGraph.queries ++
+      similarity.LabelCentroids.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++
