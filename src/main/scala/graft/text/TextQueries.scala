@@ -151,6 +151,87 @@ object TextQueries {
         |    / len(string_split(text,' ')) <= 0.25""".stripMargin),
   )
 
+  /** Bigram conditional probabilities — the next step up from the
+    * unigram LM: p(w2|w1) = c(w1 w2)/c(w1) over the corpus, for bigrams
+    * seen ≥ 5 times. Two hash aggregates (bigram- and unigram-keyed,
+    * both map-side combined, vocab-bounded) and one broadcast join;
+    * the ratio is exact integer division in double, engine-identical.
+    */
+  private val bigramLm = Q(
+    "t_bigram_condprob",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val toks = Tables(s, d).documents
+        .select(explode(
+          zip_with(
+            slice(words, lit(1), size(words) - 1),
+            slice(words, lit(2), size(words) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = Tables(s, d).documents
+        .select(explode(words).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      toks.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .join(broadcast(uni), "w1")
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") / col("c1"), 6).as("p"))
+    },
+    Some(
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+        |uni AS (
+        |  SELECT unnest(w) AS w1 FROM w),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY w1, w2)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(CAST(c12.c12 AS DOUBLE) / c1.c1, 6) AS p
+        |FROM c12 JOIN c1 ON c12.w1 = c1.w1
+        |WHERE c12.c12 >= 5""".stripMargin),
+  )
+
+  /** First-iteration BPE merge candidates — the vocab-induction step:
+    * adjacent symbol-pair frequencies at the character level across the
+    * corpus (each word contributes its char bigrams), ranked. A full BPE
+    * trainer iterates re-tokenise→recount; the count step shown here is
+    * the one that touches the corpus and must scale — one explode + one
+    * hash aggregate + TakeOrderedAndProject.
+    */
+  private val bpeMerges = Q(
+    "t_bpe_merge_candidates",
+    (s, d) => {
+      val chars = split(col("w"), "")
+      Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(explode(
+          zip_with(
+            slice(chars, lit(1), size(chars) - 1),
+            slice(chars, lit(2), size(chars) - 1),
+            (a, b) => concat(a, b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("n"), asc("pair"))))
+    },
+    Some(
+      """SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+        |    AS INT) AS rank
+        |FROM (
+        |  SELECT c[i] || c[i+1] AS pair, CAST(count(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT string_split(tok, '') AS c
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |          FROM documents)),
+        |    LATERAL (SELECT unnest(range(1, len(c))) AS i) t
+        |  GROUP BY 1)
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+  )
+
   private val tokenStats = Q(
     "t_token_stats",
     (s, d) =>
@@ -266,5 +347,5 @@ object TextQueries {
   )
 
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase,
-    qualityFilter, tokenStats, heavyHitters, repetition)
+    qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges)
 }
