@@ -102,10 +102,16 @@ object Bench {
       .delete(root, true)
 
     val qs = headline.filter(Registry.byName.contains)
+    // a failing query must FAIL the bench, not time as ~0s and read as a
+    // speedup — record the error per query and exit nonzero at the end
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
       try Registry.byName(n).run(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(n, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val cold = qs.map(n => n -> timeOne(n))
@@ -118,17 +124,29 @@ object Bench {
     def fmt(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    def fmtErrs: String = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(medians)},"cold":${fmt(cold)},"cold_total":$coldTotal%.3f,"sf":"$sfDir"}"""
-    println(line)
-    // also write the bare line to a file a human (or the driver) can read
-    // without scraping the sbt log stream
+    // full per-query warm/cold detail goes to BENCH_OUT.json …
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(medians)},"cold":${fmt(cold)},"cold_total":$coldTotal%.3f,"n_queries":${qs.length},"errors":$fmtErrs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // … and the FINAL stdout line is a compact summary (<1 KB guaranteed):
+    // the driver stores only a ~2.2 KB stdout tail, and the full 45-query
+    // line (~4.4 KB) outgrew it — that is why rounds 1-3 recorded
+    // "parsed": null
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${qs.length},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) {
+      Console.err.println(s"bench FAILED queries: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

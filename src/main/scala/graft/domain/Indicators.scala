@@ -50,6 +50,18 @@ object Indicators {
       .select(col("week_date").as("date"),
         (col("n") * 100.0 / indexValue).as("volume_idx"))
 
+  /** As above, but the index arrives as the one-row frame `stockIndex`
+    * returns, broadcast into the plan — no driver-side `.head()` fetch
+    * and literal re-injection; the whole pipeline stays one lazy plan.
+    */
+  def weeklyStock(weeklyAds: DataFrame, index: DataFrame): DataFrame =
+    weeklyAds
+      .groupBy(col("week_date"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(index))
+      .select(col("week_date").as("date"),
+        (col("n") * 100.0 / col("index_value")).as("volume_idx"))
+
   /** weekly_loc_vacancies: per-location weekly volume vs per-location
     * index (weekly_stock.py:92-109). locIndex = stockIndexByCode output.
     */

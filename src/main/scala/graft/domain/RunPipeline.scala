@@ -103,9 +103,10 @@ object RunPipeline {
     Guardrails.assertFloor(weekly, "weekly_ads", 1000L)
     val stockWindow = weekly.filter(col("week_date")
       .between("2021-04-05", "2021-05-03"))
-    val idx = Indicators.stockIndex(stockWindow).head().getDouble(0)
-    println(f"[pipeline] stock index = $idx%.2f ads/week")
-
+    // the one-row index frame joins into the plan broadcast-side (same
+    // shape as the registered a7_index_normalisation) — no driver-side
+    // .head() fetch + literal re-injection
+    val idx = Indicators.stockIndex(stockWindow)
     val stock = Indicators.weeklyStock(weekly, idx)
     val spread = Indicators.weeklySalarySpread(weekly)
 

@@ -189,17 +189,54 @@ object SourcesSinks {
         .stripMargin),
   )
 
+  /** Deterministic object-store-shaped fixture for the S1 oracle: 10
+    * binary chunk files with constant names and lengths, written once per
+    * content version (dir name carries the layout constants, as the s6
+    * xlsx fixture does) — so the listing scan checks against an
+    * independent VALUES expectation instead of a rows-only count.
+    */
+  private val s1Files: Seq[(String, Int)] =
+    (0 until 10).map(i => (f"chunk_$i%03d.bin", 100 + 37 * i))
+
+  private def s1FixtureDir(): String = {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s1Files.map { case (n, l) => s"$n=$l" }.mkString(",")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_s1_binary_fixture_$key")
+    if (!Files.exists(dir)) {
+      val stage = Files.createTempDirectory("graft_s1_stage")
+      s1Files.foreach { case (name, len) =>
+        val bytes = Array.tabulate(len)(j => ((name.hashCode + j) % 256).toByte)
+        Files.write(stage.resolve(name), bytes)
+      }
+      try Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // racing writer won with the same bytes
+        s1Files.foreach(f => Files.deleteIfExists(stage.resolve(f._1)))
+        Files.deleteIfExists(stage)
+      }
+    }
+    dir.toString
+  }
+
   private val s1 = Q(
     "s1_binary_listing_scan",
-    (s, d) =>
+    (s, _) =>
       // S1/S2: object-listing scan with lazy bodies — binaryFile source
       // subsumes the reference's paginated list_objects_v2 + body GET
       // (flows/extract/reed.py:167-179); content column pruned unless
       // selected, so a metadata-only query never reads the bytes
-      s.read.format("binaryFile").load(s"$d/*.parquet")
+      s.read.format("binaryFile").load(s"${s1FixtureDir()}/*.bin")
         .select(element_at(split(col("path"), "/"), -1).as("file"),
           col("length")),
-    None, // filesystem metadata — rows-only check
+    // independent expectation from the fixture-layout constants — the
+    // lengths are declared here, not read back from the filesystem
+    Some(s1Files
+      .map { case (n, l) => s"('$n', CAST($l AS BIGINT))" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(file, length)")),
   )
 
   def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, p7, p7b)

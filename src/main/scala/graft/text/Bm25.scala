@@ -28,15 +28,22 @@ object Bm25 {
     */
   def topK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val words = split(col("text"), " ")
-    // widen a single-split scan before tokenisation: both the stats
-    // aggregate and the scoring scan consume `base`, and ReuseExchange
-    // shares the one cheap raw-text exchange between them — without it
-    // the whole tokenize+score pipeline runs at the file count's
-    // parallelism (measured: a 1.1s single-task stage at sf0.1)
-    val base = docs
-      .select(col("doc_id"), col("text")) // prune before the exchange:
-      // the widening repartition should move two columns, not the table
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // widen a narrow scan before tokenisation: both the stats aggregate
+    // and the scoring scan consume `base`, and ReuseExchange shares the
+    // one cheap raw-text exchange between them — without it the whole
+    // tokenize+score pipeline runs at the file count's parallelism
+    // (StageAudit: a 0.33 s one-task stage at sf0.1, and it grows with
+    // the corpus). The widen is conditional on the scan actually being
+    // narrow: a real corpus has natural split parallelism and skips the
+    // exchange entirely.
+    val sc = docs.sparkSession.sparkContext
+    val pruned = docs.select(col("doc_id"), col("text")) // prune before the
+    // exchange: the widening repartition moves two columns, not the table
+    val widened =
+      if (pruned.rdd.getNumPartitions < sc.defaultParallelism)
+        pruned.repartition(sc.defaultParallelism)
+      else pruned
+    val base = widened
       .select(col("doc_id"), words.as("w"), size(words).as("dl"))
 
     val dfCols = terms.indices.map(i =>
@@ -49,8 +56,17 @@ object Bm25 {
     def tf(term: String): Column =
       size(filter(col("w"), x => x === term)).cast("double")
 
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      val tfc = tf(t)
+    // bind each term's tf to a column FIRST: the BM25 formula uses tf
+    // twice (numerator and saturation denominator) and Catalyst does not
+    // CSE the two O(|w|) array scans — binding halves the per-row work
+    val scored = base
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +: col("n") +: col("avgdl") +:
+        terms.indices.map(i => col(s"df$i")) ++:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
+
+    val score = terms.indices.map { i =>
+      val tfc = col(s"tf$i")
       val dfc = col(s"df$i")
       val idf = log(lit(1.0) + (col("n") - dfc + 0.5) / (dfc + 0.5))
       idf * tfc * (K1 + 1) /
@@ -61,8 +77,7 @@ object Bm25 {
     // keeps a k-sized heap and the driver merges k·p rows, vs. a global
     // Window whose rank must see every scored row. The row_number below
     // runs AFTER the limit, over k rows only — cosmetic, not a sort.
-    base
-      .crossJoin(broadcast(stats))
+    scored
       .withColumn("score", round(score, 4))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))

@@ -30,8 +30,14 @@ object SkewJoin {
     // task and undo the fan-out (measured: a 42 s one-task verify stage
     // at sf0.1). User repartitions are exempt from AQE coalescing, and
     // keying them on exactly the join keys adds no extra exchange.
-    salted.repartition(salts, col(key), col("__salt"))
-      .join(expanded.repartition(salts, col(key), col("__salt")),
+    // The partition COUNT is decoupled from the salt count: hashing
+    // (key, salt) into exactly `salts` buckets leaves ~1/e of them empty
+    // by collision, and on clusters with parallelism > salts it would cap
+    // the join below the available cores.
+    val parts = math.max(salts,
+      skewed.sparkSession.sparkContext.defaultParallelism)
+    salted.repartition(parts, col(key), col("__salt"))
+      .join(expanded.repartition(parts, col(key), col("__salt")),
         Seq(key, "__salt"))
       .drop("__salt")
   }
