@@ -120,6 +120,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     var gSig: Option[(Long, Long)] = None // carried across rounds
+    val t0 = System.nanoTime()
     while (!converged && iter < maxIterations) {
       // one alternation per materialization: the alternation's inner
       // subtrees fan out (large feeds both dmins and the join), so
@@ -135,6 +136,9 @@ object ConnectedComponents {
       gSig = Some(smallSig)
       iter += 1
     }
+    System.err.println(f"[cc] ${if (converged) "converged" else "CAPPED"}" +
+      f" after $iter rounds, ${gSig.fold(-1L)(_._1)} edges," +
+      f" ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
     // after convergence every edge is (node -> component root); isolated
     // nodes (none here, but contract-wise) map to themselves

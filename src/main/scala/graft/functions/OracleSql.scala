@@ -40,12 +40,19 @@ object OracleSql {
   /** The FNV-1a fold: one byte per recursion step, checksum carried as
     * HUGEINT mod 2^64 (ck < 2^64 and the prime < 2^41, so the product
     * fits int128); the xor touches only the low byte. `ord` equals the
-    * folded byte for the ASCII corpora the gate runs on.
+    * folded byte ONLY for ASCII (the JVM side folds UTF-8 bytes; `ord`
+    * yields code points), so the base case GUARDS the assumption: any
+    * item where the char count differs from the UTF-8 byte count —
+    * i.e. any non-ASCII item — makes the oracle fail loudly with
+    * `error(...)` instead of silently reporting a false hash mismatch.
     */
   def fnvFold(items: String): String =
     s"""f(doc_id, i, ci, ck) AS (
        |  SELECT doc_id, i, 0, CAST('1469598103934665603' AS HUGEINT)
        |  FROM $items
+       |  WHERE CASE WHEN strlen(t) <> octet_length(encode(t))
+       |        THEN error('non-ASCII item: FNV oracle fold is char-based')
+       |        ELSE true END
        |  UNION ALL
        |  SELECT f.doc_id, f.i, f.ci + 1,
        |    ((f.ck // 256) * 256

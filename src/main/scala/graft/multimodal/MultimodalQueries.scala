@@ -1,84 +1,200 @@
 package graft.multimodal
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 /** Multimodal column plumbing: media as opaque `binary` payloads with
-  * typed metadata, decoded/featurized per partition.
+  * typed metadata, decoded/featurized per partition (ref vector/feature
+  * handling: dqa/vector_utils.py:31).
   *
-  * The image/audio decode libraries are not in this container, so
-  * `decodeStub` is a clearly-marked deterministic fake — but the
-  * Spark-side shape is real: binary column + metadata struct in, batched
-  * per-partition transform (the Scala analog of `mapInPandas` — one
-  * decoder init per partition, not per row), fixed-width feature schema
-  * out. Swapping the stub for a JNI/ONNX decoder changes no plumbing.
+  * Image decode is REAL (JDK `javax.imageio`, PNG): the fixture corpus
+  * is rendered from closed-form pixel formulas, so the DuckDB oracle
+  * recomputes dims and pixel sums from the same formulas — fully
+  * independent of the encoder, and the gate checks actual decoded
+  * pixels. The batched `mapPartitions` shape (decoder init once per
+  * partition, vectorised batches) is the Scala analog of `mapInPandas`
+  * and is unchanged by swapping in a JNI/ONNX decoder for formats the
+  * JDK lacks (JPEG2000, video codecs).
   */
 object MultimodalQueries {
 
-  case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int,
-      height: Int, checksum: Long)
+  // ---- deterministic PNG fixture corpus -------------------------------
 
-  /** STUB decoder: stands in for image decode + feature extraction.
-    * Deterministic function of the payload bytes only.
+  /** img i is (16+i)×(12+(7i)%9); pixel (x,y) has
+    * RGB = ((3x+i)%256, (5y+i)%256, (x+y+i)%256). PNG is lossless, so a
+    * real decode returns exactly these formulas — which is what lets the
+    * oracle recompute features without ever seeing the encoded bytes.
     */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    // ??? real decoder goes here (e.g. JPEG dims + embedding); faked as:
-    val w = 16 + (if (payload.isEmpty) 0 else (payload(0) & 0x3F))
-    val h = 16 + (if (payload.length < 2) 0 else (payload(1) & 0x3F))
-    var ck = 1469598103934665603L // FNV-1a over the payload
-    payload.foreach { b => ck ^= (b & 0xFFL); ck *= 1099511628211L }
-    (w, h, ck)
+  val NumImages = 20
+  def imgWidth(i: Int): Int = 16 + i
+  def imgHeight(i: Int): Int = 12 + (7 * i) % 9
+
+  def renderImage(i: Int): BufferedImage = {
+    val (w, h) = (imgWidth(i), imgHeight(i))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (3 * x + i) % 256
+        val g = (5 * y + i) % 256
+        val b = (x + y + i) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
-  /** Binary payloads → per-partition batched feature extraction.
-    * Batching mirrors `mapInPandas` semantics: the decoder sees
+  /** Encode the corpus once into a content-keyed tmp dir (same pattern
+    * as the s1/s6 fixtures): editing the formulas republished under a
+    * new key instead of replaying a stale copy.
+    */
+  def pngFixtureDir(): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val layout = s"n=$NumImages;w=16+i;h=12+(7i)%9;px=3x+i,5y+i,x+y+i"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(layout.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_png_fixture_$key")
+    if (!Files.exists(dir)) {
+      val stage = Files.createTempDirectory("graft_png_stage")
+      (0 until NumImages).foreach { i =>
+        ImageIO.write(renderImage(i), "png",
+          stage.resolve(f"img_$i%03d.png").toFile)
+      }
+      try Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // racing writer won with the same bytes
+        (0 until NumImages).foreach(i =>
+          Files.deleteIfExists(stage.resolve(f"img_$i%03d.png")))
+        Files.deleteIfExists(stage)
+      }
+    }
+    dir.toString
+  }
+
+  /** The fixture as a binary table: lazy-body object listing (S1 shape)
+    * with the image id recovered from the object key.
+    */
+  def fixtureImages(s: SparkSession): DataFrame =
+    s.read.format("binaryFile").load(s"${pngFixtureDir()}/*.png")
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+        .cast("long").as("img_id"), col("content").as("payload"))
+
+  // ---- real decoders --------------------------------------------------
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). */
+  def decodeImage(payload: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  case class ImageFeature(img_id: Long, width: Int, height: Int,
+      px_sum: Long)
+
+  /** Batching mirrors `mapInPandas` semantics: the decoder sees
     * fixed-size batches (one vectorised call per `BatchSize` payloads),
-    * initialised once per partition — swap `decodeStub` for a JNI/ONNX
-    * batch decoder without touching the plumbing.
+    * initialised once per partition.
     */
   val BatchSize = 32
 
-  def extractFeatures(docsWithPayload: DataFrame): Dataset[MediaFeature] = {
+  /** Decode each payload and extract (dims, Σ(r+g+b) over pixels). */
+  def imageFeatures(images: DataFrame): Dataset[ImageFeature] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .select(col("img_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point for a heavier decoder
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img = decodeImage(bytes)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeature(id, w, h, s)
+          }
+        }
+      }
+  }
+
+  /** REAL box-filter downsample to tw×th luminance bytes: pixel (x,y)
+    * lands in cell (x·tw/w, y·th/h); the cell byte is the floor-average
+    * of its pixels' luminance (r+g+b)/3. Integer-exact, so the oracle
+    * replays it from the pixel formulas.
+    */
+  def boxResize(img: BufferedImage, tw: Int, th: Int): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Long](tw * th)
+    val cnt = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+          (rgb & 0xFF)) / 3
+        val c = (y.toLong * th / h).toInt * tw + (x.toLong * tw / w).toInt
+        sum(c) += lum
+        cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(tw * th)(c =>
+      (if (cnt(c) == 0) 0L else sum(c) / cnt(c)).toByte)
+  }
+
+  // ---- binary checksum features (non-image payloads) ------------------
+
+  case class BinaryFeature(doc_id: Long, n_bytes: Int, checksum: Long)
+
+  /** Opaque-payload fingerprinting (FNV-1a), batched per partition —
+    * the shape a payload-integrity / exact-dup pass over a media column
+    * uses when the bytes are NOT decodable media.
+    */
+  def extractFeatures(docsWithPayload: DataFrame): Dataset[BinaryFeature] = {
     val spark = docsWithPayload.sparkSession
     import spark.implicits._
     docsWithPayload
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init point for a real decoder
         it.grouped(BatchSize).flatMap { batch =>
-          // one "vectorised" decode call per batch
           batch.map { case (id, bytes) =>
-            val (w, h, ck) = decodeStub(bytes)
-            MediaFeature(id, bytes.length, w, h, ck)
+            var ck = 1469598103934665603L // FNV-1a offset basis
+            bytes.foreach { b => ck ^= (b & 0xFFL); ck *= 1099511628211L }
+            BinaryFeature(id, bytes.length, ck)
           }
         }
       }
   }
 
-  /** STUB resize: deterministic box-downsample of the payload to a
-    * `w`×`h` byte grid (stands in for image resize; output schema and
-    * batching are the real contract).
-    */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // ??? real image resize goes here; faked as byte-grid box sampling
-    val out = new Array[Byte](w * h)
-    if (payload.nonEmpty) {
-      var i = 0
-      while (i < out.length) {
-        out(i) = payload((i.toLong * payload.length / out.length).toInt)
-        i += 1
-      }
-    }
-    out
-  }
-
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB frame sampler: every `stride`-th fixed-size chunk of a "video"
+  /** Frame sampler: every `stride`-th fixed-size chunk of a container
     * payload becomes a frame row — the generator (UDTF) shape: one input
     * row explodes into many typed frame rows, batched per partition.
+    * (A real video codec slots in at the chunk-decode point; chunking
+    * and striding are the Spark-side contract.)
     */
   def sampleFrames(docsWithPayload: DataFrame, frameBytes: Int = 64,
       stride: Int = 4): Dataset[Frame] = {
@@ -97,6 +213,8 @@ object MultimodalQueries {
         }
       }
   }
+
+  // ---- registered queries ---------------------------------------------
 
   private val meta = Q(
     "m_binary_metadata",
@@ -125,11 +243,17 @@ object MultimodalQueries {
     // (ck < 2^64 and the multiplier < 2^41, so the product fits in 128
     // bits). The xor touches only the low byte (b < 256), done on the
     // BIGINT-safe low chunk. Payloads are ASCII text bytes, so
-    // ord(char) == the byte the Scala side folds.
+    // ord(char) == the byte the Scala side folds — and the base case
+    // GUARDS that assumption: non-ASCII text errors loudly instead of
+    // surfacing as a confusing hash mismatch (same guard as
+    // OracleSql.fnvFold).
     Some(
       """WITH RECURSIVE fnv(doc_id, i, ck) AS (
         |  SELECT doc_id, 0, CAST('1469598103934665603' AS HUGEINT)
         |  FROM documents
+        |  WHERE CASE WHEN strlen(text) <> octet_length(encode(text))
+        |        THEN error('non-ASCII text: FNV oracle fold is char-based')
+        |        ELSE true END
         |  UNION ALL
         |  SELECT f.doc_id, f.i + 1,
         |    ((f.ck // 256) * 256
@@ -140,10 +264,6 @@ object MultimodalQueries {
         |  WHERE f.i < strlen(d.text))
         |SELECT f.doc_id,
         |  CAST(strlen(d.text) AS INT) AS n_bytes,
-        |  CAST(16 + CASE WHEN strlen(d.text) = 0 THEN 0
-        |    ELSE ord(substr(d.text, 1, 1)) & 63 END AS INT) AS width,
-        |  CAST(16 + CASE WHEN strlen(d.text) < 2 THEN 0
-        |    ELSE ord(substr(d.text, 2, 1)) & 63 END AS INT) AS height,
         |  CAST(CASE WHEN f.ck >= CAST('9223372036854775808' AS HUGEINT)
         |    THEN f.ck - CAST('18446744073709551616' AS HUGEINT)
         |    ELSE f.ck END AS BIGINT) AS checksum
@@ -151,25 +271,23 @@ object MultimodalQueries {
         |WHERE f.i = strlen(d.text)""".stripMargin),
   )
 
-  // the DIMENSION half of the stub decode is byte arithmetic on the
-  // payload, so the mapPartitions batching contract gets a hash-checked
-  // row too (the FNV checksum column stays spec-verified — 64-bit
-  // wrapping multiply has no clean DuckDB form)
+  // real decode over the PNG fixture: the oracle recomputes dims and the
+  // pixel sum from the generation formulas — it never sees PNG bytes, so
+  // a green row means ImageIO actually decoded the pixels correctly
   private val dims = Q(
     "m_decode_dims",
-    (s, d) =>
-      extractFeatures(
-        Tables(s, d).documents
-          .select(col("doc_id"), col("text").cast("binary").as("payload")))
-        .toDF()
-        .select("doc_id", "n_bytes", "width", "height"),
+    (s, _) => imageFeatures(fixtureImages(s)).toDF(),
     Some(
-      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
-        |  CAST(16 + CASE WHEN strlen(text) = 0 THEN 0
-        |    ELSE ord(substr(text, 1, 1)) & 63 END AS INT) AS width,
-        |  CAST(16 + CASE WHEN strlen(text) < 2 THEN 0
-        |    ELSE ord(substr(text, 2, 1)) & 63 END AS INT) AS height
-        |FROM documents""".stripMargin),
+      s"""WITH imgs AS (
+         |  SELECT i, 16 + i AS w, 12 + (i * 7) % 9 AS h
+         |  FROM range(0, $NumImages) t(i))
+         |SELECT CAST(i AS BIGINT) AS img_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height,
+         |  CAST(sum((x*3+i)%256 + (y*5+i)%256 + (x+y+i)%256) AS BIGINT)
+         |    AS px_sum
+         |FROM imgs, range(0, ${16 + NumImages}) rx(x), range(0, 21) ry(y)
+         |WHERE x < w AND y < h
+         |GROUP BY i, w, h""".stripMargin),
   )
 
   private val partitioned = Q(
@@ -194,25 +312,36 @@ object MultimodalQueries {
 
   private val resize = Q(
     "m_resize_thumbnails",
-    (s, d) => {
-      val rs = org.apache.spark.sql.functions.udf(
-        (b: Array[Byte]) => resizeStub(b, 8, 8))
-      Tables(s, d).documents
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"), rs(col("payload")).as("thumb"))
-        .select(col("doc_id"), octet_length(col("thumb")).as("thumb_bytes"),
-          substring(base64(col("thumb")), 1, 12).as("thumb_prefix"))
+    (s, _) => {
+      val spark = s
+      import spark.implicits._
+      fixtureImages(s)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+            val t = boxResize(decodeImage(bytes), 8, 8)
+            (id, t.length, t.foldLeft(0L)((a, b) => a + (b & 0xFF)))
+          })
+        }
+        .toDF("img_id", "thumb_bytes", "thumb_sum")
     },
-    // the stub's box-sampling is byte indexing (thumb[i] =
-    // payload[i·len/64]); fixture text is ASCII (strlen == length for
-    // every row), so char-based substr reproduces it byte-for-byte
+    // the box filter is integer-exact, so the oracle rebuilds every
+    // 8×8 cell average from the pixel formulas and sums the thumbnail
     Some(
-      """SELECT doc_id, CAST(64 AS INT) AS thumb_bytes,
-        |  substr(to_base64(CAST(
-        |    array_to_string(list_transform(range(0, 64), i ->
-        |      substr(text, CAST(i * strlen(text) // 64 AS INT) + 1, 1)),
-        |      '') AS BLOB)), 1, 12) AS thumb_prefix
-        |FROM documents""".stripMargin),
+      s"""WITH imgs AS (
+         |  SELECT i, 16 + i AS w, 12 + (i * 7) % 9 AS h
+         |  FROM range(0, $NumImages) t(i)),
+         |px AS (
+         |  SELECT i, x*8//w AS tx, y*8//h AS ty,
+         |    ((x*3+i)%256 + (y*5+i)%256 + (x+y+i)%256)//3 AS lum
+         |  FROM imgs, range(0, ${16 + NumImages}) rx(x), range(0, 21) ry(y)
+         |  WHERE x < w AND y < h),
+         |cells AS (
+         |  SELECT i, tx, ty, sum(lum)//count(*) AS avg
+         |  FROM px GROUP BY i, tx, ty)
+         |SELECT CAST(i AS BIGINT) AS img_id, CAST(64 AS INT) AS thumb_bytes,
+         |  CAST(sum(avg) AS BIGINT) AS thumb_sum
+         |FROM cells GROUP BY i""".stripMargin),
   )
 
   private val frames = Q(
@@ -226,8 +355,7 @@ object MultimodalQueries {
           octet_length(col("frame")).as("frame_bytes")),
     // the SELECTION is pure arithmetic on the payload length (full
     // 64-byte frames, stride 4), so the mapPartitions batch shape is
-    // checkable against an independent SQL derivation even though the
-    // decode itself is a stub
+    // checkable against an independent SQL derivation
     Some(
       """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(64 AS INT) AS frame_bytes

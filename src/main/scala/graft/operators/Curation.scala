@@ -348,12 +348,17 @@ object Curation {
   /** Unigram-LM fluency score — the cheap corpus-statistics stand-in for
     * a perplexity filter (KenLM-style model inference is out of engine
     * scope): score(doc) = mean ln p(w) under the corpus unigram
-    * distribution. Two aggregates: the vocab frequency table (bounded by
-    * vocab size, not corpus size — Zipf makes this broadcastable even at
-    * 100 TB, cap to top-V + an OOV floor if it isn't) broadcast into the
-    * token scan, then a per-doc mean. Decimal-stable sum so the mean is
-    * partition-order-independent.
+    * distribution. The vocab frequency table is CAPPED at the
+    * [[LmVocabCap]] most frequent tokens ((count desc, token) order, a
+    * TakeOrderedAndProject — no global sort), so the broadcast is bounded
+    * by construction even on a raw web-scale corpus where the tail of
+    * typo-tokens would otherwise grow with the data; tokens outside the
+    * cap score at a half-count OOV floor 0.5/total. Then one broadcast
+    * join into the token scan and a per-doc mean; decimal-stable sum so
+    * the mean is partition-order-independent.
     */
+  val LmVocabCap = 65536
+
   private val logprob = Q(
     "t_unigram_logprob",
     (s, d) => {
@@ -361,26 +366,32 @@ object Curation {
       val tok = docs.select(col("doc_id"),
         explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
       val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      // total counts EVERY token (so probabilities stay normalised);
+      // only the broadcast table is capped
       val tot = freq.agg(sum(col("cnt")).as("total"))
+      val capped = freq.orderBy(desc("cnt"), asc("w")).limit(LmVocabCap)
       tok
-        .join(broadcast(freq), "w")
+        .join(broadcast(capped), Seq("w"), "left")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
           round(graft.util.Stable.dsum(
-            log(col("cnt").cast("double") / col("total").cast("double")), 6)
+            log(coalesce(col("cnt").cast("double"), lit(0.5))
+              / col("total").cast("double")), 6)
             / count(lit(1)), 4).as("logprob"))
     },
     Some(
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |             FROM documents),
          |freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
-         |tot AS (SELECT sum(cnt) AS total FROM freq)
+         |tot AS (SELECT sum(cnt) AS total FROM freq),
+         |capped AS (SELECT w, cnt FROM freq ORDER BY cnt DESC, w LIMIT $LmVocabCap)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
          |  round(${graft.util.Stable.dsumSql(
-             "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))", 6)}
+             "ln(coalesce(CAST(cnt AS DOUBLE), 0.5) / CAST(total AS DOUBLE))",
+             6)}
          |    / count(*), 4) AS logprob
-         |FROM tok JOIN freq USING (w) CROSS JOIN tot
+         |FROM tok LEFT JOIN capped USING (w) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin),
   )
 

@@ -86,6 +86,13 @@ object SourcesSinks {
     * standard shape under every incremental table-maintenance system
     * (the table format only adds transactional commit around it).
     *
+    * Change-side columns are gated on change-row PRESENCE (key match),
+    * not value non-nullness — so an upsert row carrying a legitimate
+    * NULL nulls out the base value, exactly as `MERGE ... UPDATE SET`
+    * does. Caller contract: one change row per key (duplicate change
+    * keys fan out rows, as they would under a real MERGE's
+    * multiple-matches error).
+    *
     * The fixture change-batch derives deterministically from the base:
     * every 10th key re-prices (upsert-update), every 17th is tombstoned,
     * and shifted +1M keys arrive as inserts.
@@ -100,7 +107,8 @@ object SourcesSinks {
       .filter(coalesce(col(s"c.$deleteCol"), lit(false)) === false)
       .select(
         coalesce(col(s"c.$key"), col(s"b.$key")).as(key) +:
-          dataCols.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
+          dataCols.map(n => when(col(s"c.$key").isNotNull, col(s"c.$n"))
+            .otherwise(col(s"b.$n")).as(n)): _*)
   }
 
   private val s14 = Q(
@@ -138,8 +146,10 @@ object SourcesSinks {
         |  SELECT c_custkey + 1000000, 'new ' || c_name, 0.0, false
         |  FROM base WHERE c_custkey % 13 = 0)
         |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
-        |  coalesce(c.c_name, b.c_name) AS c_name,
-        |  coalesce(c.c_acctbal, b.c_acctbal) AS c_acctbal
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal
         |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
         |WHERE coalesce(c.is_delete, false) = false""".stripMargin),
   )

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -60,23 +60,35 @@ object StreamingDedup {
 
   /** @param docs streaming frame with (doc_id: long, text: string,
     *   `timeCol`: timestamp)
+    * @param fnv use the FNV-mode minhash family
+    *   ([[graft.functions.TextSketches.minhash_signature_fnv]]) and raw
+    *   slot values as the band key — bucket assignment and signatures
+    *   then replay exactly in SQL, which is what lets the registered
+    *   query carry a DuckDB oracle. Production default stays XXH64.
     * @return streaming frame of (doc_a, doc_b, est_jaccard), doc_a < doc_b
     */
   def nearDupPairs(spark: SparkSession, docs: DataFrame,
       timeCol: String = "created", minEstJaccard: Double = 0.8,
-      lifespanDays: Int = 42): DataFrame = {
+      lifespanDays: Int = 42, fnv: Boolean = false): DataFrame = {
     import spark.implicits._
     val lifespanMs = lifespanDays.toLong * 86400000L
 
-    val sig = graft.functions.TextSketches.minhash_signature(col("text"))
+    val sig =
+      if (fnv) graft.functions.TextSketches.minhash_signature_fnv(col("text"))
+      else graft.functions.TextSketches.minhash_signature(col("text"))
+    // band key: a hash of the band's slots (XXH64 mode) or the slot
+    // values themselves (FNV mode — same grouping, SQL-replayable)
+    def bandKey(b: Int): Column = {
+      val slots = (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1))
+      if (fnv) concat_ws("_", slots: _*) else xxhash64(slots: _*).cast("string")
+    }
     val banded = docs
       .withWatermark(timeCol, s"$lifespanDays days")
       .select(col("doc_id"), col(timeCol).as("t"), sig.as("sig"))
       .select(col("doc_id"), col("t"), col("sig"),
         explode(array((0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((0 until BandRows).map(r =>
-              element_at(col("sig"), b * BandRows + r + 1)): _*).as("key"))
+          struct(lit(b).as("band"), bandKey(b).as("key"))
         }: _*)).as("bk"))
       .select(concat_ws(":", col("bk.band"), col("bk.key")).as("bucket"),
         col("doc_id"), col("t"), col("sig"))
@@ -118,12 +130,63 @@ object StreamingDedup {
       .toDF("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** Rows-only CORRECTNESS entry: the documents table replayed as a
-    * stream (synthetic arrival times from doc_id), near-dup pairs
-    * surfacing incrementally. No SQL oracle — the estimate is built on
-    * xxhash64 minhashes — so determinism, recall on planted pairs and
-    * the state bound are pinned in StreamingSpec instead.
+  /** CORRECTNESS entry, fully SQL-replayed: the documents table replayed
+    * as a stream with synthetic arrival times STRICTLY INCREASING in
+    * doc_id, drained in one AvailableNow pass from a single spooled file
+    * — so per bucket the processing order is exactly doc_id order (the
+    * in-batch (event time, id) sort), residency is "first
+    * [[MaxBucketResidents]] by doc_id", and emission is "every resident
+    * at the candidate's arrival". All of that is a window function over
+    * the FNV-mode signatures, so the ORACLE replays the arrival-order
+    * state machine: rank docs per (band, slot-tuple) bucket by doc_id,
+    * pair each doc with earlier residents (rn ≤ cap), estimate Jaccard
+    * as the fraction of agreeing slots, threshold at 0.7. The XXH64
+    * production path keeps its spec coverage (determinism, planted-pair
+    * recall, state bound) in StreamingSpec.
     */
+  private def fnvReplayOracle: String = {
+    val p = graft.functions.TextSketches.P31
+    val slots = (0 until NumBands * BandRows).map { j =>
+      val a = ((j + 1) * 2654435761L) % p
+      val b = ((j + 1) * 2246822519L) % p
+      s"min(($a * h + $b) % $p) AS m$j"
+    }.mkString(",\n    ")
+    val bands = (0 until NumBands).map { b =>
+      val ks = (0 until BandRows).map(r =>
+        s"m${b * BandRows + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until NumBands * BandRows)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE
+       |${graft.functions.OracleSql.shingleItems("documents")},
+       |${graft.functions.OracleSql.fnvFold("sg")},
+       |hh AS (SELECT doc_id, CAST(h % $p AS BIGINT) AS h FROM done),
+       |sigs AS (SELECT doc_id,
+       |    $slots
+       |  FROM hh GROUP BY doc_id),
+       |buckets AS (
+       |  $bands),
+       |ranked AS (
+       |  SELECT doc_id, band, k0, k1, k2, k3,
+       |    row_number() OVER (PARTITION BY band, k0, k1, k2, k3
+       |                       ORDER BY doc_id) AS rn
+       |  FROM buckets),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ranked a JOIN ranked b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |   AND a.k2 = b.k2 AND a.k3 = b.k3
+       |   AND a.doc_id < b.doc_id AND a.rn <= $MaxBucketResidents),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, ($agree) / 64.0 AS e
+       |  FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
+       |              JOIN sigs y ON c.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, round(e, 4) AS est_jaccard
+       |FROM est WHERE e >= 0.7""".stripMargin
+  }
+
   private val q = graft.Q(
     "d_streaming_neardup_pairs",
     (s, d) => {
@@ -133,13 +196,13 @@ object StreamingDedup {
             .as("created"))
       val name = StreamingOps.sinkName("ndp_")
       StreamingOps.runToMemory(
-        nearDupPairs(s, stream, minEstJaccard = 0.7),
+        nearDupPairs(s, stream, minEstJaccard = 0.7, fnv = true),
         name, OutputMode.Append())
       s.table(name).dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 4).as("est_jaccard"))
     },
-    None,
+    Some(fnvReplayOracle),
   )
 
   def queries: Seq[graft.Q] = Seq(q)

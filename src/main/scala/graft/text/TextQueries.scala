@@ -152,10 +152,14 @@ object TextQueries {
   )
 
   /** Bigram conditional probabilities — the next step up from the
-    * unigram LM: p(w2|w1) = c(w1 w2)/c(w1) over the corpus, for bigrams
-    * seen ≥ 5 times. Two hash aggregates (bigram- and unigram-keyed,
-    * both map-side combined, vocab-bounded) and one broadcast join;
-    * the ratio is exact integer division in double, engine-identical.
+    * unigram LM: p(w2|w1) = c(w1 w2) / c(w1 as bigram LEFT CONTEXT), for
+    * bigrams seen ≥ 5 times. The denominator counts w1 over positions
+    * 1..n-1 only (document-final tokens never open a bigram), so
+    * Σ_w2 p(w2|w1) = 1 exactly — a true conditional distribution. Both
+    * counts come from the same bigram stream: c(w1·) is its w1 marginal.
+    * Two hash aggregates (both map-side combined, vocab-bounded) and one
+    * broadcast join; the ratio is exact integer division in double,
+    * engine-identical.
     */
   private val bigramLm = Q(
     "t_bigram_condprob",
@@ -168,9 +172,7 @@ object TextQueries {
             slice(words, lit(2), size(words) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val uni = Tables(s, d).documents
-        .select(explode(words).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
       toks.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
         .join(broadcast(uni), "w1")
@@ -182,9 +184,7 @@ object TextQueries {
         |bg AS (
         |  SELECT w[i] AS w1, w[i+1] AS w2
         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
-        |uni AS (
-        |  SELECT unnest(w) AS w1 FROM w),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
         |        FROM bg GROUP BY w1, w2)
         |SELECT c12.w1, c12.w2, c12.c12,

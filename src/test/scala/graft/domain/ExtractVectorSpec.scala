@@ -132,33 +132,60 @@ class VectorDedupSpec extends SparkSpec {
   }
 }
 
-/** Multimodal plumbing: deterministic stub decode through mapPartitions. */
+/** Multimodal plumbing: real ImageIO decode through mapPartitions. */
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.MultimodalQueries
 
-  test("binary payloads produce stable fixed-width features") {
+  test("binary payloads produce stable checksum features") {
     import spark.implicits._
     val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "payload_str")
       .select(col("doc_id"), col("payload_str").cast("binary").as("payload"))
     val out = MultimodalQueries.extractFeatures(df).collect()
       .map(f => f.doc_id -> f).toMap
     assert(out(1L).n_bytes == 5)
-    assert(out(1L).width == 16 + ('h' & 0x3F))
+    // FNV-1a("hello") computed independently
+    var ck = 1469598103934665603L
+    "hello".getBytes("UTF-8").foreach { b =>
+      ck ^= (b & 0xFFL); ck *= 1099511628211L
+    }
+    assert(out(1L).checksum == ck)
     assert(out(2L).n_bytes == 0)
-    assert(out(2L).width == 16 && out(2L).height == 16)
+    assert(out(2L).checksum == 1469598103934665603L) // empty = offset basis
     // determinism across partitionings
     val again = MultimodalQueries.extractFeatures(df.repartition(4))
       .collect().map(f => f.doc_id -> f).toMap
     assert(again == out)
   }
 
-  test("resize stub yields fixed-size output; frame sampler explodes rows") {
-    import spark.implicits._
-    val payload = Array.tabulate(1024)(i => (i % 251).toByte)
-    val thumb = MultimodalQueries.resizeStub(payload, 8, 8)
-    assert(thumb.length == 64)
-    assert(thumb.toSeq == MultimodalQueries.resizeStub(payload, 8, 8).toSeq)
+  test("PNG encode→decode roundtrip is pixel-exact") {
+    val i = 3
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(MultimodalQueries.renderImage(i), "png", baos)
+    val img = MultimodalQueries.decodeImage(baos.toByteArray)
+    assert(img.getWidth == MultimodalQueries.imgWidth(i))
+    assert(img.getHeight == MultimodalQueries.imgHeight(i))
+    // spot-check pixels against the generation formulas
+    for (x <- Seq(0, 5, img.getWidth - 1); y <- Seq(0, 7, img.getHeight - 1)) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == (3 * x + i) % 256)
+      assert(((rgb >> 8) & 0xFF) == (5 * y + i) % 256)
+      assert((rgb & 0xFF) == (x + y + i) % 256)
+    }
+  }
 
+  test("box resize is deterministic and 64 bytes; frame sampler explodes rows") {
+    import spark.implicits._
+    val img = MultimodalQueries.renderImage(0)
+    val thumb = MultimodalQueries.boxResize(img, 8, 8)
+    assert(thumb.length == 64)
+    assert(thumb.toSeq == MultimodalQueries.boxResize(img, 8, 8).toSeq)
+    // 16×12 image, cell (0,0) covers x∈{0,1}, y∈{0,1} (y·8/12 = 0 for
+    // y ≤ 1): floor-average of the four formula luminances
+    val lums = for (x <- 0 to 1; y <- 0 to 1)
+      yield ((3 * x) % 256 + (5 * y) % 256 + (x + y) % 256) / 3
+    assert((thumb(0) & 0xFF) == lums.sum / 4)
+
+    val payload = Array.tabulate(1024)(i => (i % 251).toByte)
     val df = Seq((1L, payload), (2L, Array.empty[Byte]))
       .toDF("doc_id", "payload")
     val frames = MultimodalQueries.sampleFrames(df, frameBytes = 64, stride = 4)
