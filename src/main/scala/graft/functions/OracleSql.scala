@@ -39,30 +39,83 @@ object OracleSql {
 
   /** The FNV-1a fold: one byte per recursion step, checksum carried as
     * HUGEINT mod 2^64 (ck < 2^64 and the prime < 2^41, so the product
-    * fits int128); the xor touches only the low byte. `ord` equals the
-    * folded byte ONLY for ASCII (the JVM side folds UTF-8 bytes; `ord`
-    * yields code points), so the base case GUARDS the assumption: any
-    * item where the char count differs from the UTF-8 byte count —
-    * i.e. any non-ASCII item — makes the oracle fail loudly with
-    * `error(...)` instead of silently reporting a false hash mismatch.
+    * fits int128); the xor touches only the low byte.
+    *
+    * The fold is over TRUE UTF-8 BYTES, exactly like the JVM side
+    * (TextSketches.fnv1a64): each item's bytes arrive as `hex(encode(t))`
+    * and the recursion decodes two hex digits per step — so the sketch
+    * oracles are byte-exact on ANY corpus, not just ASCII (validated by
+    * the `t_fingerprint_fnv_unicode` canary row).
     */
   def fnvFold(items: String): String =
-    s"""f(doc_id, i, ci, ck) AS (
+    s"""hx AS (
+       |  SELECT doc_id, i, hex(encode(t)) AS hxs,
+       |         octet_length(encode(t)) AS nb
+       |  FROM $items),
+       |f(doc_id, i, ci, ck) AS (
        |  SELECT doc_id, i, 0, CAST('1469598103934665603' AS HUGEINT)
-       |  FROM $items
-       |  WHERE CASE WHEN strlen(t) <> octet_length(encode(t))
-       |        THEN error('non-ASCII item: FNV oracle fold is char-based')
-       |        ELSE true END
+       |  FROM hx
        |  UNION ALL
        |  SELECT f.doc_id, f.i, f.ci + 1,
        |    ((f.ck // 256) * 256
        |      + xor(CAST(f.ck % 256 AS BIGINT),
-       |            CAST(ord(substr(t.t, f.ci + 1, 1)) AS BIGINT)))
+       |            (strpos('0123456789ABCDEF',
+       |               substr(t.hxs, 2 * f.ci + 1, 1)) - 1) * 16
+       |            + strpos('0123456789ABCDEF',
+       |               substr(t.hxs, 2 * f.ci + 2, 1)) - 1))
        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-       |  FROM f JOIN $items t ON f.doc_id = t.doc_id AND f.i = t.i
-       |  WHERE f.ci < strlen(t.t)),
+       |  FROM f JOIN hx t ON f.doc_id = t.doc_id AND f.i = t.i
+       |  WHERE f.ci < t.nb),
        |done AS (
        |  SELECT f.doc_id, f.i, CAST(f.ck AS UBIGINT) AS h
-       |  FROM f JOIN $items t ON f.doc_id = t.doc_id AND f.i = t.i
-       |  WHERE f.ci = strlen(t.t))""".stripMargin
+       |  FROM f JOIN hx t ON f.doc_id = t.doc_id AND f.i = t.i
+       |  WHERE f.ci = t.nb)""".stripMargin
+
+  // 2^64 and 2^63: MUST go through a string cast — a bare integer
+  // literal this size parses as DOUBLE and silently degrades the whole
+  // expression to float arithmetic
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val S63 = "9223372036854775808"
+
+  /** `u xor (u >> 33)` over an unsigned-64 HUGEINT column `u`: the xor
+    * runs on the signed-BIGINT two's-complement view (bit-identical to
+    * unsigned xor; the shifted operand is < 2^31 so its views agree),
+    * then converts back to the unsigned HUGEINT range.
+    */
+  private def xorShift33(src: String): String =
+    s"""(SELECT doc_id,
+       |   CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + $U64
+       |        ELSE CAST(x AS HUGEINT) END AS u
+       | FROM (SELECT doc_id,
+       |   xor(CAST(CASE WHEN u >= CAST('$S63' AS HUGEINT) THEN u - $U64
+       |            ELSE u END AS BIGINT),
+       |       CAST(u // 8589934592 AS BIGINT)) AS x FROM $src AS s) AS x1)"""
+      .stripMargin
+
+  /** `(u * C) mod 2^64` in 32-bit halves, so no intermediate exceeds
+    * int128: u·C ≡ b·d + ((a·d + b·c) mod 2^32)·2^32 with u = a·2^32+b,
+    * C = c·2^32+d.
+    */
+  private def mulMod64(src: String, c: Long, d: Long): String =
+    s"""(SELECT doc_id,
+       |   (u % 4294967296 * $d
+       |    + (u // 4294967296 * $d + u % 4294967296 * $c) % 4294967296
+       |      * 4294967296) % $U64 AS u
+       | FROM $src AS s)""".stripMargin
+
+  /** MurmurHash3 fmix64 finalizer over `done(doc_id, h)` (one item per
+    * doc), replayed step-for-step: yields `mixed(doc_id, u)` with
+    * u = fmix64(h) as unsigned-64 HUGEINT. The JVM twin is
+    * TextSketches.fmix64; constants 0xff51afd7ed558ccd and
+    * 0xc4ceb9fe1a85ec53 appear as their 32-bit halves.
+    */
+  def fmix64: String = {
+    val m0 = "(SELECT doc_id, CAST(h AS HUGEINT) AS u FROM done)"
+    val m1 = xorShift33(m0)
+    val m2 = mulMod64(m1, 4283543511L, 3981806797L) // 0xff51afd7, 0xed558ccd
+    val m3 = xorShift33(m2)
+    val m4 = mulMod64(m3, 3301882366L, 444984403L) // 0xc4ceb9fe, 0x1a85ec53
+    val m5 = xorShift33(m4)
+    s"mixed AS (SELECT doc_id, u FROM $m5 t)"
+  }
 }

@@ -79,6 +79,25 @@ object TextSketches {
     ck
   }
 
+  /** MurmurHash3's 64-bit finalizer (public domain, Appleby): full
+    * avalanche over all 64 bits. FNV-1a alone mixes too slowly for
+    * rank statistics on short keys — its raw high bits bias an HLL
+    * estimate ~20% high on sequential ids — so the HLL hash is
+    * fnv1a64 ∘ fmix64. Both halves replay exactly in SQL
+    * (OracleSql.fnvFold + OracleSql.fmix64).
+    */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def hllHash(s: UTF8String): Long = fmix64(fnv1a64(s))
+
   /** seeds(j) = XXH64(int j, 42) — the seed chain Spark's
     * xxhash64(lit(j), h) produces for the first argument.
     */
@@ -225,6 +244,9 @@ object TextSketches {
   def fnv1a(c: Column): Column =
     Bridge.column(Fnv1a64Expr(Bridge.expression(c.cast("string"))))
 
+  def hll_hash(c: Column): Column =
+    Bridge.column(HllHashExpr(Bridge.expression(c.cast("string"))))
+
   def simhash_fnv(c: Column): Column =
     Bridge.column(SimHashFnvExpr(Bridge.expression(c.cast("string"))))
 
@@ -265,6 +287,17 @@ case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
     TextSketches.fnv1a64(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HllHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_hash"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.hllHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.hllHash($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -237,38 +237,23 @@ object MultimodalQueries {
         Tables(s, d).documents
           .select(col("doc_id"), col("text").cast("binary").as("payload")))
         .toDF(),
-    // FNV-1a's 64-bit wrapping multiply replayed in DuckDB: the fold is
-    // sequential per payload, so a recursive CTE advances every document
-    // one byte per step, carrying the checksum as HUGEINT mod 2^64
-    // (ck < 2^64 and the multiplier < 2^41, so the product fits in 128
-    // bits). The xor touches only the low byte (b < 256), done on the
-    // BIGINT-safe low chunk. Payloads are ASCII text bytes, so
-    // ord(char) == the byte the Scala side folds — and the base case
-    // GUARDS that assumption: non-ASCII text errors loudly instead of
-    // surfacing as a confusing hash mismatch (same guard as
-    // OracleSql.fnvFold).
+    // FNV-1a's 64-bit wrapping multiply replayed in DuckDB over the
+    // payload's TRUE UTF-8 BYTES (via the shared hex-decoding fold in
+    // OracleSql — byte-exact on any corpus, not just ASCII): checksum
+    // carried as HUGEINT mod 2^64, xor on the BIGINT-safe low byte,
+    // converted back to signed at the end.
     Some(
-      """WITH RECURSIVE fnv(doc_id, i, ck) AS (
-        |  SELECT doc_id, 0, CAST('1469598103934665603' AS HUGEINT)
-        |  FROM documents
-        |  WHERE CASE WHEN strlen(text) <> octet_length(encode(text))
-        |        THEN error('non-ASCII text: FNV oracle fold is char-based')
-        |        ELSE true END
-        |  UNION ALL
-        |  SELECT f.doc_id, f.i + 1,
-        |    ((f.ck // 256) * 256
-        |      + xor(CAST(f.ck % 256 AS BIGINT),
-        |            CAST(ord(substr(d.text, f.i + 1, 1)) AS BIGINT)))
-        |    * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  FROM fnv f JOIN documents d ON f.doc_id = d.doc_id
-        |  WHERE f.i < strlen(d.text))
-        |SELECT f.doc_id,
-        |  CAST(strlen(d.text) AS INT) AS n_bytes,
-        |  CAST(CASE WHEN f.ck >= CAST('9223372036854775808' AS HUGEINT)
-        |    THEN f.ck - CAST('18446744073709551616' AS HUGEINT)
-        |    ELSE f.ck END AS BIGINT) AS checksum
-        |FROM fnv f JOIN documents d ON f.doc_id = d.doc_id
-        |WHERE f.i = strlen(d.text)""".stripMargin),
+      s"""WITH RECURSIVE
+         |items AS (SELECT doc_id, 0 AS i, text AS t FROM documents),
+         |${graft.functions.OracleSql.fnvFold("items")}
+         |SELECT d.doc_id,
+         |  CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+         |  CAST(CASE WHEN CAST(o.h AS HUGEINT)
+         |      >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN CAST(o.h AS HUGEINT)
+         |      - CAST('18446744073709551616' AS HUGEINT)
+         |    ELSE CAST(o.h AS HUGEINT) END AS BIGINT) AS checksum
+         |FROM done o JOIN documents d ON o.doc_id = d.doc_id""".stripMargin),
   )
 
   // real decode over the PNG fixture: the oracle recomputes dims and the

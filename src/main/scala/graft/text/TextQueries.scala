@@ -98,6 +98,39 @@ object TextQueries {
         |GROUP BY d.doc_id""".stripMargin),
   )
 
+  /** Unicode canary for the FNV oracle fold: a fixed multilingual
+    * fixture hashed by the engine's codegen'd FNV-1a expression and
+    * replayed byte-for-byte by the shared hex-decoding SQL fold — green
+    * means the sketch oracles (MinHash/SimHash/embedder/checksum) are
+    * byte-exact beyond ASCII, pinning the UTF-8 contract the corpora
+    * rely on.
+    */
+  private val fpUnicode = Q(
+    "t_fingerprint_fnv_unicode",
+    (s, _) => {
+      import s.implicits._
+      Seq((1L, "héllo wörld"), (2L, "日本語テキスト"),
+        (3L, "mixed æøå 123"), (4L, ""))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextSketches.fnv1a(col("text")).as("fp"))
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |items(doc_id, i, t) AS (
+         |  SELECT * FROM (VALUES (1, 0, 'héllo wörld'),
+         |    (2, 0, '日本語テキスト'), (3, 0, 'mixed æøå 123'),
+         |    (4, 0, '')) v),
+         |${graft.functions.OracleSql.fnvFold("items")}
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE WHEN CAST(h AS HUGEINT)
+         |      >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN CAST(h AS HUGEINT)
+         |      - CAST('18446744073709551616' AS HUGEINT)
+         |    ELSE CAST(h AS HUGEINT) END AS BIGINT) AS fp
+         |FROM done""".stripMargin),
+  )
+
   private val langid = Q(
     "t_language_id",
     (s, d) =>
@@ -346,6 +379,7 @@ object TextQueries {
         |WHERE dup_word_frac <= 0.8 AND top_bigram_frac <= 0.2""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, langid, phrase,
+  def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
+    langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges)
 }
