@@ -79,6 +79,9 @@ object Bench {
     "j13_fuzzy_name_join",
     // the composed dedup→quality→decontaminate→split→pack pipeline
     "t_curation_pipeline",
+    // round 4: replayable HLL sketch + real image decode
+    "a16b_hll_distinct",
+    "m_decode_dims",
   )
 
   def main(args: Array[String]): Unit = {
