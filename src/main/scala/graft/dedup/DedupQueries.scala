@@ -97,5 +97,6 @@ object DedupQueries {
   )
 
   def all: Seq[Q] = Seq(exact, exemplar, d3, j10) ++ MinHashDedup.queries ++
-    SimHashDedup.queries ++ NgramJaccard.queries ++ DedupClusters.queries
+    SimHashDedup.queries ++ NgramJaccard.queries ++ DedupClusters.queries ++
+    PageRank.queries
 }

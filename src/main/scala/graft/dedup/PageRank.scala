@@ -1,0 +1,115 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge-list DataFrame — the second
+  * iterative graph operator beside [[ConnectedComponents]] (the
+  * reference's graph work is single-machine networkx; SURVEY §2.6 flags
+  * the subgraph machinery as the scale boundary). Each iteration is one
+  * join (ranks onto out-edges) + one aggregation (incoming mass per
+  * node) — the canonical BSP shape that runs at any corpus size; 10
+  * fixed iterations, lineage cut per round.
+  *
+  * INTEGER-UNIT determinism: ranks live in integer micro-units
+  * (1e6 = 1.0), per-edge contributions are `rank div outdeg` and the
+  * damping step is `150000 + (85 · Σin) div 100` — floor division at
+  * every step, so the fixpoint trajectory is bit-identical on any
+  * engine and partitioning (float PageRank is accumulation-order
+  * dependent). Truncation mass (< outdeg units per node per round) is
+  * deliberately dropped — the spec IS the integer recurrence, which an
+  * independent SQL engine replays as 10 chained CTEs.
+  */
+object PageRank {
+
+  val BaseUnits = 1000000L
+  val Iterations = 10
+
+  /** @param edges directed (src, dst) — symmetrize upstream if needed.
+    * @param nodes one-column (id) universe; isolated nodes converge to
+    *   the damped floor 150000 units.
+    * @return (id, rank_units) after [[Iterations]] rounds.
+    */
+  def run(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-edges with their degree, reused every round
+    val e = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.select(col("id"), lit(BaseUnits).as("rank"))
+    for (_ <- 1 to Iterations) {
+      val in = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(in.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("85 * coalesce(m, 0L) div 100")).as("rank"))
+        .localCheckpoint(false) // lazy lineage cut, materialized by the
+      // next round's join (one job per round, like the CC barrier)
+    }
+    ranks.select(col("id"), col("rank").as("rank_units"))
+  }
+
+  // ---- registered query: PageRank over the per-nation supplier chains
+  // (the same deterministic edge set d3_connected_components uses, both
+  // directions) — chain interiors accumulate more mass than endpoints,
+  // so the fixpoint is a real gradient, not a constant.
+
+  private def chainEdges(t: Tables): DataFrame = {
+    val w = Window.partitionBy("s_nationkey").orderBy(asc("s_suppkey"))
+    val ranked = t.supplier
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("rn", row_number().over(w))
+    val fwd = ranked.alias("a")
+      .join(ranked.alias("b"),
+        col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.rn") === col("b.rn") - 1)
+      .select(col("a.s_suppkey").as("src"), col("b.s_suppkey").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def oracleSql: String = {
+    val rounds = (1 to Iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank // e.outdeg) AS m
+         |    FROM e JOIN r${k - 1} r ON e.src = r.id
+         |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ranked AS (
+       |  SELECT s_suppkey, s_nationkey,
+       |    row_number() OVER (PARTITION BY s_nationkey
+       |                       ORDER BY s_suppkey) AS rn
+       |  FROM supplier),
+       |fwd AS (
+       |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+       |  FROM ranked a JOIN ranked b
+       |    ON a.s_nationkey = b.s_nationkey AND a.rn = b.rn - 1),
+       |edges AS (SELECT src, dst FROM fwd
+       |          UNION ALL SELECT dst, src FROM fwd),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, deg.outdeg
+       |      FROM edges JOIN deg ON edges.src = deg.src),
+       |nodes AS (SELECT s_suppkey AS id FROM supplier),
+       |r0 AS (SELECT id, CAST($BaseUnits AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT id AS s_suppkey, CAST(rank AS BIGINT) AS rank_units
+       |FROM r$Iterations""".stripMargin
+  }
+
+  private val q = Q(
+    "d11_pagerank",
+    (s, d) => {
+      val t = Tables(s, d)
+      run(chainEdges(t), t.supplier.select(col("s_suppkey").as("id")))
+        .withColumnRenamed("id", "s_suppkey")
+    },
+    Some(oracleSql),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}

@@ -167,5 +167,61 @@ object TimeWindows {
         |FROM orders""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9)
+  /** EWMA smoothing of a per-key weekly series — the trend-smoothing
+    * step indicator pipelines run after the weekly counts (the reference
+    * plots raw weeklies; a monitoring pipeline smooths them). The
+    * recursive EWMA y_t = αx_t + (1-α)y_(t-1) is inherently sequential;
+    * this is its 8-term windowed expansion with α = 1/4, whose weights
+    * (1/4)(3/4)^k are EXACT decimals (3^k/2^(2k+2)) — so the whole
+    * smoother is one per-key window of lag() terms, embarrassingly
+    * parallel across keys, and decimal arithmetic makes it bit-identical
+    * across engines (a float EWMA would drift with evaluation order).
+    * Missing lags at series start contribute 0 (the spec, mirrored in
+    * SQL).
+    */
+  /** The weights (1/4)(3/4)^k are DYADIC rationals, so scaled by 2^16
+    * they are exact integers 3^k·2^(14-2k): the whole smoother runs in
+    * BIGINT arithmetic and the single final division by 65536.0 (a power
+    * of two) is exact in binary floating point — no decimal-precision
+    * negotiation in either engine. (The first cut used decimal weights:
+    * Spark's allowPrecisionLoss truncated the 8-term fold's scale
+    * 16 → 10, and DuckDB's decimal→double cast drifted 1 ulp on 187
+    * rows. Integer units dodge both entire failure classes.)
+    */
+  private val ewmaUnitCoefs: Seq[Long] =
+    (0 to 7).map(k => BigInt(3).pow(k).toLong << (14 - 2 * k))
+
+  private val w11 = Q(
+    "w11_ewma_smoothing",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("ws")
+      val weekly = Tables(s, d).orders
+        .groupBy(col("o_orderpriority"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("ws"))
+        .agg(count(lit(1)).as("n"))
+      val units = ewmaUnitCoefs.zipWithIndex.map { case (c, k) =>
+        lit(c) * coalesce(lag(col("n"), k).over(w), lit(0L))
+      }.reduce(_ + _)
+      weekly.select(col("o_orderpriority"), col("ws"), col("n"),
+        (units.cast("double") / lit(65536.0)).as("ewma"))
+    },
+    Some {
+      val terms = ewmaUnitCoefs.zipWithIndex.map { case (c, k) =>
+        s"$c * coalesce(lag(n, $k) OVER w, 0)"
+      }.mkString("\n  + ")
+      s"""WITH wk AS (
+         |  SELECT o_orderpriority,
+         |    CAST(date_trunc('week', o_orderdate) AS DATE) AS ws,
+         |    count(*) AS n
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT o_orderpriority, ws, CAST(n AS BIGINT) AS n,
+         |  CAST($terms
+         |  AS DOUBLE) / 65536.0 AS ewma
+         |FROM wk
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY ws)""".stripMargin
+    },
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11)
 }
