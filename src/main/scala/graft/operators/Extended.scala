@@ -622,9 +622,47 @@ object Extended {
         |GROUP BY o_custkey""".stripMargin),
   )
 
+  /** Cohort retention matrix — the warehouse staple for "how many of
+    * week W's new customers are still active k weeks later". Three
+    * bounded shapes: distinct (customer, week) activity (hash agg whose
+    * shuffle is |customers|×|weeks|, not orders), per-customer cohort
+    * week (hash agg), and an equi join back — no window over the whole
+    * table, no cross join; cells are counted with one final hash agg.
+    * At 100 TB the activity distinct is the only corpus-sized shuffle,
+    * and it is exactly the map-side-combinable kind.
+    */
+  private val a22 = Q(
+    "a22_cohort_retention",
+    (s, d) => {
+      val wk = date_trunc("week", col("o_orderdate")).cast("date")
+      val activity = Tables(s, d).orders
+        .select(col("o_custkey"), wk.as("w")).distinct()
+      val cohort = activity.groupBy("o_custkey")
+        .agg(min(col("w")).as("cohort_week"))
+      activity.join(cohort, "o_custkey")
+        .select(col("cohort_week"),
+          (datediff(col("w"), col("cohort_week")) / 7).cast("int")
+            .as("weeks_since"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_active"))
+    },
+    Some(
+      """WITH act AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS w
+        |  FROM orders),
+        |coh AS (SELECT o_custkey, min(w) AS cohort_week FROM act GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, a.w) // 7 AS INT)
+        |    AS weeks_since,
+        |  count(*) AS n_active
+        |FROM act a JOIN coh c USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21)
+      a21, a22)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

@@ -58,3 +58,39 @@ class TimeWindowsSpec extends AnyFunSuite {
       d("2021-02-15"), d("2021-02-22"), d("2021-03-01")))
   }
 }
+
+/** EWMA integer-unit smoother: closed forms on constant and impulse
+  * series pin the dyadic-weight expansion.
+  */
+class EwmaSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // the registered query's coefficient set, rebuilt independently
+  private val coefs = (0 to 7).map(k => BigInt(3).pow(k).toLong << (14 - 2 * k))
+
+  test("coefficients are (1/4)(3/4)^k scaled by 2^16, and sum to 1-(3/4)^8") {
+    for (k <- 0 to 7)
+      assert(BigDecimal(coefs(k)) / 65536 ==
+        BigDecimal(0.25) * BigDecimal(0.75).pow(k))
+    assert(coefs.sum == 65536 - BigInt(3).pow(8).toLong) // 58975
+  }
+
+  test("constant series converges to x·(1-(3/4)^8); impulse decays as (3/4)^k") {
+    val w = Window.partitionBy("g").orderBy("t")
+    def ewma(df: org.apache.spark.sql.DataFrame) = df.select(col("t"),
+      coefs.zipWithIndex.map { case (c, k) =>
+        lit(c) * coalesce(lag(col("n"), k).over(w), lit(0L))
+      }.reduce(_ + _).as("units"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val const = ewma((1L to 12L).map(t => ("a", t, 40L)).toDF("g", "t", "n"))
+    assert(const(12L) == 40L * 58975L) // fully warmed window
+    val impulse = ewma(
+      (1L to 10L).map(t => ("a", t, if (t == 2) 64L else 0L))
+        .toDF("g", "t", "n"))
+    for (k <- 0 to 7)
+      assert(impulse(2L + k) == 64L * coefs(k)) // weight k, exactly
+  }
+}
