@@ -265,85 +265,24 @@ object Extended {
     * satisfies. Spark's own HLL++ stays registered (a16) as the
     * engine-native production path.
     */
-  /** α·m²·2^56·10^4 for m = 512, as one exact integer: the double
-    * expression 0.7213/(1+1.079/512)·512²·2^56 evaluated once and scaled
-    * — shared verbatim by engine and oracle so the estimate needs no
-    * floating-point division at query time.
-    */
-  private val HllAlphaNumer = BigInt("135963185971444108492800000")
-
   private val a16b = Q(
     "a16b_hll_distinct",
     (s, d) => {
-      val m = 512
-      // identical CASE text evaluates in BOTH engines: rho = 1 + leading
-      // zeros of the 55-bit window w (w = 0 → all 55 zero → 56)
-      val rhoCase = (1 to 55)
-        .map(r => s"WHEN w >= ${1L << (55 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 56 END")
-      val h = graft.functions.TextSketches.hll_hash(
-        col("l_orderkey").cast("string"))
-      val regs = Tables(s, d).lineitem
-        .select(col("l_returnflag"), h.as("h"))
-        .select(col("l_returnflag"),
-          col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
-          shiftrightunsigned(col("h"), 9).as("w"))
-        .select(col("l_returnflag"), col("bucket"), expr(rhoCase).as("rho"))
+      // pieces shared with the streaming twin — see graft.operators.Hll
+      val regs = Hll
+        .bucketRho(Tables(s, d).lineitem, Seq("l_returnflag"),
+          col("l_orderkey"))
         .groupBy("l_returnflag", "bucket")
         .agg(max(col("rho")).as("m"))
-      val sketch = regs
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("seen"),
-          sum(expr("cast(shiftleft(1L, 56 - m) as decimal(38,0))"))
-            .as("s_seen"))
-        .select(col("l_returnflag"),
-          (col("s_seen") +
-            (lit(m).cast("decimal(38,0)") - col("seen")) *
-              lit(72057594037927936L).cast("decimal(38,0)")).as("s_total"))
       val exact = Tables(s, d).lineitem
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-      // the final α·m²/Σ division runs ENTIRELY in integers: the
-      // numerator α·m²·2^56·10^4 is one precomputed exact literal
-      // (HllAlphaNumer), integer-divided by the scaled register sum and
-      // only then converted — double division differed by 1 ulp between
-      // engines (measured: …0827 vs …0826 at 4 dp), integer division
-      // cannot
-      sketch.join(exact, "l_returnflag")
-        .select(col("l_returnflag"),
-          (expr(s"cast('$HllAlphaNumer' as decimal(38,0)) div s_total")
-            .cast("double") / lit(10000.0)).as("approx_orders"),
-          col("exact_orders"))
+      Hll.estimate(regs, Seq("l_returnflag"))
+        .withColumnRenamed("approx", "approx_orders")
+        .join(exact, "l_returnflag")
+        .select("l_returnflag", "approx_orders", "exact_orders")
     },
-    Some {
-      val rhoCase = (1 to 55)
-        .map(r => s"WHEN w >= ${1L << (55 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 56 END")
-      s"""WITH RECURSIVE
-         |items AS (SELECT DISTINCT l_orderkey AS doc_id, 0 AS i,
-         |            CAST(l_orderkey AS VARCHAR) AS t FROM lineitem),
-         |${graft.functions.OracleSql.fnvFold("items")},
-         |${graft.functions.OracleSql.fmix64},
-         |hw AS (
-         |  SELECT l.l_returnflag, m.u % 512 AS bucket, m.u // 512 AS w
-         |  FROM lineitem l JOIN mixed m ON l.l_orderkey = m.doc_id),
-         |regs AS (
-         |  SELECT l_returnflag, bucket, max($rhoCase) AS m
-         |  FROM hw GROUP BY 1, 2),
-         |agg AS (
-         |  SELECT l_returnflag, count(*) AS seen,
-         |    sum(CAST(1::BIGINT << (56 - m) AS HUGEINT)) AS s_seen
-         |  FROM regs GROUP BY 1),
-         |ex AS (
-         |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
-         |  FROM lineitem GROUP BY 1)
-         |SELECT a.l_returnflag,
-         |  CAST(CAST('$HllAlphaNumer' AS HUGEINT) // (a.s_seen +
-         |    (512 - a.seen) * CAST('72057594037927936' AS HUGEINT))
-         |    AS DOUBLE) / 10000.0 AS approx_orders,
-         |  CAST(ex.exact_orders AS BIGINT) AS exact_orders
-         |FROM agg a JOIN ex ON a.l_returnflag = ex.l_returnflag""".stripMargin
-    },
+    Some(Hll.lineitemOracle),
   )
 
   /** Column profiler — the ANALYZE/data-quality-report surface

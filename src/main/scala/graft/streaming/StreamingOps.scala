@@ -339,6 +339,38 @@ object StreamingOps {
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin),
   )
 
+  /** Streaming sketch maintenance: the replayable HLL's register table
+    * (graft.operators.Hll) maintained BY THE STREAM — max is an
+    * associative, idempotent aggregate, so a Complete-mode groupBy over
+    * (key, bucket) holds exactly the batch registers at every point, and
+    * after the drain the same integer estimate comes out. State is
+    * m=512 registers per key — constant in stream length, the whole
+    * point of sketches — and the row shares the batch oracle verbatim
+    * because the registers are identical.
+    */
+  private val hllParity = graft.Q(
+    "d_streaming_hll_parity",
+    (s, d) => {
+      val stream = spooledStream(s, s"$d/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_orderkey"))
+      val regs = graft.operators.Hll
+        .bucketRho(stream, Seq("l_returnflag"), col("l_orderkey"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(max(col("rho")).as("m"))
+      val name = sinkName("hllp_")
+      runToMemory(regs, name, OutputMode.Complete())
+      val exact = s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      graft.operators.Hll.estimate(s.table(name), Seq("l_returnflag"))
+        .withColumnRenamed("approx", "approx_orders")
+        .join(exact, "l_returnflag")
+        .select("l_returnflag", "approx_orders", "exact_orders")
+    },
+    Some(graft.operators.Hll.lineitemOracle),
+  )
+
   def queries: Seq[graft.Q] =
-    Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity)
+    Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
+      hllParity)
 }
