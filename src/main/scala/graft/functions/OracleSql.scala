@@ -83,10 +83,10 @@ object OracleSql {
     * then converts back to the unsigned HUGEINT range.
     */
   private def xorShift33(src: String): String =
-    s"""(SELECT doc_id,
+    s"""(SELECT doc_id, i,
        |   CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + $U64
        |        ELSE CAST(x AS HUGEINT) END AS u
-       | FROM (SELECT doc_id,
+       | FROM (SELECT doc_id, i,
        |   xor(CAST(CASE WHEN u >= CAST('$S63' AS HUGEINT) THEN u - $U64
        |            ELSE u END AS BIGINT),
        |       CAST(u // 8589934592 AS BIGINT)) AS x FROM $src AS s) AS x1)"""
@@ -97,25 +97,26 @@ object OracleSql {
     * C = c·2^32+d.
     */
   private def mulMod64(src: String, c: Long, d: Long): String =
-    s"""(SELECT doc_id,
+    s"""(SELECT doc_id, i,
        |   (u % 4294967296 * $d
        |    + (u // 4294967296 * $d + u % 4294967296 * $c) % 4294967296
        |      * 4294967296) % $U64 AS u
        | FROM $src AS s)""".stripMargin
 
-  /** MurmurHash3 fmix64 finalizer over `done(doc_id, h)` (one item per
-    * doc), replayed step-for-step: yields `mixed(doc_id, u)` with
-    * u = fmix64(h) as unsigned-64 HUGEINT. The JVM twin is
-    * TextSketches.fmix64; constants 0xff51afd7ed558ccd and
+  /** MurmurHash3 fmix64 finalizer over `done(doc_id, i, h)`, replayed
+    * step-for-step: yields `mixed(doc_id, i, u)` with u = fmix64(h) as
+    * unsigned-64 HUGEINT (the item index i rides along, so multi-item
+    * folds — e.g. the Count-Min per-row hashes — stay addressable). The
+    * JVM twin is TextSketches.fmix64; constants 0xff51afd7ed558ccd and
     * 0xc4ceb9fe1a85ec53 appear as their 32-bit halves.
     */
   def fmix64: String = {
-    val m0 = "(SELECT doc_id, CAST(h AS HUGEINT) AS u FROM done)"
+    val m0 = "(SELECT doc_id, i, CAST(h AS HUGEINT) AS u FROM done)"
     val m1 = xorShift33(m0)
     val m2 = mulMod64(m1, 4283543511L, 3981806797L) // 0xff51afd7, 0xed558ccd
     val m3 = xorShift33(m2)
     val m4 = mulMod64(m3, 3301882366L, 444984403L) // 0xc4ceb9fe, 0x1a85ec53
     val m5 = xorShift33(m4)
-    s"mixed AS (SELECT doc_id, u FROM $m5 t)"
+    s"mixed AS (SELECT doc_id, i, u FROM $m5 t)"
   }
 }

@@ -599,9 +599,69 @@ object Extended {
         |GROUP BY 1, 2""".stripMargin),
   )
 
+  /** Count-Min sketch with a replayable layout — the frequency twin of
+    * the replayable HLL: depth 4 × width 256 integer counters, row-r
+    * hash = hll_hash("r:" ++ key) (the fnv1a∘fmix64 family again), and
+    * the point estimate is min over rows of the key's counter. The
+    * counter table is SUM-mergeable (how partial sketches combine at
+    * 100 TB), the build is one explode + hash aggregate over the stream,
+    * and everything is integer arithmetic — so an approximate frequency
+    * sketch hash-matches DuckDB exactly, including the one-sided
+    * overestimate collisions introduce. Exact counts sit beside the
+    * estimates in the output.
+    */
+  private val a23 = Q(
+    "a23_countmin_sketch",
+    (s, d) => {
+      val depth = 4
+      val keyc = col("o_orderpriority")
+      def rb = explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          graft.functions.TextSketches.hll_hash(concat(lit(s"$r:"), keyc))
+            .bitwiseAND(lit(255L)).as("bucket"))
+      }: _*))
+      val counters = Tables(s, d).orders
+        .select(rb.as("rb"))
+        .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      val probes = Tables(s, d).orders.select(keyc).distinct()
+        .select(keyc, rb.as("rb"))
+        .select(keyc, col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val est = probes.join(counters, Seq("r", "bucket"))
+        .groupBy("o_orderpriority").agg(min(col("cnt")).as("est_count"))
+      val exact = Tables(s, d).orders
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, "o_orderpriority")
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |items AS (
+         |  SELECT o_orderpriority AS doc_id, r AS i,
+         |    CAST(r AS VARCHAR) || ':' || o_orderpriority AS t
+         |  FROM (SELECT DISTINCT o_orderpriority FROM orders),
+         |       range(0, 4) rr(r)),
+         |${graft.functions.OracleSql.fnvFold("items")},
+         |${graft.functions.OracleSql.fmix64},
+         |kb AS (SELECT doc_id AS k, i AS r, CAST(u % 256 AS BIGINT) AS bucket
+         |       FROM mixed),
+         |counters AS (
+         |  SELECT kb.r, kb.bucket, count(*) AS cnt
+         |  FROM orders o JOIN kb ON o.o_orderpriority = kb.k
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT kb.k AS o_orderpriority, min(c.cnt) AS est_count
+         |  FROM kb JOIN counters c ON kb.r = c.r AND kb.bucket = c.bucket
+         |  GROUP BY 1),
+         |ex AS (SELECT o_orderpriority, count(*) AS exact_count
+         |       FROM orders GROUP BY 1)
+         |SELECT e.o_orderpriority, CAST(e.est_count AS BIGINT) AS est_count,
+         |  CAST(x.exact_count AS BIGINT) AS exact_count
+         |FROM est e JOIN ex x USING (o_orderpriority)""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21, a22)
+      a21, a22, a23)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

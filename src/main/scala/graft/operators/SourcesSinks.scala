@@ -249,5 +249,32 @@ object SourcesSinks {
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(file, length)")),
   )
 
-  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, p7, p7b)
+  /** Schema evolution on read: a table whose early files carry 2 columns
+    * and later files carry 3 (the normal life of a long-lived dataset —
+    * columns get added, history is not rewritten). `mergeSchema` unifies
+    * the footers and back-fills missing columns with NULL; the oracle
+    * states that contract directly. At scale the merge is footer-only
+    * work — no data files are read to build the unified schema.
+    */
+  private val s15 = Q(
+    "s15_schema_evolution",
+    (s, d) => {
+      val out = tmp("s15_evo")
+      val base = Tables(s, d).customer
+      base.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/gen=1")
+      base.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+    Some(
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, s15, p7, p7b)
 }
