@@ -79,9 +79,12 @@ object Bench {
     "j13_fuzzy_name_join",
     // the composed dedup→quality→decontaminate→split→pack pipeline
     "t_curation_pipeline",
-    // round 4: replayable HLL sketch + real image decode
+    // round 4: replayable sketches, real image decode, cohort retention
     "a16b_hll_distinct",
     "m_decode_dims",
+    "a22_cohort_retention",
+    "a23_countmin_sketch",
+    "d11_pagerank",
   )
 
   def main(args: Array[String]): Unit = {

