@@ -116,5 +116,101 @@ object PageRank {
     Some(oracleSql),
   )
 
+  def queries: Seq[Q] = Seq(q) ++ TriangleCount.queries
+}
+
+/** Triangle counting via DEGREE-ORIENTED wedge join (the compact-forward
+  * algorithm; Schank & Wagner 2005, and the standard MapReduce variant in
+  * Suri & Vassilvitskii, WWW'11): orient every undirected edge from its
+  * lower-(degree, id) endpoint, enumerate wedges at each node over its
+  * OUT-neighbours only, and close them against the oriented edge list.
+  * Orientation bounds each node's out-degree by O(√m), so the wedge join
+  * is Σ outdeg² ≤ O(m^1.5) — the property that makes triangle counting
+  * feasible on a power-law graph where a naive wedge join at the hubs is
+  * Σ deg² ≈ n². Every step is a join or an aggregate; the oracle replays
+  * the identical orientation in SQL, so the count is exact, not sampled.
+  */
+object TriangleCount {
+
+  /** @param edges undirected edge list (src, dst), any order/duplication.
+    * @return one row (n_nodes, n_edges, n_triangles).
+    */
+  def run(edges: DataFrame): DataFrame = {
+    // canonical undirected edges (a < b), deduplicated
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("n"), col("deg"))
+    // orient a→b when (deg a, a) < (deg b, b)
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val o = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    // wedges at u over out-neighbours (id-canonical pair), closed
+    // against the oriented list in either direction
+    val w1 = o.select(col("u"), col("v").as("v1"))
+    val w2 = o.select(col("u"), col("v").as("v2"))
+    val wedges = w1.join(w2, "u").filter(col("v1") < col("v2"))
+    val closing = o.select(col("u").as("x"), col("v").as("y"))
+    val tri = wedges.join(closing,
+      (col("x") === col("v1") && col("y") === col("v2")) ||
+        (col("x") === col("v2") && col("y") === col("v1")))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    counts.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Supplier co-occurrence graph: suppliers appearing in the same order
+    * are connected — derivable identically in SQL, dense enough to have
+    * real triangles.
+    */
+  private val q = Q(
+    "d12_triangle_count",
+    (s, d) => {
+      val li = Tables(s, d).lineitem.select("l_orderkey", "l_suppkey")
+      val edges = li.alias("x").join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      run(edges)
+    },
+    Some(
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.deg < db.deg
+        |              OR (da.deg = db.deg AND und.a < und.b)
+        |         THEN und.a ELSE und.b END AS u,
+        |         CASE WHEN da.deg < db.deg
+        |              OR (da.deg = db.deg AND und.a < und.b)
+        |         THEN und.b ELSE und.a END AS v
+        |  FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+        |  JOIN o c ON (c.u = w1.v AND c.v = w2.v)
+        |           OR (c.u = w2.v AND c.v = w1.v))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+        |  CAST(tri.n_triangles AS BIGINT) AS n_triangles
+        |FROM tri""".stripMargin),
+  )
+
   def queries: Seq[Q] = Seq(q)
 }

@@ -610,6 +610,34 @@ object Extended {
     * overestimate collisions introduce. Exact counts sit beside the
     * estimates in the output.
     */
+  /** Shared with the streaming parity row (identical counters ⇒
+    * identical oracle).
+    */
+  val countMinOracle: Option[String] = Some(
+    s"""WITH RECURSIVE
+       |items AS (
+       |  SELECT o_orderpriority AS doc_id, r AS i,
+       |    CAST(r AS VARCHAR) || ':' || o_orderpriority AS t
+       |  FROM (SELECT DISTINCT o_orderpriority FROM orders),
+       |       range(0, 4) rr(r)),
+       |${graft.functions.OracleSql.fnvFold("items")},
+       |${graft.functions.OracleSql.fmix64},
+       |kb AS (SELECT doc_id AS k, i AS r, CAST(u % 256 AS BIGINT) AS bucket
+       |       FROM mixed),
+       |counters AS (
+       |  SELECT kb.r, kb.bucket, count(*) AS cnt
+       |  FROM orders o JOIN kb ON o.o_orderpriority = kb.k
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT kb.k AS o_orderpriority, min(c.cnt) AS est_count
+       |  FROM kb JOIN counters c ON kb.r = c.r AND kb.bucket = c.bucket
+       |  GROUP BY 1),
+       |ex AS (SELECT o_orderpriority, count(*) AS exact_count
+       |       FROM orders GROUP BY 1)
+       |SELECT e.o_orderpriority, CAST(e.est_count AS BIGINT) AS est_count,
+       |  CAST(x.exact_count AS BIGINT) AS exact_count
+       |FROM est e JOIN ex x USING (o_orderpriority)""".stripMargin)
+
   private val a23 = Q(
     "a23_countmin_sketch",
     (s, d) => {
@@ -633,30 +661,7 @@ object Extended {
         .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_count"))
       est.join(exact, "o_orderpriority")
     },
-    Some(
-      s"""WITH RECURSIVE
-         |items AS (
-         |  SELECT o_orderpriority AS doc_id, r AS i,
-         |    CAST(r AS VARCHAR) || ':' || o_orderpriority AS t
-         |  FROM (SELECT DISTINCT o_orderpriority FROM orders),
-         |       range(0, 4) rr(r)),
-         |${graft.functions.OracleSql.fnvFold("items")},
-         |${graft.functions.OracleSql.fmix64},
-         |kb AS (SELECT doc_id AS k, i AS r, CAST(u % 256 AS BIGINT) AS bucket
-         |       FROM mixed),
-         |counters AS (
-         |  SELECT kb.r, kb.bucket, count(*) AS cnt
-         |  FROM orders o JOIN kb ON o.o_orderpriority = kb.k
-         |  GROUP BY 1, 2),
-         |est AS (
-         |  SELECT kb.k AS o_orderpriority, min(c.cnt) AS est_count
-         |  FROM kb JOIN counters c ON kb.r = c.r AND kb.bucket = c.bucket
-         |  GROUP BY 1),
-         |ex AS (SELECT o_orderpriority, count(*) AS exact_count
-         |       FROM orders GROUP BY 1)
-         |SELECT e.o_orderpriority, CAST(e.est_count AS BIGINT) AS est_count,
-         |  CAST(x.exact_count AS BIGINT) AS exact_count
-         |FROM est e JOIN ex x USING (o_orderpriority)""".stripMargin),
+    countMinOracle,
   )
 
   def all: Seq[Q] =

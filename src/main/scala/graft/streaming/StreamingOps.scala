@@ -370,7 +370,44 @@ object StreamingOps {
     Some(graft.operators.Hll.lineitemOracle),
   )
 
+  /** Streaming Count-Min maintenance — the frequency twin of the HLL
+    * parity row: the counter table is SUM-mergeable, and a streaming
+    * count over (row, bucket) in Complete mode IS the sketch at every
+    * point. State = depth×width counters total (constant in stream
+    * length); estimates read the drained counters. Shares the batch
+    * row's oracle because the counters are identical.
+    */
+  private val cmParity = graft.Q(
+    "d_streaming_countmin_parity",
+    (s, d) => {
+      val keyc = col("o_orderpriority")
+      def rb = explode(array((0 until 4).map { r =>
+        struct(lit(r).as("r"),
+          graft.functions.TextSketches.hll_hash(concat(lit(s"$r:"), keyc))
+            .bitwiseAND(lit(255L)).as("bucket"))
+      }: _*))
+      val stream = spooledStream(s, s"$d/orders.parquet")
+        .select(keyc)
+        .select(rb.as("rb"))
+        .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      val name = sinkName("cmp_")
+      runToMemory(stream, name, OutputMode.Complete())
+      val counters = s.table(name)
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val probes = orders.select(keyc).distinct()
+        .select(keyc, rb.as("rb"))
+        .select(keyc, col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val est = probes.join(counters, Seq("r", "bucket"))
+        .groupBy("o_orderpriority").agg(min(col("cnt")).as("est_count"))
+      val exact = orders
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, "o_orderpriority")
+    },
+    graft.operators.Extended.countMinOracle,
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
-      hllParity)
+      hllParity, cmParity)
 }
