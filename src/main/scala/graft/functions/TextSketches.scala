@@ -98,6 +98,18 @@ object TextSketches {
 
   def hllHash(s: UTF8String): Long = fmix64(fnv1a64(s))
 
+  /** Unicode NFC normalisation (canonical composition) — the first step
+    * of any multilingual corpus cleanup: the same text arrives from the
+    * web in composed and decomposed forms, and every downstream
+    * hash/dedup/fingerprint treats them as different documents unless
+    * normalised. JDK Normalizer; both engines implement the same Unicode
+    * standard, which is what makes the row oracle-able.
+    */
+  def nfc(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFC))
+
   /** seeds(j) = XXH64(int j, 42) — the seed chain Spark's
     * xxhash64(lit(j), h) produces for the first argument.
     */
@@ -247,6 +259,9 @@ object TextSketches {
   def hll_hash(c: Column): Column =
     Bridge.column(HllHashExpr(Bridge.expression(c.cast("string"))))
 
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(c.cast("string"))))
+
   def simhash_fnv(c: Column): Column =
     Bridge.column(SimHashFnvExpr(Bridge.expression(c.cast("string"))))
 
@@ -287,6 +302,17 @@ case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
     TextSketches.fnv1a64(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketches.nfc($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

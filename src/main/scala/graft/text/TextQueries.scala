@@ -131,6 +131,37 @@ object TextQueries {
          |FROM done""".stripMargin),
   )
 
+  /** Unicode NFC normalisation over a mixed composed/decomposed fixture:
+    * the same visible text arrives from the web in both forms, and every
+    * hash/dedup/fingerprint downstream treats them as distinct documents
+    * unless canonicalised first — this is step zero of a multilingual
+    * corpus pipeline. Engine = a codegen expression over the JDK
+    * Normalizer; oracle = DuckDB's nfc_normalize over byte-identical
+    * literals (both implement the same Unicode standard).
+    */
+  private val nfcFixture: Seq[(Long, String)] = Seq(
+    (1L, "cafe\u0301 au lait"), // decomposed: e + combining acute
+    (2L, "caf\u00e9"), // precomposed - already NFC, must pass through
+    (3L, "A\u030angstro\u0308m"), // combining ring + diaeresis
+    (4L, "\u1100\u1161 hangul jamo"), // jamo pair -> one Hangul syllable
+    (5L, "plain ascii"),
+  )
+
+  private val nfcQ = Q(
+    "t_unicode_nfc",
+    (s, _) => {
+      import s.implicits._
+      nfcFixture.toDF("doc_id", "t")
+        .select(col("doc_id"),
+          graft.functions.TextSketches.nfc_normalize(col("t")).as("t_nfc"))
+    },
+    Some(nfcFixture
+      .map { case (id, t) => s"($id, '$t')" }
+      .mkString(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, nfc_normalize(t) AS t_nfc " +
+          "FROM (VALUES ", ", ", ") v(doc_id, t)")),
+  )
+
   private val langid = Q(
     "t_language_id",
     (s, d) =>
@@ -380,6 +411,6 @@ object TextQueries {
   )
 
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
-    langid, phrase,
+    nfcQ, langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges)
 }
