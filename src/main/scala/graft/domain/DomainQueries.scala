@@ -428,6 +428,71 @@ object DomainQueries {
         |GROUP BY 1, 2""".stripMargin),
   )
 
+  /** A7 per-code: weekly per-location volumes against per-location stock
+    * indexes (`weekly_stock.py:92-109` — the reference's regional
+    * indicator). The real `Indicators.{standardiseLocation,
+    * stockIndexByCode, weeklyLocVacancies}` chain runs under the gate:
+    * weekly dedup-aware ads → location dim join (broadcast) → London/
+    * unmatched consolidation → per-code index over a fixed 4-week stock
+    * window → indexed volumes. The index side is a tiny aggregate
+    * (|codes| rows, broadcast); the only corpus-sized shuffle is the
+    * weekly count itself.
+    */
+  private val weeklyLocQ = Q(
+    "dom_weekly_loc_vacancies",
+    (s, d) => {
+      val t = Tables(s, d)
+      val loc = AdsFixture.locationLinks(t)
+        .join(broadcast(AdsFixture.locations(t)),
+          col("location_id") === col("ipn_18_code"), "left_outer")
+        .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
+        .distinct()
+      val std = Indicators.standardiseLocation(
+        weekly(s, d).select("week_date", "id")
+          .join(loc, col("id") === col("job_id"), "left_outer")
+          .drop("job_id"))
+      val idx = Indicators.stockIndexByCode(
+        std.filter(col("week_date").between("1996-04-01", "1996-04-22")),
+        "nuts_2_code")
+      Indicators.weeklyLocVacancies(std, idx)
+    },
+    Some(weeklyPrefix +
+      s""", location_links AS (
+         |${AdsFixture.SQL("location_links")}),
+         |locations AS (
+         |${AdsFixture.SQL("locations")}),
+         |std AS (
+         |  SELECT w.week_date,
+         |    CASE WHEN loc.nuts_2_code IN ('UKI3','UKI4','UKI5','UKI6','UKI7')
+         |         THEN 'London'
+         |         WHEN loc.nuts_2_code IS NULL THEN 'Unmatched'
+         |         ELSE loc.nuts_2_name END AS nuts_2_name,
+         |    CASE WHEN loc.nuts_2_code IN ('UKI3','UKI4','UKI5','UKI6','UKI7')
+         |         THEN 'UKI'
+         |         WHEN loc.nuts_2_code IS NULL THEN 'ZZZ1'
+         |         ELSE loc.nuts_2_code END AS nuts_2_code
+         |  FROM weekly w
+         |  LEFT JOIN (
+         |    SELECT DISTINCT ll.job_id, l.nuts_2_code, l.nuts_2_name
+         |    FROM location_links ll
+         |    LEFT JOIN locations l ON ll.location_id = l.ipn_18_code) loc
+         |    ON w.id = loc.job_id),
+         |idx AS (
+         |  SELECT nuts_2_code, CAST(count(*) AS DOUBLE) / 4 AS code_index
+         |  FROM std
+         |  WHERE week_date BETWEEN DATE '1996-04-01' AND DATE '1996-04-22'
+         |    AND nuts_2_code IS NOT NULL
+         |  GROUP BY 1),
+         |cnt AS (
+         |  SELECT week_date, nuts_2_name, nuts_2_code, count(*) AS n
+         |  FROM std WHERE nuts_2_code IS NOT NULL
+         |  GROUP BY 1, 2, 3)
+         |SELECT c.week_date AS date, c.nuts_2_name AS location_name,
+         |  c.nuts_2_code AS location_code,
+         |  c.n * 100.0 / i.code_index AS volume_idx
+         |FROM cnt c JOIN idx i ON c.nuts_2_code = i.nuts_2_code""".stripMargin),
+  )
+
   // ---- F13: publisher 2-dp rounding (real Publisher.rounded) -----------
 
   private val publishRounded = Q(
@@ -672,6 +737,7 @@ object DomainQueries {
 
   def all: Seq[Q] = Seq(salaryExtract, dupSubgraphs, subgraphsByLoc,
     snapshotAds, getAds, features, weeklyAdsQ, weeklyStockQ, weeklySpreadQ,
+    weeklyLocQ,
     aggSkills, jobsByLoc, publishRounded, htmlStrip, cleanSkill,
     extractReed, extractIndeed, vectorDedupQ)
 }
