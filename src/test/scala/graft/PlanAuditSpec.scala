@@ -155,6 +155,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts(p) == 0)
   }
 
+  test("NFC normalisation is a pure map: zero shuffles, zero broadcasts") {
+    val p = plan("t_unicode_nfc")
+    assert(shuffles(p) == 0 && broadcasts(p) == 0)
+  }
+
+  test("cohort retention never builds a window over the whole table") {
+    val p = plan("a22_cohort_retention")
+    assert(!p.contains("Window"), "cohort = aggs + join, not a window")
+    assert(!p.contains("SinglePartition"), "nothing global")
+  }
+
+  test("replayable HLL: register aggregate is hash agg, no sort") {
+    val p = plan("a16b_hll_distinct")
+    assert(!p.contains("SortAggregate"),
+      "register maxes must stay map-side-combinable hash aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("count-min: counters and estimates stay in hash aggregation") {
+    val p = plan("a23_countmin_sketch")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"))
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
