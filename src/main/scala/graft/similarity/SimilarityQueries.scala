@@ -340,5 +340,56 @@ object SimilarityQueries {
         |WHERE rn <= 5""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(brute, cosineDedup, ivf, quantized)
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): embedding
+    * near-dup pairs (block-keyed cosine — never a global cartesian) →
+    * connected components → min-id exemplar per semantic cluster; the
+    * surviving corpus keeps exemplars and never-matched rows. Same
+    * composition discipline as the MinHash `d_dedup_corpus`: every
+    * stage is individually green, and the COMPOSITION is hash-checked
+    * because pipelines fail at the seams. The CC run shares the
+    * plan-keyed cache with everything else on this edge set.
+    */
+  private val semanticDedup = Q(
+    "d_semantic_dedup_corpus",
+    (s, d) => {
+      val e = withNorm(Tables(s, d).embeddings)
+      val pairs = e.alias("a")
+        .join(e.alias("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          round(dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select("src", "dst")
+      val comps = graft.dedup.ConnectedComponents.cached(pairs, key = Some(
+        "semantic-dedup-v1|" +
+          graft.domain.SharedCache.planKey(Tables(s, d).embeddings) +
+          "|0.35"))
+      Tables(s, d).embeddings
+        .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .filter(col("component").isNull || col("component") === col("vec_id"))
+        .select(col("vec_id"), col("label"))
+    },
+    Some(
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35),
+        |sym AS (
+        |  SELECT src AS a, dst AS b FROM pairs
+        |  UNION SELECT dst, src FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+        |labeled AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e LEFT JOIN labeled l ON e.vec_id = l.id
+        |WHERE l.comp IS NULL OR l.comp = e.vec_id""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(brute, cosineDedup, ivf, quantized, semanticDedup)
 }

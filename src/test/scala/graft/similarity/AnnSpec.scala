@@ -110,4 +110,25 @@ class AnnSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(got - 8.0 / 9.0) < 1e-12)
   }
+
+  test("semantic dedup corpus keeps no near-dup pair and shrinks the table") {
+    val dir = sf("sf0.001")
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    val survivors = graft.Registry.byName("d_semantic_dedup_corpus")
+      .run(spark, dir)
+    val n = e.count()
+    val kept = survivors.count()
+    assert(kept > 0 && kept < n, s"kept=$kept of $n — dedup must collapse something")
+    // invariant: two survivors in the same label can never be near-dups —
+    // within a component only the min-id exemplar survives, and distinct
+    // components have no >=0.35 edge between them by CC's definition.
+    val s = survivors.join(e.select("vec_id", "embedding"), Seq("vec_id"))
+    val offending = s.alias("a")
+      .join(s.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(SimilarityQueries.cosine(
+        col("a.embedding"), col("b.embedding")), 4) >= 0.35)
+      .count()
+    assert(offending == 0, s"$offending surviving near-dup pairs")
+  }
 }
