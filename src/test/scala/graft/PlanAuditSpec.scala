@@ -179,6 +179,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("semantic dedup: pair stage is label-blocked, never a cartesian") {
+    val p = plan("d_semantic_dedup_corpus")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "embedding pairs must come from the label-keyed equi join")
+    assert(!p.contains("SortAggregate"))
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
