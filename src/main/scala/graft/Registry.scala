@@ -27,6 +27,7 @@ object Registry {
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.Bm25.queries ++
+      text.HybridRetrieval.queries ++
       text.SurfaceForms.queries ++
       text.SkillClusters.queries ++
       text.TextCleaning.queries ++

@@ -87,8 +87,12 @@ object Bm25 {
         Window.orderBy(desc("score"), asc("doc_id"))))
   }
 
-  private def oracleSql(terms: Seq[String], k: Int): String = {
-    val termScores = terms.map { t =>
+  /** The DuckDB replay of the per-document BM25 score for `terms`, over
+    * the `tok`/`stats` CTEs defined in [[tokStatsCte]] — shared with the
+    * hybrid-retrieval oracle so both gates replay the identical formula.
+    */
+  private[text] def termScoresSql(terms: Seq[String]): String =
+    terms.map { t =>
       s"""(ln(1.0 + (stats.n - (SELECT CAST(count(*) AS DOUBLE) FROM tok
          |      WHERE list_contains(w, '$t')) + 0.5) /
          |     ((SELECT CAST(count(*) AS DOUBLE) FROM tok
@@ -97,12 +101,18 @@ object Bm25 {
          |  / (len(list_filter(w, x -> x = '$t'))
          |     + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)))""".stripMargin
     }.mkString(" + ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w,
-       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-       |  FROM documents),
-       |stats AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM tok)
+
+  private[text] val tokStatsCte: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM tok)""".stripMargin
+
+  private def oracleSql(terms: Seq[String], k: Int): String = {
+    val termScores = termScoresSql(terms)
+    s"""WITH $tokStatsCte
        |SELECT doc_id, score, rank FROM (
        |  SELECT doc_id, round($termScores, 4) AS score,
        |    CAST(row_number() OVER (ORDER BY round($termScores, 4) DESC,

@@ -76,3 +76,29 @@ class RollingHashSpec extends SparkSpec {
     assert(hs.distinct.size == 1000)
   }
 }
+
+class HybridRetrievalSpec extends SparkSpec {
+
+  test("rrf fusion reproduces 1/(60+rank) sums from the constituent rankings") {
+    val dir = sf("sf0.001")
+    val t = graft.Tables(spark, dir)
+    val bm = Bm25.topK(t.documents, Seq("spark", "join"), 20)
+    val ann = graft.similarity.SimilarityQueries.bruteForceTopK(
+      t.embeddings, t.embeddings.filter(col("vec_id") === 0), 20)
+    val bmRanks = bm.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val annRanks = ann.collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val fused = HybridRetrieval.fuse(bm, ann, 60, 10).collect()
+    assert(fused.length == 10)
+    fused.foreach { r =>
+      val (id, rrf) = (r.getLong(0), r.getDouble(1))
+      val want = bmRanks.get(id).map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        annRanks.get(id).map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(rrf - want) < 5e-7, s"doc $id: $rrf vs $want")
+    }
+    // descending by fused score, and a doc present in BOTH rankings can
+    // never rank below one present in only the weaker tail of a single
+    // ranking with a worse reciprocal sum — spot the ordering invariant
+    val scores = fused.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}
