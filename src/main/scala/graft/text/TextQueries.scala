@@ -296,6 +296,76 @@ object TextQueries {
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
   )
 
+  /** Full BPE APPLY over the corpus — the production tokenizer path:
+    * segment every word with the fixed merge table
+    * ([[graft.functions.BpeEncode]]) and report the resulting symbol
+    * distribution. Scale shape: the encode loop (a codegen Expression)
+    * runs once per DISTINCT word — the vocab groupBy collapses the
+    * corpus to |vocabulary| rows BEFORE the per-word loop, and symbol
+    * counts come back weighted by word frequency. Corpus cost is one
+    * explode + two vocab-bounded hash aggregates; the 100× larger
+    * corpus pays for more counting, not more encoding. Oracle replays
+    * the identical merge semantics as a recursive CTE over the same
+    * distinct-word table.
+    */
+  private val bpeApply = Q(
+    "t_bpe_encode",
+    (s, d) => {
+      val vocab = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      vocab
+        .select(col("n"),
+          explode(graft.functions.BpeEncode.bpe_encode(col("tok")))
+            .as("symbol"))
+        .groupBy("symbol").agg(sum("n").as("n"))
+        .orderBy(desc("n"), asc("symbol")).limit(30)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("n"), asc("symbol"))))
+    },
+    Some {
+      val rules = graft.functions.BpeEncode.Merges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',${i + 1})" }.mkString(", ")
+      s"""WITH RECURSIVE rules(l, r, rank) AS (VALUES $rules),
+         |toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |         FROM documents),
+         |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+         |          WHERE tok <> '' GROUP BY tok),
+         |enc(tok, s) AS (
+         |  SELECT tok, array_to_string(string_split(tok, ''), ' ')
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.tok,
+         |    trim(substr(' '||e.s||' ', 1,
+         |           instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') - 1)
+         |     || ' ' || r.l || r.r || ' ' ||
+         |     substr(' '||e.s||' ',
+         |            instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ')
+         |            + len(r.l) + len(r.r) + 3))
+         |  FROM enc e JOIN rules r
+         |    ON instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM rules r2
+         |    WHERE r2.rank < r.rank
+         |      AND instr(' '||e.s||' ', ' '||r2.l||' '||r2.r||' ') > 0)),
+         |final AS (
+         |  SELECT tok, s FROM enc e
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM rules r
+         |    WHERE instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0)),
+         |sym AS (
+         |  SELECT unnest(string_split(f.s, ' ')) AS symbol, v.n
+         |  FROM final f JOIN vocab v ON f.tok = v.tok)
+         |SELECT symbol, CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(row_number() OVER (ORDER BY sum(n) DESC, symbol) AS INT)
+         |    AS rank
+         |FROM sym GROUP BY symbol
+         |ORDER BY n DESC, symbol LIMIT 30""".stripMargin
+    },
+  )
+
   private val tokenStats = Q(
     "t_token_stats",
     (s, d) =>
@@ -412,5 +482,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
-    qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges)
+    qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges,
+    bpeApply)
 }

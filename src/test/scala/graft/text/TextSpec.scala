@@ -102,3 +102,36 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 }
+
+class BpeEncodeSpec extends SparkSpec {
+  import graft.functions.BpeEncode
+
+  test("segmenter applies lowest-rank leftmost merges to fixpoint") {
+    import spark.implicits._
+    val got = Seq("there", "anding", "xyz", "a", "")
+      .toDF("w")
+      .select(BpeEncode.bpe_encode(col("w")).as("s")).collect()
+      .map(_.getSeq[String](0).toList)
+    assert(got(0) == List("the", "re"), got(0))   // t+h, th+e, then r+e
+    assert(got(1) == List("and", "ing"), got(1))  // i+n, in+g, a+n, an+d
+    assert(got(2) == List("x", "y", "z"))         // no rule touches it
+    assert(got(3) == List("a"))
+    assert(got(4) == Nil)
+  }
+
+  test("codegen and interpreted paths agree on corpus words") {
+    val words = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().limit(500)
+    val viaExpr = words.select(col("w"),
+        BpeEncode.bpe_encode(col("w")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    viaExpr.foreach { case (w, syms) =>
+      val direct = BpeEncode.encode(UTF8String.fromString(w))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toList
+      assert(direct == syms, s"$w: $direct vs $syms")
+      assert(syms.mkString == w, s"segmentation must losslessly cover $w")
+    }
+  }
+}
