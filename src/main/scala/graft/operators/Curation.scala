@@ -585,8 +585,81 @@ object Curation {
         |FROM train""".stripMargin),
   )
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling" — the hashed-n-gram form): features are
+    * FNV-hashed word buckets (b = fnv1a(w) & 63: low 6 bits, identical
+    * on the signed JVM long and the oracle's unsigned view); the target
+    * distribution is the `lang = 'en'` slice, the proposal is the whole
+    * corpus, both Laplace-smoothed over the 64 buckets. Per document,
+    * weight = Σ_tokens ln(p_target(b)/p_raw(b)) — the log importance
+    * ratio that DSIR resamples by.
+    *
+    * Exactness: each bucket's ratio is a quotient of two EXACT BIGINT
+    * products ((ct+1)·(R+B) / (cr+1)·(T+B)) evaluated with a single
+    * IEEE division, and the per-token ln sum goes through the 6-dp
+    * decimal-stable fold ([[graft.util.Stable]]) — the same recipe that
+    * keeps `t_unigram_logprob` engine-identical. Scale: two 64-row
+    * aggregates broadcast back into the token scan; weighting is a pure
+    * map + one doc-keyed agg. The oracle hashes DISTINCT words only, so
+    * its recursive FNV fold is vocabulary-bounded.
+    */
+  private val dsir = Q(
+    "t_dsir_weights",
+    (s, d) => {
+      val B = 64
+      val tok = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"),
+          explode(org.apache.spark.sql.functions.split(col("text"), " "))
+            .as("w"))
+        .withColumn("b",
+          graft.functions.TextSketches.fnv1a(col("w")).bitwiseAND(lit(B - 1)))
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tot = tok.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_n"),
+        count(lit(1)).as("r_n"))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          log(((col("ct") + 1) * (col("r_n") + B)).cast("double")
+            / ((col("cr") + 1) * (col("t_n") + B)).cast("double")).as("lr"))
+      tok.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(graft.util.Stable.dsum(col("lr"), 6), 4).as("dsir_weight"))
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |tokall AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+         |             AS w
+         |           FROM documents),
+         |vocab AS (SELECT DISTINCT w FROM tokall),
+         |items AS (SELECT w AS doc_id, 0 AS i, w AS t FROM vocab),
+         |${graft.functions.OracleSql.fnvFold("items")},
+         |vb AS (SELECT doc_id AS w, CAST(h % 64 AS BIGINT) AS b FROM done),
+         |tk AS (SELECT t.doc_id, t.lang, vb.b FROM tokall t
+         |       JOIN vb USING (w)),
+         |tgt AS (SELECT b, count(*) AS ct FROM tk WHERE lang = 'en'
+         |        GROUP BY b),
+         |rawc AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
+         |tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS t_n,
+         |          CAST(count(*) AS BIGINT) AS r_n FROM tk),
+         |lr AS (
+         |  SELECT rawc.b,
+         |    ln(CAST((coalesce(ct, 0) + 1) * (r_n + 64) AS DOUBLE)
+         |       / CAST((cr + 1) * (t_n + 64) AS DOUBLE)) AS lr
+         |  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  round(${graft.util.Stable.dsumSql("lr", 6)}, 4) AS dsir_weight
+         |FROM tk JOIN lr USING (b)
+         |GROUP BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
       mixture, crossdoc, chunk, logprob, shuffle, stratified, chunkDedup,
-      pipeline)
+      pipeline, dsir)
 }

@@ -92,4 +92,20 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(1L), "full duplicate vanishes")
     assert(out(2L)._1 == "only here once")
   }
+
+  test("dsir weights rank the target language highest and are partition-stable") {
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+    val w = graft.Registry.byName("t_dsir_weights").run(spark, dir)
+    val byLang = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg(col("dsir_weight") / col("n_tok")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") == byLang.values.max,
+      s"en must score highest: $byLang")
+    // order-independence: the decimal-stable sum makes the weight exact,
+    // so any partitioning yields byte-identical rows
+    val a = w.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = w.repartition(13).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }
