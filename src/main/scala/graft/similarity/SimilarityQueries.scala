@@ -391,5 +391,46 @@ object SimilarityQueries {
         |WHERE l.comp IS NULL OR l.comp = e.vec_id""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(brute, cosineDedup, ivf, quantized, semanticDedup)
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k nearest neighbours whose LABEL DIFFERS — close in
+    * embedding space but semantically wrong, the negatives that teach a
+    * bi-encoder the most (the in-batch-negatives literature's "hard"
+    * tier). Same broadcast-query/streamed-corpus shape as
+    * [[bruteForceTopK]]; at fleet scale the ranking swaps to the
+    * bounded TopKAgg used by [[KnnGraph]] (k-sized heaps per partition)
+    * instead of a per-query window.
+    */
+  private val hardNegatives = Q(
+    "sim_hard_negatives",
+    (s, d) => {
+      val e = withNorm(Tables(s, d).embeddings)
+      val q = e.filter(col("vec_id") < 10)
+      val scored = broadcast(q.alias("q"))
+        .join(e.alias("c"), col("q.label") =!= col("c.label"))
+        .select(col("q.vec_id").as("query_id"),
+          col("c.vec_id").as("neighbor_id"),
+          round(dot(col("q.embedding"), col("c.embedding"))
+            / (col("q.nrm") * col("c.nrm")), 4).as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("cos"), asc("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    },
+    Some(
+      """SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(
+        |      q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+        |               c.vec_id ASC) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        |  WHERE q.vec_id < 10)
+        |WHERE rn <= 5""".stripMargin),
+  )
+
+  def queries: Seq[Q] =
+    Seq(brute, cosineDedup, ivf, quantized, semanticDedup, hardNegatives)
 }

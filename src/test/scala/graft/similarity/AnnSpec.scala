@@ -131,4 +131,32 @@ class AnnSpec extends SparkSpec {
       .count()
     assert(offending == 0, s"$offending surviving near-dup pairs")
   }
+
+  test("hard negatives never share the query's label and beat unpicked ones") {
+    val dir = sf("sf0.001")
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val hn = graft.Registry.byName("sim_hard_negatives").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hn.nonEmpty)
+    hn.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"query $q picked same-label $n")
+    }
+    // for one query, the worst picked negative must be >= the best
+    // cosine among unpicked different-label vectors
+    val q0 = hn.filter(_._1 == 0)
+    val picked = q0.map(_._2).toSet
+    val worst = q0.map(_._3).min
+    val best = e.collect().filter(r => labels(r.getLong(0)) != labels(0L)
+        && !picked.contains(r.getLong(0)))
+      .map { r =>
+        val a = e.collect().find(_.getLong(0) == 0L).get.getSeq[Float](1)
+        val b = r.getSeq[Float](1)
+        val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        math.rint(dp / (na * nb) * 10000) / 10000
+      }.max
+    assert(worst >= best, s"worst picked $worst < best unpicked $best")
+  }
 }
