@@ -85,6 +85,13 @@ object Bench {
     "a22_cohort_retention",
     "a23_countmin_sketch",
     "d11_pagerank",
+    // round 4 (cont.): semantic dedup, hybrid retrieval, tokenizer apply,
+    // importance weighting, hard negatives
+    "d_semantic_dedup_corpus",
+    "t_hybrid_retrieval",
+    "t_bpe_encode",
+    "t_dsir_weights",
+    "sim_hard_negatives",
   )
 
   def main(args: Array[String]): Unit = {

@@ -613,14 +613,15 @@ object Curation {
             .as("w"))
         .withColumn("b",
           graft.functions.TextSketches.fnv1a(col("w")).bitwiseAND(lit(B - 1)))
-      val tgt = tok.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
-      val tot = tok.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_n"),
-        count(lit(1)).as("r_n"))
-      val lr = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+      // ONE stats pass over the token stream: per-bucket raw and target
+      // counts come from the same 64-row hash aggregate, and the totals
+      // are a second (64-row) agg over that frame — not extra corpus
+      // scans. The only other corpus touch is the scoring join below.
+      val stats = tok.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = stats.agg(sum("ct").as("t_n"), sum("cr").as("r_n"))
+      val lr = stats
         .crossJoin(broadcast(tot))
         .select(col("b"),
           log(((col("ct") + 1) * (col("r_n") + B)).cast("double")

@@ -223,5 +223,65 @@ object TimeWindows {
     },
   )
 
-  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11)
+  /** Binned point-in-interval range join — the general solution to the
+    * join Spark has no native fast path for: `p BETWEEN s AND e` with NO
+    * equi key degenerates to BroadcastNestedLoopJoin (O(n·m) compares,
+    * and at 100 TB a non-starter). The fix is the standard range-join
+    * binning: explode each interval to the fixed-width buckets it
+    * overlaps, map each point to its single bucket, equi-join on the
+    * bucket, re-check the exact range. Candidate pairs shrink from n·m
+    * to Σ_bucket |points_b|·|intervals_b|, and because a POINT lives in
+    * exactly one bucket, no (interval, point) pair can match twice — no
+    * dedup stage. Bucket width = interval length (7 d) keeps the
+    * per-interval explode at ≤ 2 rows.
+    *
+    * Demo query: for each 1-URGENT order's 7-day window in 1995, how
+    * many R-flag lineitems shipped inside it (no key relates the two
+    * sides). The oracle is the NAIVE theta join — DuckDB brute-forces
+    * what the engine must get identical results to without ever
+    * building the cartesian.
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      binDays: Int): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val ivb = intervals.withColumn("bucket",
+      explode(sequence(
+        floor(datediff(col(startCol), epoch) / binDays),
+        floor(datediff(date_sub(col(endCol), 1), epoch) / binDays))))
+    val ptb = points.withColumn("bucket",
+      floor(datediff(col(pointCol), epoch) / binDays))
+    ivb.join(ptb,
+      ivb("bucket") === ptb("bucket") &&
+        ptb(pointCol) >= ivb(startCol) && ptb(pointCol) < ivb(endCol))
+  }
+
+  private val j14 = Q(
+    "j14_range_join_binned",
+    (s, d) => {
+      val t = Tables(s, d)
+      val iv = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"),
+          date_add(to_date(col("o_orderdate")), 7).as("e"))
+      val pts = t.lineitem
+        .filter(col("l_returnflag") === "R" &&
+          year(col("l_shipdate")) === 1995)
+        .select(to_date(col("l_shipdate")).as("p"))
+      binnedRangeJoin(pts, iv, "p", "s", "e", binDays = 7)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_items"))
+    },
+    Some(
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        | AND CAST(l.l_shipdate AS DATE)
+        |     < CAST(o.o_orderdate AS DATE) + INTERVAL 7 DAY
+        |WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995
+        |  AND l.l_returnflag = 'R' AND year(l.l_shipdate) = 1995
+        |GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11, j14)
 }

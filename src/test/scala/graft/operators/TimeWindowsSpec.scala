@@ -94,3 +94,39 @@ class EwmaSpec extends graft.SparkSpec {
       assert(impulse(2L + k) == 64L * coefs(k)) // weight k, exactly
   }
 }
+
+class RangeJoinSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("binned range join equals the naive theta join") {
+    val dir = sf("sf0.001")
+    val t = graft.Tables(spark, dir)
+    val iv = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")), 7).as("e"))
+    val pts = t.lineitem
+      .filter(col("l_returnflag") === "R" && year(col("l_shipdate")) === 1995)
+      .select(to_date(col("l_shipdate")).as("p"))
+    val binned = TimeWindows
+      .binnedRangeJoin(pts, iv, "p", "s", "e", binDays = 7)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = iv.crossJoin(pts)
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
+  test("range join plan is an equi join on the bucket, never a BNLJ") {
+    val p = graft.Registry.byName("j14_range_join_binned")
+      .run(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("bucket"), "bucket must be a join key")
+  }
+}
