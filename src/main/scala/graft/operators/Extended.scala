@@ -664,9 +664,82 @@ object Extended {
     countMinOracle,
   )
 
+  /** Histogram quantile sketch — the third mergeable sketch next to the
+    * replayable HLL (a16b) and Count-Min (a23): 256 equi-width bin
+    * counters over [min, max], quantile q read off the cumulative
+    * histogram as the first bin whose running count reaches ⌈q·n⌉,
+    * estimated at the bin midpoint. Error ≤ one bin width (range/256)
+    * by construction; the counters are SUM-mergeable, which is how
+    * quantiles roll up at 100 TB without any global sort — the
+    * cumulative window runs over the 256-row counter frame, never the
+    * data. All arithmetic is identical IEEE double ops from identical
+    * inputs (the q·n threshold is computed in DOUBLE on both engines —
+    * a decimal-typed q would ceil differently when q·n is integral), so
+    * an APPROXIMATE sketch is still hash-exact across engines.
+    */
+  /** Shared with the streaming parity row (identical counters ⇒
+    * identical oracle).
+    */
+  val quantileSketchOracle: Option[String] = Some(
+    """WITH mm AS (SELECT min(l_extendedprice) AS lo,
+      |              max(l_extendedprice) AS hi,
+      |              CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      |b AS (SELECT least(CAST(floor((l_extendedprice - lo)
+      |          / ((hi - lo) / 256)) AS BIGINT), 255) AS bin
+      |      FROM lineitem CROSS JOIN mm),
+      |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b
+      |      GROUP BY bin),
+      |c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT)
+      |        AS cum FROM h),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q
+      |       FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) v(q))
+      |SELECT q, round(lo + (bin + 0.5) * ((hi - lo) / 256), 4) AS est
+      |FROM qs CROSS JOIN mm,
+      |  LATERAL (SELECT min(bin) AS bin FROM c, mm
+      |           WHERE cum >= ceil(q * n)) t""".stripMargin)
+
+  private[graft] def quantileSketch(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val B = 256
+    val x = li.select(col("l_extendedprice").as("x"))
+    val mm = x.agg(min("x").as("lo"), max("x").as("hi"),
+      count(lit(1)).as("n"))
+    val hist = x.crossJoin(broadcast(mm))
+      .select(least(floor((col("x") - col("lo"))
+        / ((col("hi") - col("lo")) / B)), lit(255L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    finishQuantiles(hist, mm)
+  }
+
+  /** The (tiny) sketch→quantiles finish: cumulative over the ≤256-row
+    * counter frame, then the first-reaching bin per q. Factored out so
+    * the streaming row reads its counters from the memory sink and
+    * finishes identically.
+    */
+  private[graft] def finishQuantiles(hist: org.apache.spark.sql.DataFrame,
+      mm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val B = 256
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(mm))
+    Seq(0.25, 0.5, 0.75, 0.9, 0.99).map { q =>
+      cum.filter(col("cum") >= ceil(lit(q) * col("n")))
+        .orderBy("bin").limit(1)
+        .select(lit(q).as("q"),
+          round(col("lo") + (col("bin") + 0.5)
+            * ((col("hi") - col("lo")) / B), 4).as("est"))
+    }.reduce(_ union _)
+  }
+
+  private val a24 = Q(
+    "a24_quantile_sketch",
+    (s, d) => quantileSketch(Tables(s, d).lineitem),
+    quantileSketchOracle,
+  )
+
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21, a22, a23)
+      a21, a22, a23, a24)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

@@ -407,7 +407,37 @@ object StreamingOps {
     graft.operators.Extended.countMinOracle,
   )
 
+  /** Streaming maintenance of the quantile sketch (a24's third-sketch
+    * twin): the 256 bin counters are SUM-mergeable, so a Complete-mode
+    * streaming count per bin IS the sketch — state is ≤256 counters
+    * regardless of stream length. The [lo, hi] range comes from a
+    * static read (in production the sketch range is fixed when the
+    * sketch is declared) joined into the stream on a constant key —
+    * stream-static equi join, no driver collect. The quantile finish
+    * runs on the drained counter table and shares the batch oracle.
+    */
+  private val qsketchParity = graft.Q(
+    "d_streaming_quantile_parity",
+    (s, d) => {
+      val static = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_extendedprice").as("x"))
+      val mm = static.agg(min("x").as("lo"), max("x").as("hi"),
+        count(lit(1)).as("n"))
+      val mmk = mm.withColumn("k", lit(1))
+      val stream = spooledStream(s, s"$d/lineitem.parquet")
+        .select(col("l_extendedprice").as("x"), lit(1).as("k"))
+        .join(mmk, "k")
+        .select(least(floor((col("x") - col("lo"))
+          / ((col("hi") - col("lo")) / 256)), lit(255L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val name = sinkName("qsk_")
+      runToMemory(stream, name, OutputMode.Complete())
+      graft.operators.Extended.finishQuantiles(s.table(name), mm)
+    },
+    graft.operators.Extended.quantileSketchOracle,
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
-      hllParity, cmParity)
+      hllParity, cmParity, qsketchParity)
 }

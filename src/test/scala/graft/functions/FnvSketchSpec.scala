@@ -74,3 +74,24 @@ class FnvSketchSpec extends SparkSpec {
       .deterministicSample(df, "k", 1.0).count() === 10000)
   }
 }
+
+class QuantileSketchSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("sketch quantiles land within one bin width of the exact quantiles") {
+    val dir = sf("sf0.001")
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+    val est = graft.operators.Extended.quantileSketch(li).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est.size == 5)
+    val qs = est.keys.toArray.sorted
+    val exact = li.stat.approxQuantile("l_extendedprice", qs, 0.0)
+    val Array(lo, hi) = li.agg(min("l_extendedprice"), max("l_extendedprice"))
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1))).head
+    val binWidth = (hi - lo) / 256
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= binWidth + 1e-9,
+        s"q=$q est=${est(q)} exact=$ex width=$binWidth")
+    }
+  }
+}
