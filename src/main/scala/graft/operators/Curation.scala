@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -603,9 +603,7 @@ object Curation {
     * map + one doc-keyed agg. The oracle hashes DISTINCT words only, so
     * its recursive FNV fold is vocabulary-bounded.
     */
-  private val dsir = Q(
-    "t_dsir_weights",
-    (s, d) => {
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
       val B = 64
       val tok = Tables(s, d).documents
         .select(col("doc_id"), col("lang"),
@@ -630,37 +628,73 @@ object Curation {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
           round(graft.util.Stable.dsum(col("lr"), 6), 4).as("dsir_weight"))
-    },
-    Some(
-      s"""WITH RECURSIVE
-         |tokall AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
-         |             AS w
-         |           FROM documents),
-         |vocab AS (SELECT DISTINCT w FROM tokall),
-         |items AS (SELECT w AS doc_id, 0 AS i, w AS t FROM vocab),
-         |${graft.functions.OracleSql.fnvFold("items")},
-         |vb AS (SELECT doc_id AS w, CAST(h % 64 AS BIGINT) AS b FROM done),
-         |tk AS (SELECT t.doc_id, t.lang, vb.b FROM tokall t
-         |       JOIN vb USING (w)),
-         |tgt AS (SELECT b, count(*) AS ct FROM tk WHERE lang = 'en'
-         |        GROUP BY b),
-         |rawc AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
-         |tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS t_n,
-         |          CAST(count(*) AS BIGINT) AS r_n FROM tk),
-         |lr AS (
-         |  SELECT rawc.b,
-         |    ln(CAST((coalesce(ct, 0) + 1) * (r_n + 64) AS DOUBLE)
-         |       / CAST((cr + 1) * (t_n + 64) AS DOUBLE)) AS lr
-         |  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-         |  round(${graft.util.Stable.dsumSql("lr", 6)}, 4) AS dsir_weight
-         |FROM tk JOIN lr USING (b)
-         |GROUP BY doc_id""".stripMargin),
+  }
+
+  /** Everything up to the per-doc weight as CTEs ending in
+    * `wts(doc_id, n_tok, dsir_weight)` — shared between the weights row
+    * and the resample row so the two oracles can never drift.
+    */
+  private def dsirSqlCtes: String =
+    s"""tokall AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+       |             AS w
+       |           FROM documents),
+       |vocab AS (SELECT DISTINCT w FROM tokall),
+       |items AS (SELECT w AS doc_id, 0 AS i, w AS t FROM vocab),
+       |${graft.functions.OracleSql.fnvFold("items")},
+       |vb AS (SELECT doc_id AS w, CAST(h % 64 AS BIGINT) AS b FROM done),
+       |tk AS (SELECT t.doc_id, t.lang, vb.b FROM tokall t
+       |       JOIN vb USING (w)),
+       |tgt AS (SELECT b, count(*) AS ct FROM tk WHERE lang = 'en'
+       |        GROUP BY b),
+       |rawc AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
+       |tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS t_n,
+       |          CAST(count(*) AS BIGINT) AS r_n FROM tk),
+       |lr AS (
+       |  SELECT rawc.b,
+       |    ln(CAST((coalesce(ct, 0) + 1) * (r_n + 64) AS DOUBLE)
+       |       / CAST((cr + 1) * (t_n + 64) AS DOUBLE)) AS lr
+       |  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |wts AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |    round(${graft.util.Stable.dsumSql("lr", 6)}, 4) AS dsir_weight
+       |  FROM tk JOIN lr USING (b)
+       |  GROUP BY doc_id)""".stripMargin
+
+  private val dsir = Q(
+    "t_dsir_weights",
+    dsirWeights,
+    Some(s"""WITH RECURSIVE
+            |$dsirSqlCtes
+            |SELECT doc_id, n_tok, dsir_weight FROM wts""".stripMargin),
+  )
+
+  /** The RESAMPLING half of DSIR: keep the top-N documents by importance
+    * weight (deterministic rank with doc_id tiebreak — the
+    * Gumbel-noise variant of the paper is a seeded-RNG concern, same
+    * category as P7). TakeOrderedAndProject, so each partition
+    * contributes an N-row heap and no global sort ever runs.
+    */
+  private val dsirResample = Q(
+    "t_dsir_resample",
+    (s, d) =>
+      dsirWeights(s, d)
+        .orderBy(desc("dsir_weight"), asc("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("dsir_weight"), asc("doc_id"))))
+        .select("doc_id", "dsir_weight", "rank"),
+    Some(s"""WITH RECURSIVE
+            |$dsirSqlCtes
+            |SELECT doc_id, dsir_weight,
+            |  CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+            |    AS INT) AS rank
+            |FROM wts
+            |ORDER BY dsir_weight DESC, doc_id
+            |LIMIT 50""".stripMargin),
   )
 
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
       mixture, crossdoc, chunk, logprob, shuffle, stratified, chunkDedup,
-      pipeline, dsir)
+      pipeline, dsir, dsirResample)
 }

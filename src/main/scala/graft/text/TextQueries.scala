@@ -366,6 +366,77 @@ object TextQueries {
     },
   )
 
+  /** Tokenizer efficiency per domain: chars-per-symbol under the fixed
+    * BPE vocab, by source — the fertility/compression metric a tokenizer
+    * team tracks per data domain (a domain the vocab compresses poorly
+    * costs proportionally more sequence length at training). Same
+    * distinct-word encode as `t_bpe_encode`; the per-source weighting
+    * joins the (tiny) encoded-vocab frame back into the token stream.
+    */
+  private val bpeCompression = Q(
+    "t_bpe_compression",
+    (s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val enc = toks.select("tok").distinct()
+        .select(col("tok"),
+          size(graft.functions.BpeEncode.bpe_encode(col("tok")))
+            .as("n_sym"),
+          size(split(col("tok"), "")).as("n_chr"))
+      toks.join(broadcast(enc), "tok")
+        .groupBy("source")
+        .agg(sum(col("n_chr").cast("long")).as("n_chars"),
+          sum(col("n_sym").cast("long")).as("n_symbols"))
+        .select(col("source"), col("n_chars"), col("n_symbols"),
+          round(col("n_chars").cast("double") / col("n_symbols"), 4)
+            .as("chars_per_symbol"))
+    },
+    Some {
+      val rules = graft.functions.BpeEncode.Merges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',${i + 1})" }.mkString(", ")
+      s"""WITH RECURSIVE rules(l, r, rank) AS (VALUES $rules),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |         FROM documents),
+         |vocab AS (SELECT DISTINCT tok FROM toks WHERE tok <> ''),
+         |enc(tok, s) AS (
+         |  SELECT tok, array_to_string(string_split(tok, ''), ' ')
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.tok,
+         |    trim(substr(' '||e.s||' ', 1,
+         |           instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') - 1)
+         |     || ' ' || r.l || r.r || ' ' ||
+         |     substr(' '||e.s||' ',
+         |            instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ')
+         |            + len(r.l) + len(r.r) + 3))
+         |  FROM enc e JOIN rules r
+         |    ON instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM rules r2
+         |    WHERE r2.rank < r.rank
+         |      AND instr(' '||e.s||' ', ' '||r2.l||' '||r2.r||' ') > 0)),
+         |final AS (
+         |  SELECT tok, len(string_split(s, ' ')) AS n_sym,
+         |         len(string_split(tok, '')) AS n_chr
+         |  FROM enc e
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM rules r
+         |    WHERE instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0))
+         |SELECT d.source,
+         |  CAST(sum(f.n_chr) AS BIGINT) AS n_chars,
+         |  CAST(sum(f.n_sym) AS BIGINT) AS n_symbols,
+         |  round(CAST(sum(f.n_chr) AS DOUBLE) / sum(f.n_sym), 4)
+         |    AS chars_per_symbol
+         |FROM toks t
+         |JOIN final f ON t.tok = f.tok
+         |JOIN documents d ON t.doc_id = d.doc_id
+         |WHERE t.tok <> ''
+         |GROUP BY d.source""".stripMargin
+    },
+  )
+
   private val tokenStats = Q(
     "t_token_stats",
     (s, d) =>
@@ -483,5 +554,5 @@ object TextQueries {
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges,
-    bpeApply)
+    bpeApply, bpeCompression)
 }
