@@ -11,19 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  private val sessions = Q(
-    "w6_session_windows",
-    (s, d) =>
-      // per-user sessions with a 30-minute inactivity gap; session start
-      // is the first event's timestamp (matches the islands oracle)
-      Tables(s, d).events
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          graft.util.Stable.dsum(col("value")).as("sum_value"))
-        .select(col("user_id"),
-          col("session_window.start").as("session_start"),
-          col("n_events"), col("sum_value")),
-    Some(
+  /** Shared with the streaming session parity row (same gap, same
+    * stable sum ⇒ same oracle).
+    */
+  val sessionOracle: Option[String] = Some(
       s"""WITH marked AS (
          |  SELECT user_id, ts, value,
          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -37,7 +28,21 @@ object Sessions {
          |SELECT user_id, min(ts) AS session_start,
          |  count(*) AS n_events,
          |  ${graft.util.Stable.dsumSql("value")} AS sum_value
-         |FROM islands GROUP BY user_id, sid""".stripMargin),
+         |FROM islands GROUP BY user_id, sid""".stripMargin)
+
+  private val sessions = Q(
+    "w6_session_windows",
+    (s, d) =>
+      // per-user sessions with a 30-minute inactivity gap; session start
+      // is the first event's timestamp (matches the islands oracle)
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.util.Stable.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value")),
+    sessionOracle,
   )
 
   private val cubeQ = Q(

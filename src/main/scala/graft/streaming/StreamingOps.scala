@@ -437,7 +437,76 @@ object StreamingOps {
     graft.operators.Extended.quantileSketchOracle,
   )
 
+  /** Streaming sessionization parity: the batch `w6_session_windows`
+    * (gap-based `session_window`) replayed as a file stream in APPEND
+    * mode — the production shape, where a session row is emitted exactly
+    * once, when the watermark passes its close. Append mode only emits
+    * sessions the watermark has sealed, so the spool carries two
+    * far-future SENTINEL rows (user_id −1, +1 d and +2 d) in their own
+    * files with `maxFilesPerTrigger=1`: the first sentinel's batch
+    * advances the watermark past every real session's close and the
+    * second's batch flushes them — no reliance on a trailing no-data
+    * micro-batch. Sentinels are built with a distributed write (agg →
+    * select → parquet), no driver collect, and filtered from the result
+    * by key. State per key = open sessions only; the watermark bounds it
+    * exactly as in production.
+    */
+  private val sessionParity = graft.Q(
+    "w6_streaming_session_parity",
+    (s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val srcPath = s"$d/events.parquet"
+      val raw = s.read.parquet(srcPath)
+      val isLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val src = Paths.get(srcPath)
+      val stamp = s"$src:${Files.size(src)}:" +
+        Files.getLastModifiedTime(src).toMillis
+      val spool = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_session_spool", Integer.toHexString(stamp.hashCode))
+      Files.createDirectories(spool)
+      val staged = spool.resolve("part-0.parquet")
+      if (!Files.exists(staged)) Files.copy(src, staged)
+      (1 to 2).foreach { k =>
+        val sentinelFile = spool.resolve(s"part-$k.parquet")
+        if (!Files.exists(sentinelFile)) {
+          val dayNs = 86400L * 1000000000L
+          val tsCol =
+            if (isLong) (max(col("ts")) + lit(k * dayNs)).as("m")
+            else (max(col("ts")) + expr(s"INTERVAL $k DAY")).as("m")
+          val tmp = spool.resolve(s"sentinel_build_$k")
+          raw.agg(tsCol)
+            .select(lit(-1L).as("event_id"), col("m").as("ts"),
+              lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.move(part, sentinelFile, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      val stream0 = s.readStream.schema(s.read.parquet(staged.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+      val ev =
+        if (isLong) stream0.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        else stream0
+      val sess = ev.withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.util.Stable.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+      val name = sinkName("ssn_")
+      runToMemory(sess, name, OutputMode.Append())
+      s.table(name).filter(col("user_id") >= 0)
+    },
+    // the batch islands oracle, verbatim (same gap, same stable sum)
+    graft.operators.Sessions.sessionOracle,
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
-      hllParity, cmParity, qsketchParity)
+      hllParity, cmParity, qsketchParity, sessionParity)
 }
