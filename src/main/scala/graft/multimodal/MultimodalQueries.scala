@@ -349,5 +349,118 @@ object MultimodalQueries {
         |      FROM documents)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(meta, feats, dims, partitioned, resize, frames)
+  // ---- audio: real WAV codec + windowed energy ------------------------
+
+  /** Deterministic PCM fixture: clip i holds 400·(10+i) signed 8-bit
+    * samples; sample j = ((j·(i+3)) mod 256) − 128, except every third
+    * 400-sample window (rotating with i) is zeroed — so silence
+    * detection has real positives. Encoded as REAL WAV files through
+    * `javax.sound.sampled` (the JDK's audio codec), decoded back through
+    * the same API in the operator — the oracle recomputes energies from
+    * the closed-form samples, independent of the container bytes.
+    */
+  val NumClips = 12
+  val WindowSamples = 400
+  def clipWindows(i: Int): Int = 10 + i
+
+  def clipSamples(i: Int): Array[Byte] = {
+    val n = WindowSamples * clipWindows(i)
+    Array.tabulate(n) { j =>
+      if ((j / WindowSamples) % 3 == i % 3) 0.toByte
+      else (((j.toLong * (i + 3)) % 256) - 128).toByte
+    }
+  }
+
+  def wavFixtureDir(): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val layout = s"n=$NumClips;w=$WindowSamples;nw=10+i;s=(j(i+3))%256-128;mute=(j/w)%3==i%3"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(layout.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_wav_fixture_$key")
+    if (!Files.exists(dir)) {
+      val stage = Files.createTempDirectory("graft_wav_stage")
+      val fmt = new AudioFormat(8000f, 8, 1, true, false)
+      (0 until NumClips).foreach { i =>
+        val pcm = clipSamples(i)
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, pcm.length)
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+          stage.resolve(f"clip_$i%03d.wav").toFile)
+      }
+      try Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        (0 until NumClips).foreach(i =>
+          Files.deleteIfExists(stage.resolve(f"clip_$i%03d.wav")))
+        Files.deleteIfExists(stage)
+      }
+    }
+    dir.toString
+  }
+
+  def fixtureClips(s: SparkSession): DataFrame =
+    s.read.format("binaryFile").load(s"${wavFixtureDir()}/*.wav")
+      .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+        .cast("long").as("clip_id"), col("content").as("payload"))
+
+  case class AudioWindow(clip_id: Long, window_id: Int, energy: Long,
+      is_silence: Boolean)
+
+  /** REAL WAV decode → per-window Σ sample² (integer-exact energy) and
+    * a silence flag. Decoder init per partition, windows streamed — the
+    * state a VAD/segmentation pass needs, never more than one window.
+    */
+  def audioEnergyWindows(clips: DataFrame): Dataset[AudioWindow] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("clip_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(bytes))
+          // 8-bit WAV is UNSIGNED by spec — AudioSystem.write converts
+          // signed input on encode, so honour the container's declared
+          // encoding on the way back out (the real decoder contract)
+          val signed = ais.getFormat.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val pcm = ais.readAllBytes()
+          pcm.grouped(WindowSamples).zipWithIndex.map { case (w, wi) =>
+            var e = 0L
+            w.foreach { b =>
+              val v: Long = if (signed) b.toLong else (b & 0xFF) - 128L
+              e += v * v
+            }
+            AudioWindow(id, wi, e, e < 1000L)
+          }
+        }
+      }
+  }
+
+  private val audio = Q(
+    "m_audio_energy_windows",
+    (s, d) => audioEnergyWindows(fixtureClips(s)).toDF(),
+    // closed-form replay: same sample formula, same zeroed windows
+    Some(
+      s"""WITH clips AS (SELECT unnest(range($NumClips)) AS i),
+         |wins AS (
+         |  SELECT i, unnest(range(10 + i)) AS w FROM clips),
+         |energy AS (
+         |  SELECT i, w,
+         |    CASE WHEN w % 3 = i % 3 THEN 0
+         |    ELSE (
+         |      SELECT CAST(sum(
+         |        ((((w * $WindowSamples + k) * (i + 3)) % 256) - 128)
+         |        * ((((w * $WindowSamples + k) * (i + 3)) % 256) - 128)
+         |      ) AS BIGINT)
+         |      FROM (SELECT unnest(range($WindowSamples)) AS k))
+         |    END AS energy
+         |  FROM wins)
+         |SELECT i AS clip_id, CAST(w AS INT) AS window_id, energy,
+         |  energy < 1000 AS is_silence
+         |FROM energy""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(meta, feats, dims, partitioned, resize, frames, audio)
 }

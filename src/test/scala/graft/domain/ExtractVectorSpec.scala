@@ -196,4 +196,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 64))
     assert(frames.count(_.doc_id == 2L) == 0) // empty payload → no frames
   }
+
+  test("wav roundtrip: decoded energies match the closed-form PCM exactly") {
+    import graft.multimodal.MultimodalQueries._
+    val out = audioEnergyWindows(fixtureClips(spark)).collect()
+      .map(w => (w.clip_id, w.window_id) -> w).toMap
+    assert(out.size == (0 until NumClips).map(clipWindows).sum)
+    (0 until NumClips).foreach { i =>
+      val pcm = clipSamples(i)
+      pcm.grouped(WindowSamples).zipWithIndex.foreach { case (w, wi) =>
+        val want = w.map(b => b.toLong * b.toLong).sum
+        val got = out((i.toLong, wi))
+        assert(got.energy == want, s"clip $i window $wi")
+        assert(got.is_silence == (want < 1000L))
+      }
+    }
+    // rotating silence: window w of clip i is silent iff w%3 == i%3
+    out.values.foreach { w =>
+      assert(w.is_silence == (w.window_id % 3 == w.clip_id % 3))
+    }
+  }
 }
