@@ -462,5 +462,52 @@ object MultimodalQueries {
          |FROM energy""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(meta, feats, dims, partitioned, resize, frames, audio)
+  /** Voice-activity segments: contiguous runs of non-silent windows per
+    * clip (the VAD segmentation every speech pipeline runs before
+    * transcription). Islands by the gaps-and-islands trick — window_id
+    * minus its per-clip dense rank among non-silent windows is constant
+    * within a run — so segmentation is one per-clip window function over
+    * the (already tiny) energy frame, never the samples.
+    */
+  private val vad = Q(
+    "m_audio_vad_segments",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("clip_id").orderBy("window_id")
+      audioEnergyWindows(fixtureClips(s)).toDF()
+        .filter(!col("is_silence"))
+        .withColumn("isl", col("window_id") - row_number().over(w))
+        .groupBy("clip_id", "isl")
+        .agg(min("window_id").as("seg_start"),
+          count(lit(1)).cast("long").as("n_windows"),
+          sum("energy").as("total_energy"))
+        .select("clip_id", "seg_start", "n_windows", "total_energy")
+    },
+    Some(
+      s"""WITH clips AS (SELECT unnest(range($NumClips)) AS i),
+         |wins AS (
+         |  SELECT i, unnest(range(10 + i)) AS w FROM clips),
+         |energy AS (
+         |  SELECT i, w,
+         |    CASE WHEN w % 3 = i % 3 THEN 0
+         |    ELSE (
+         |      SELECT CAST(sum(
+         |        ((((w * $WindowSamples + k) * (i + 3)) % 256) - 128)
+         |        * ((((w * $WindowSamples + k) * (i + 3)) % 256) - 128)
+         |      ) AS BIGINT)
+         |      FROM (SELECT unnest(range($WindowSamples)) AS k))
+         |    END AS energy
+         |  FROM wins),
+         |nonsilent AS (
+         |  SELECT i, w, energy,
+         |    w - row_number() OVER (PARTITION BY i ORDER BY w) AS isl
+         |  FROM energy WHERE energy >= 1000)
+         |SELECT i AS clip_id, CAST(min(w) AS INT) AS seg_start,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(energy) AS BIGINT) AS total_energy
+         |FROM nonsilent GROUP BY i, isl""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(meta, feats, dims, partitioned, resize, frames, audio, vad)
 }

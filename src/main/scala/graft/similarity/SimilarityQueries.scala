@@ -431,6 +431,72 @@ object SimilarityQueries {
         |WHERE rn <= 5""".stripMargin),
   )
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003, the
+    * database-friendly ±1 form): project dim-64 embeddings to K = 16
+    * with Rademacher signs derived from hll_hash("k:d") — the projection
+    * MATRIX is a pure hash function, so nothing is broadcast, nothing is
+    * stored, and any executor (or engine) regenerates the same matrix.
+    * The hash MUST be fnv1a∘fmix64, not bare FNV: an odd multiplier
+    * preserves the low bit, so fnv&1 degenerates to parity(k)⊕parity(d)
+    * — a rank-2 "projection" that annihilates half the space (measured:
+    * distance ratios 1e-4..7.3; with fmix64 they sit in 0.31..1.75).
+    * The 1/√K scale is 1/4, a dyadic exact in binary. This is the
+    * standard pre-IVF dimension cut for high-dim corpora; distances are
+    * preserved within 1±ε at K = O(log n / ε²).
+    *
+    * Exactness: x·(±1) is exact negation, the per-(vec,k) sum goes
+    * through the decimal-stable fold, and the final /4 and 4-dp round
+    * are deterministic — so a RANDOMIZED-projection operator is still
+    * hash-replayable (the oracle re-derives the signs with the same FNV
+    * fold). Scale note: the posexplode×K shuffle keeps the gate exact;
+    * the fleet path evaluates the same signs inside one codegen
+    * expression per row, zero shuffle, same output.
+    */
+  private val randomProjection = Q(
+    "sim_random_projection",
+    (s, d) => {
+      val K = 16
+      val x = Tables(s, d).embeddings.filter(col("vec_id") < 100)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"), col("x").cast("double").as("x"),
+          explode(sequence(lit(0), lit(K - 1))).as("k"))
+      val sgn = lit(1L) - lit(2L) *
+        graft.functions.TextSketches.hll_hash(
+          concat(col("k").cast("string"), lit(":"), col("d").cast("string")))
+          .bitwiseAND(lit(1L))
+      x.groupBy("vec_id", "k")
+        .agg(round(graft.util.Stable.dsum(col("x") * sgn, 6) / 4, 4).as("p"))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("p"))
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+         |vals AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
+         |                embedding FROM e),
+         |xv AS (SELECT vec_id, d, CAST(embedding[d+1] AS DOUBLE) AS x
+         |       FROM vals),
+         |kd AS (SELECT k, d FROM (SELECT unnest(range(16)) AS k),
+         |                        (SELECT unnest(range(64)) AS d)),
+         |items AS (SELECT CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)
+         |            AS doc_id,
+         |          0 AS i,
+         |          CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR) AS t
+         |          FROM kd),
+         |${graft.functions.OracleSql.fnvFold("items")},
+         |${graft.functions.OracleSql.fmix64},
+         |signs AS (
+         |  SELECT CAST(string_split(doc_id, ':')[1] AS BIGINT) AS k,
+         |         CAST(string_split(doc_id, ':')[2] AS BIGINT) AS d,
+         |         1 - 2 * CAST(u % 2 AS BIGINT) AS sgn
+         |  FROM mixed)
+         |SELECT xv.vec_id, s.k,
+         |  round(${graft.util.Stable.dsumSql("xv.x * s.sgn", 6)} / 4, 4)
+         |    AS p
+         |FROM xv JOIN signs s ON xv.d = s.d
+         |GROUP BY xv.vec_id, s.k""".stripMargin),
+  )
+
   def queries: Seq[Q] =
-    Seq(brute, cosineDedup, ivf, quantized, semanticDedup, hardNegatives)
+    Seq(brute, cosineDedup, ivf, quantized, semanticDedup, hardNegatives,
+      randomProjection)
 }

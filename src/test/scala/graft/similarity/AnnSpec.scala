@@ -159,4 +159,33 @@ class AnnSpec extends SparkSpec {
       }.max
     assert(worst >= best, s"worst picked $worst < best unpicked $best")
   }
+
+  test("random projection roughly preserves pairwise distances (JL)") {
+    val dir = sf("sf0.001")
+    val proj = graft.Registry.byName("sim_random_projection").run(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+      .filter(col("vec_id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = e.keys.toArray.sorted.take(20)
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      // pairs must be far enough apart that the 4-dp output
+      // rounding (~1e-4 per coord) is negligible against the distance
+      orig = d2(e(i), e(j)) if orig > 0.01
+    } yield d2(proj(i), proj(j)) / orig
+    assert(ratios.nonEmpty)
+    // K=16 is a coarse projection: expect distances within a broad but
+    // bounded distortion band, and unbiased on average
+    assert(ratios.forall(r => r > 0.1 && r < 4.0),
+      s"worst ratios: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"mean distortion $mean")
+  }
 }
