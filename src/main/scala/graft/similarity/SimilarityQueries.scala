@@ -137,25 +137,31 @@ object SimilarityQueries {
       norm(col("centroid")).as("cnorm")))).as("cents"))
 
   // n nearest lists per row by cosine (desc, cid-asc tiebreak): build a
-  // (−cos, cid) struct per centroid, array_sort, slice — pure map stage
-  private def withNearest(df: DataFrame, packed: DataFrame,
-      n: Int): DataFrame = {
+  // (−cos, cid) struct per centroid, array_sort, slice — pure map stage.
+  // The expression half is factored out so a STREAMING caller (which
+  // cannot crossJoin) can stream-static-join the packed row on a
+  // constant key and apply the identical assignment.
+  private[graft] def nearestOnJoined(df: DataFrame, n: Int): DataFrame = {
     val en = norm(col("embedding"))
     val scoredArr = transform(col("cents"), c =>
       struct(
         (-(dot(col("embedding"), c.getField("centroid")) /
           (en * c.getField("cnorm")))).as("negcos"),
         c.getField("cid").as("cid")))
-    df.crossJoin(broadcast(packed)) // 1-row frame: a broadcast constant
-      .withColumn("lists", slice(array_sort(scoredArr), 1, n))
+    df.withColumn("lists", slice(array_sort(scoredArr), 1, n))
       .drop("cents")
   }
+
+  private def withNearest(df: DataFrame, packed: DataFrame,
+      n: Int): DataFrame =
+    nearestOnJoined(
+      df.crossJoin(broadcast(packed)), n) // 1-row frame: broadcast constant
 
   /** IVF index build (seed + one dim-agnostic Lloyd refinement):
     * (corpus rows + list_id, packed centroid row). The assignment is a
     * pure map stage over a broadcast constant — zero corpus shuffle.
     */
-  private[similarity] def buildIvfIndex(corpus: DataFrame,
+  private[graft] def buildIvfIndex(corpus: DataFrame,
       nlist: Int, nassign: Int = 1): (DataFrame, DataFrame) = {
     // seed centroids: first nlist vectors by id (deterministic)
     val seeds = corpus.orderBy("vec_id").limit(nlist)
@@ -228,7 +234,7 @@ object SimilarityQueries {
     * the first `nlist` ids, the one Lloyd step uses the decimal-stable
     * mean above, and assignment ties break on cid.
     */
-  private[similarity] def ivfOracleCtes(dim: Int, nlist: Int,
+  private[graft] def ivfOracleCtes(dim: Int, nlist: Int,
       nassign: Int): String = {
     val dvv = dotSql("en.v", "s.c", dim)
     val dvk = dotSql("en.v", "k.c", dim)
@@ -496,7 +502,67 @@ object SimilarityQueries {
          |GROUP BY xv.vec_id, s.k""".stripMargin),
   )
 
+  /** Contrastive training triplets: for each anchor, the nearest
+    * SAME-label vector (positive) and the nearest DIFFERENT-label vector
+    * (hard negative) — the (a, p, n) rows a triplet/InfoNCE loss
+    * consumes, generated entirely inside the engine. One scored scan per
+    * side, both broadcast-anchor shaped; the margin column (pos − neg
+    * cosine) is the curriculum signal (small margin = hard triplet).
+    */
+  private val triplets = Q(
+    "sim_contrastive_triplets",
+    (s, d) => {
+      val e = withNorm(Tables(s, d).embeddings)
+      val anchors = e.filter(col("vec_id") < 10)
+      def top1(sameLabel: Boolean) = {
+        val cond = if (sameLabel)
+          col("q.label") === col("c.label") &&
+            col("q.vec_id") =!= col("c.vec_id")
+        else col("q.label") =!= col("c.label")
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("cand_id"))
+        broadcast(anchors.alias("q")).join(e.alias("c"), cond)
+          .select(col("q.vec_id").as("query_id"),
+            col("c.vec_id").as("cand_id"),
+            round(dot(col("q.embedding"), col("c.embedding"))
+              / (col("q.nrm") * col("c.nrm")), 4).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      top1(sameLabel = true)
+        .select(col("query_id"), col("cand_id").as("pos_id"),
+          col("cos").as("pos_cos"))
+        .join(top1(sameLabel = false)
+          .select(col("query_id"), col("cand_id").as("neg_id"),
+            col("cos").as("neg_cos")), "query_id")
+        .select(col("query_id"), col("pos_id"), col("neg_id"),
+          col("pos_cos"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+    },
+    Some(
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    q.label = c.label AS same,
+        |    round(list_cosine_similarity(
+        |      q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |pos AS (
+        |  SELECT query_id, cand_id AS pos_id, cos AS pos_cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rn
+        |    FROM scored WHERE same) WHERE rn = 1),
+        |neg AS (
+        |  SELECT query_id, cand_id AS neg_id, cos AS neg_cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rn
+        |    FROM scored WHERE NOT same) WHERE rn = 1)
+        |SELECT query_id, pos_id, neg_id, pos_cos, neg_cos,
+        |  round(pos_cos - neg_cos, 4) AS margin
+        |FROM pos JOIN neg USING (query_id)""".stripMargin),
+  )
+
   def queries: Seq[Q] =
     Seq(brute, cosineDedup, ivf, quantized, semanticDedup, hardNegatives,
-      randomProjection)
+      randomProjection, triplets)
 }

@@ -506,7 +506,40 @@ object StreamingOps {
     graft.operators.Sessions.sessionOracle,
   )
 
+  /** Streaming IVF list assignment: embeddings arrive as a stream and
+    * are routed to their nearest centroid of a STATICALLY built index
+    * (the production ingest shape — the index is trained offline, new
+    * vectors are assigned on arrival). The packed one-row centroid
+    * frame joins the stream on a constant key (stream-static equi
+    * join); assignment is the same pure-map expression as the batch
+    * build, so the drained sink equals the batch `idx` table — replayed
+    * by the same SQL CTEs as `ann_ivf_topk`. Stateless ⇒ Append mode,
+    * no watermark, state = 0.
+    */
+  private val ivfAssignParity = graft.Q(
+    "d_streaming_ivf_assign_parity",
+    (s, d) => {
+      val corpus = s.read.parquet(s"$d/embeddings.parquet")
+      val (_, packed) =
+        graft.similarity.SimilarityQueries.buildIvfIndex(corpus, 16)
+      val packedK = packed.withColumn("k", lit(1))
+      val assigned = graft.similarity.SimilarityQueries.nearestOnJoined(
+        spooledStream(s, s"$d/embeddings.parquet")
+          .withColumn("k", lit(1))
+          .join(packedK, "k"), 1)
+        .select(col("vec_id"),
+          element_at(col("lists"), 1).getField("cid").as("list_id"))
+      val name = sinkName("ivfa_")
+      runToMemory(assigned, name, OutputMode.Append())
+      s.table(name)
+    },
+    Some(
+      s"""WITH ${graft.similarity.SimilarityQueries
+               .ivfOracleCtes(dim = 64, nlist = 16, nassign = 1)}
+         |SELECT vec_id, list_id FROM idx""".stripMargin),
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
-      hllParity, cmParity, qsketchParity, sessionParity)
+      hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity)
 }
