@@ -92,6 +92,9 @@ object Bench {
     "t_bpe_encode",
     "t_dsir_weights",
     "sim_hard_negatives",
+    "a24_quantile_sketch",
+    "j14_range_join_binned",
+    "sim_random_projection",
   )
 
   def main(args: Array[String]): Unit = {

@@ -187,6 +187,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("quantile sketch: counters stay in hash aggregation, window only on the 256-row frame") {
+    val p = plan("a24_quantile_sketch")
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dsir: bucket stats broadcast back into the token scan") {
+    val p = plan("t_dsir_weights")
+    assert(broadcasts(p) >= 2, "tot + lr frames must broadcast")
+    assert(!p.contains("SortAggregate"))
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
