@@ -61,5 +61,27 @@ object PiiScrub {
          |FROM documents""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q)
+  /** k-anonymity audit — the redaction family's structural sibling: a
+    * released table is k-anonymous when every quasi-identifier
+    * combination covers ≥ k rows; groups below k re-identify individuals
+    * and must be suppressed or generalised before publication. One hash
+    * aggregate over the quasi-identifier columns; the flag column is the
+    * suppression worklist. (PII regexes scrub free text; this audits the
+    * STRUCTURED columns the reference publishes.)
+    */
+  private val kanon = Q(
+    "p11_k_anonymity",
+    (s, d) =>
+      graft.Tables(s, d).customer
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (col("n") < 10).as("suppress")),
+    Some(
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) < 10 AS suppress
+        |FROM customer GROUP BY 1, 2""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, kanon)
 }

@@ -257,6 +257,73 @@ object TextQueries {
         |WHERE c12.c12 >= 5""".stripMargin),
   )
 
+  /** Bigram LM with stupid backoff (Brants et al. 2007): score(doc) =
+    * mean ln p(w2|w1), where p = c12/c1 when the bigram is attested
+    * (≥ 2) and 0.4·p_unigram(w2) otherwise — the cheap large-scale
+    * backoff that skips Katz discounting. One step up in fidelity from
+    * `t_unigram_logprob` as a fluency/quality filter. All probabilities
+    * are single IEEE divisions of exact BIGINT counts (engine-identical)
+    * and the per-doc mean goes through the 6-dp decimal-stable fold.
+    * Scale: three vocab-bounded hash aggs joined back into the bigram
+    * stream — cap the c12 table like [[graft.operators.Curation.LmVocabCap]]
+    * if a raw web corpus's bigram tail outgrows the shuffle.
+    */
+  private val backoffLm = Q(
+    "t_backoff_logprob",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val bg = Tables(s, d).documents
+        .select(col("doc_id"), explode(zip_with(
+          slice(words, lit(1), size(words) - 1),
+          slice(words, lit(2), size(words) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bgp"))
+        .select(col("doc_id"), col("bgp.w1").as("w1"), col("bgp.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val uni = Tables(s, d).documents.select(explode(words).as("tok"))
+      val c2 = uni.groupBy("tok").agg(count(lit(1)).as("c2"))
+      val tot = uni.agg(count(lit(1)).as("t"))
+      val lp = when(col("c12") >= 2,
+        log(col("c12").cast("double") / col("c1").cast("double")))
+        .otherwise(log(lit(0.4) *
+          (col("c2").cast("double") / col("t").cast("double"))))
+      bg.join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(c2, col("w2") === col("tok"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(graft.util.Stable.dsum(lp, 6) / count(lit(1)), 4)
+            .as("backoff_logprob"))
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |             FROM w)),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg GROUP BY 1),
+         |uni AS (SELECT unnest(w) AS tok FROM w),
+         |c2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c2
+         |       FROM uni GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM uni),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    CASE WHEN c12.c12 >= 2
+         |      THEN ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+         |      ELSE ln(0.4 * (CAST(c2.c2 AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+         |    END AS lp
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |       JOIN c2 ON bg.w2 = c2.tok CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(${graft.util.Stable.dsumSql("lp", 6)} / count(*), 4)
+         |    AS backoff_logprob
+         |FROM scored GROUP BY doc_id""".stripMargin),
+  )
+
   /** First-iteration BPE merge candidates — the vocab-induction step:
     * adjacent symbol-pair frequencies at the character level across the
     * corpus (each word contributes its char bigrams), ranked. A full BPE
@@ -553,6 +620,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
-    qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, bpeMerges,
-    bpeApply, bpeCompression)
+    qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, backoffLm,
+    bpeMerges, bpeApply, bpeCompression)
 }
