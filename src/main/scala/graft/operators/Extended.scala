@@ -737,9 +737,64 @@ object Extended {
     quantileSketchOracle,
   )
 
+  /** The GROUPED form of a24 — per-key quantiles from per-key bin
+    * counters, which is how the sketch is actually deployed at 100 TB:
+    * one (key, bin) hash aggregate over the data, then the cumulative +
+    * first-reach finish per key over ≤256-row frames. The [lo, hi] range
+    * is global (shared bins are what make per-key sketches mergeable
+    * ACROSS keys too — a rollup to coarser keys just sums counters).
+    */
+  private val a25 = Q(
+    "a25_grouped_quantile_sketch",
+    (s, d) => {
+      val B = 256
+      val li = Tables(s, d).lineitem
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val mm = li.agg(min("x").as("lo"), max("x").as("hi"))
+      val hist = li.crossJoin(broadcast(mm))
+        .select(col("g"), least(floor((col("x") - col("lo"))
+          / ((col("hi") - col("lo")) / B)), lit(255L)).as("bin"))
+        .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("bin")
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val cum = hist.withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(n))
+        .crossJoin(broadcast(mm))
+      Seq(0.5, 0.9).map { q =>
+        cum.filter(col("cum") >= ceil(lit(q) * col("n")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("g"), lit(q).as("q"),
+            round(col("lo") + (col("bin") + 0.5)
+              * ((col("hi") - col("lo")) / B), 4).as("est"))
+      }.reduce(_ union _)
+    },
+    Some(
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo,
+        |              max(l_extendedprice) AS hi FROM lineitem),
+        |b AS (SELECT l_returnflag AS g,
+        |        least(CAST(floor((l_extendedprice - lo)
+        |          / ((hi - lo) / 256)) AS BIGINT), 255) AS bin
+        |      FROM lineitem CROSS JOIN mm),
+        |h AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt FROM b
+        |      GROUP BY g, bin),
+        |c AS (SELECT g, bin,
+        |        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM h),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |       FROM (VALUES (0.5),(0.9)) v(q))
+        |SELECT g, q, round(lo + (bin + 0.5) * ((hi - lo) / 256), 4) AS est
+        |FROM qs CROSS JOIN mm,
+        |  LATERAL (SELECT g, min(bin) AS bin FROM c
+        |           WHERE cum >= ceil(q * n) GROUP BY g) t""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21, a22, a23, a24)
+      a21, a22, a23, a24, a25)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(
