@@ -37,6 +37,16 @@ object BpeEncode {
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t",
     "o" -> "r", "e" -> "n", "e" -> "s", "o" -> "u", "l" -> "l")
 
+  /** The merge loop is O(|rules|·L) per merge and up to L merges — a
+    * pathological unbroken token (a 10 kB URL or base64 blob in a raw
+    * web corpus) would pay O(|rules|·L²). Words longer than this stay
+    * UNSEGMENTED (per-code-point symbols, no merges) — the same contract
+    * real tokenizers apply (HF `max_input_chars_per_word`: overlong
+    * words bypass the merge search). The oracle enforces the identical
+    * cap, so the bound is part of the verified semantics, not a comment.
+    */
+  val MaxWordLen = 512
+
   /** Static entry point referenced by the generated code. */
   def encode(word: UTF8String): ArrayData = {
     val s = word.toString
@@ -47,7 +57,7 @@ object BpeEncode {
       syms.add(s.substring(i, i + n))
       i += n
     }
-    var applied = true
+    var applied = syms.size <= MaxWordLen
     while (applied) {
       applied = false
       var r = 0

@@ -403,6 +403,8 @@ object TextQueries {
          |enc(tok, s) AS (
          |  SELECT tok, array_to_string(string_split(tok, ''), ' ')
          |  FROM vocab
+         |  WHERE len(string_split(tok, ''))
+         |        <= ${graft.functions.BpeEncode.MaxWordLen}
          |  UNION ALL
          |  SELECT e.tok,
          |    trim(substr(' '||e.s||' ', 1,
@@ -421,7 +423,12 @@ object TextQueries {
          |  SELECT tok, s FROM enc e
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM rules r
-         |    WHERE instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0)),
+         |    WHERE instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0)
+         |  UNION ALL
+         |  SELECT tok, array_to_string(string_split(tok, ''), ' ')
+         |  FROM vocab
+         |  WHERE len(string_split(tok, ''))
+         |        > ${graft.functions.BpeEncode.MaxWordLen}),
          |sym AS (
          |  SELECT unnest(string_split(f.s, ' ')) AS symbol, v.n
          |  FROM final f JOIN vocab v ON f.tok = v.tok)
@@ -470,6 +477,8 @@ object TextQueries {
          |enc(tok, s) AS (
          |  SELECT tok, array_to_string(string_split(tok, ''), ' ')
          |  FROM vocab
+         |  WHERE len(string_split(tok, ''))
+         |        <= ${graft.functions.BpeEncode.MaxWordLen}
          |  UNION ALL
          |  SELECT e.tok,
          |    trim(substr(' '||e.s||' ', 1,
@@ -490,7 +499,13 @@ object TextQueries {
          |  FROM enc e
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM rules r
-         |    WHERE instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0))
+         |    WHERE instr(' '||e.s||' ', ' '||r.l||' '||r.r||' ') > 0)
+         |  UNION ALL
+         |  SELECT tok, len(string_split(tok, '')) AS n_sym,
+         |         len(string_split(tok, '')) AS n_chr
+         |  FROM vocab
+         |  WHERE len(string_split(tok, ''))
+         |        > ${graft.functions.BpeEncode.MaxWordLen})
          |SELECT d.source,
          |  CAST(sum(f.n_chr) AS BIGINT) AS n_chars,
          |  CAST(sum(f.n_sym) AS BIGINT) AS n_symbols,

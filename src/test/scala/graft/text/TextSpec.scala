@@ -119,6 +119,21 @@ class BpeEncodeSpec extends SparkSpec {
     assert(got(4) == Nil)
   }
 
+  test("overlong words bypass the merge search (length cap)") {
+    import spark.implicits._
+    val big = "th" * (BpeEncode.MaxWordLen / 2 + 8) // > cap, all mergeable
+    val got = Seq(big).toDF("w")
+      .select(BpeEncode.bpe_encode(col("w")).as("s"))
+      .head().getSeq[String](0)
+    assert(got.length == big.length, "must stay per-char symbols")
+    assert(got.forall(s => s == "t" || s == "h"))
+    val small = "th" * 8 // same content under the cap DOES merge
+    val merged = Seq(small).toDF("w")
+      .select(BpeEncode.bpe_encode(col("w")).as("s"))
+      .head().getSeq[String](0)
+    assert(merged.length < small.length)
+  }
+
   test("codegen and interpreted paths agree on corpus words") {
     val words = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
