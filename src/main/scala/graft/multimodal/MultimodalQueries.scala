@@ -425,12 +425,26 @@ object MultimodalQueries {
           // encoding on the way back out (the real decoder contract)
           val signed = ais.getFormat.getEncoding ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          val pcm = ais.readAllBytes()
-          pcm.grouped(WindowSamples).zipWithIndex.map { case (w, wi) =>
+          // stream one window at a time — NEVER readAllBytes: a long
+          // recording would otherwise hold the whole PCM payload per
+          // row; peak memory here is one WindowSamples buffer
+          val buf = new Array[Byte](WindowSamples)
+          Iterator.from(0).map { wi =>
+            var got = 0
+            var r = 0
+            while (got < WindowSamples && r >= 0) {
+              r = ais.read(buf, got, WindowSamples - got)
+              if (r > 0) got += r
+            }
+            (wi, got)
+          }.takeWhile(_._2 > 0).map { case (wi, got) =>
             var e = 0L
-            w.foreach { b =>
-              val v: Long = if (signed) b.toLong else (b & 0xFF) - 128L
+            var i = 0
+            while (i < got) {
+              val v: Long =
+                if (signed) buf(i).toLong else (buf(i) & 0xFF) - 128L
               e += v * v
+              i += 1
             }
             AudioWindow(id, wi, e, e < 1000L)
           }
