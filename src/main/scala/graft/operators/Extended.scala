@@ -737,6 +737,36 @@ object Extended {
     quantileSketchOracle,
   )
 
+  /** Mergeability, VERIFIED: build independent per-shard sketches (the
+    * corpus split by l_orderkey parity — any disjoint partition works),
+    * SUM-merge their counters, finish quantiles from the merged sketch.
+    * Shares a24's oracle verbatim: the gate proves merged-shards ≡
+    * whole-corpus, which is the exact property a 1000-executor rollup
+    * (or a day-by-day incremental sketch) relies on. The [lo, hi] range
+    * is computed once globally — the one piece of shared state a
+    * sharded sketch deployment must agree on up front.
+    */
+  private val a26 = Q(
+    "a26_sketch_merge",
+    (s, d) => {
+      val B = 256
+      val x = Tables(s, d).lineitem
+        .select(col("l_orderkey"), col("l_extendedprice").as("x"))
+      val mm = x.agg(min("x").as("lo"), max("x").as("hi"),
+        count(lit(1)).as("n"))
+      def shardHist(parity: Int) = x
+        .filter(pmod(col("l_orderkey"), lit(2)) === parity)
+        .crossJoin(broadcast(mm))
+        .select(least(floor((col("x") - col("lo"))
+          / ((col("hi") - col("lo")) / B)), lit(255L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val merged = shardHist(0).unionByName(shardHist(1))
+        .groupBy("bin").agg(sum("cnt").as("cnt"))
+      finishQuantiles(merged, mm)
+    },
+    quantileSketchOracle,
+  )
+
   /** The GROUPED form of a24 — per-key quantiles from per-key bin
     * counters, which is how the sketch is actually deployed at 100 TB:
     * one (key, bin) hash aggregate over the data, then the cumulative +
@@ -794,7 +824,7 @@ object Extended {
 
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21, a22, a23, a24, a25)
+      a21, a22, a23, a24, a25, a26)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(
