@@ -21,6 +21,7 @@ object Registry {
       operators.TimeWindows.all ++
       operators.Sessions.all ++
       operators.Curation.all ++
+      operators.Linkage.all ++
       functions.ScalarFns.all ++
       domain.DomainQueries.all ++
       dedup.DedupQueries.all ++

@@ -193,5 +193,54 @@ object ScalarFns {
         .stripMargin),
   )
 
-  def all: Seq[Q] = Seq(f1, f3, f4, f8, f10, f11, f12, f14, f15)
+  /** Z-order (Morton) key over two dimensions — the multi-column
+    * data-skipping layout: writing files sorted by the interleaved key
+    * makes parquet row-group min/max stats selective on BOTH dimensions
+    * at once, so a filter on either (or a box on both) prunes row
+    * groups, where a lexicographic (a, b) sort only prunes on `a`. Pure
+    * bit arithmetic (8 bits per dimension here), codegen'd shifts —
+    * replayed in SQL with the same integer ops. The registered query
+    * keys orders by (order-week, customer) and ranks a bounded slice so
+    * the interleaving itself is under the hash gate.
+    */
+  def zorder8(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { k =>
+      shiftleft(shiftright(a, k).bitwiseAND(1), 2 * k) +
+        shiftleft(shiftright(b, k).bitwiseAND(1), 2 * k + 1)
+    }.reduce(_ + _)
+
+  private val f16 = Q(
+    "f16_zorder_key",
+    (s, d) => {
+      val week = floor(datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))) / 7).bitwiseAND(255)
+      val cust = col("o_custkey").bitwiseAND(255)
+      graft.Tables(s, d).orders
+        .select(col("o_orderkey"), zorder8(week, cust).as("z"))
+        .orderBy(asc("z"), asc("o_orderkey")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(asc("z"), asc("o_orderkey"))))
+    },
+    Some {
+      val zBits = (0 until 8).map { k =>
+        s"(((w // ${1 << k}) % 2) * ${1L << (2 * k)}" +
+          s" + ((c // ${1 << k}) % 2) * ${1L << (2 * k + 1)})"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |    ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) % 256
+         |      AS w,
+         |    o_custkey % 256 AS c
+         |  FROM orders)
+         |SELECT o_orderkey, $zBits AS z,
+         |  CAST(row_number() OVER (ORDER BY $zBits, o_orderkey) AS INT)
+         |    AS rank
+         |FROM b
+         |ORDER BY z, o_orderkey LIMIT 100""".stripMargin
+    },
+  )
+
+  def all: Seq[Q] = Seq(f1, f3, f4, f8, f10, f11, f12, f14, f15, f16)
 }

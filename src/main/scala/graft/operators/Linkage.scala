@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage, Fellegi–Sunter shape (1969; the model
+  * behind Splink/dedupe.io): candidate pairs from BLOCKING (never the
+  * cartesian), an agreement vector over comparison fields, and a match
+  * score Σᵢ wᵢ where wᵢ is the field's log-likelihood-ratio weight —
+  * positive on agreement, negative on disagreement. Entity resolution
+  * proper, one tier above the fuzzy-name join (j13): j13 finds SIMILAR
+  * strings, this scores WHETHER two records are the same entity.
+  *
+  * Exactness: the weights are fixed literals (the trained m/u ratios a
+  * production linker ships), so the score is a same-order sum of
+  * identical doubles in both engines — no ln() at query time. Scale:
+  * blocking bounds candidates at Σ|block|²; the agreement vector and
+  * score are a pure map over the pair stream; the class thresholds are
+  * the Fellegi–Sunter link / possible-link bands.
+  */
+object Linkage {
+
+  private val linkage = Q(
+    "j15_record_linkage",
+    (s, d) => {
+      val c = Tables(s, d).customer
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).as("band"),
+          pmod(col("c_custkey"), lit(10)).as("chk"))
+      val score =
+        when(col("a.seg") === col("b.seg"), lit(2.5)).otherwise(lit(-1.5)) +
+          when(col("a.band") === col("b.band"), lit(3.0))
+            .otherwise(lit(-2.0)) +
+          when(col("a.chk") === col("b.chk"), lit(1.5)).otherwise(lit(-0.5))
+      c.alias("a")
+        .join(c.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(score, 2).as("score"))
+        .filter(col("score") >= 5.0)
+        .withColumn("match_class",
+          when(col("score") >= 7.0, "link").otherwise("possible"))
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+        |    floor(c_acctbal / 1000) AS band, c_custkey % 10 AS chk
+        |  FROM customer),
+        |scored AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    round(
+        |      (CASE WHEN a.seg = b.seg THEN 2.5 ELSE -1.5 END) +
+        |      (CASE WHEN a.band = b.band THEN 3.0 ELSE -2.0 END) +
+        |      (CASE WHEN a.chk = b.chk THEN 1.5 ELSE -0.5 END), 2) AS score
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, score,
+        |  CASE WHEN score >= 7.0 THEN 'link' ELSE 'possible' END
+        |    AS match_class
+        |FROM scored WHERE score >= 5.0""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(linkage)
+}
