@@ -23,11 +23,12 @@ object Verify {
       domain.SharedCache.defaultRoot)
     cacheRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(cacheRoot, true)
-    // SPARK_GRAFT_ONLY=<substring> restricts the dump for fast local
-    // iteration; the driver never sets it, so its runs stay complete.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(name.contains) }
+    // SPARK_GRAFT_ONLY=<substring>[,<substring>…] restricts the dump for
+    // fast local iteration (a query is kept if ANY listed substring
+    // matches); the driver never sets it, so its runs stay complete.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def keep(name: String) = only.forall(_.exists(name.contains))
+    val selected = SparkEntry.queries.filter { case (name, _) => keep(name) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -48,7 +49,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(k.contains) }
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

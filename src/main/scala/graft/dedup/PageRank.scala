@@ -116,7 +116,7 @@ object PageRank {
     Some(oracleSql),
   )
 
-  def queries: Seq[Q] = Seq(q) ++ TriangleCount.queries
+  def queries: Seq[Q] = Seq(q) ++ TriangleCount.queries ++ KCore.queries
 }
 
 /** Triangle counting via DEGREE-ORIENTED wedge join (the compact-forward
@@ -210,6 +210,102 @@ object TriangleCount {
         |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
         |  CAST(tri.n_triangles AS BIGINT) AS n_triangles
         |FROM tri""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}
+
+/** k-core decomposition by iterative peeling (Seidman 1983; the
+  * distributed formulation of Montresor et al., TPDS 2013): repeatedly
+  * delete every node of degree < k until none remain — the fixpoint is
+  * the k-core, the standard "dense backbone" extractor for duplicate
+  * subgraphs and co-occurrence networks (the reference's networkx
+  * subgraph pass at `dqa/dedup_utils.py` caps out single-machine;
+  * SURVEY §2.6). Each round is one degree aggregation + one semi-join
+  * of edges against surviving nodes — BSP like [[ConnectedComponents]],
+  * with a lineage cut per round and convergence detected by a cheap
+  * count. Peel rounds are O(diameter of the cascade), typically < 10;
+  * the oracle replays a fixed [[UnrollRounds]] unrolled rounds (identity
+  * once the fixpoint is reached — KCoreSpec pins convergence within the
+  * unroll at the test scale).
+  */
+object KCore {
+
+  val K = 4
+  /** Co-occurrence weight threshold that sparsifies the supplier graph
+    * enough to have a real cascade (8 peel rounds at sf0.01).
+    */
+  val MinCooc = 33
+  val UnrollRounds = 16
+
+  /** @return surviving (id, core_deg) — nodes of the k-core with their
+    *   within-core degree (all ≥ k by construction). Also returns the
+    *   number of peel rounds via the side channel for the spec.
+    */
+  def run(edges: DataFrame, k: Int): (DataFrame, Int) = {
+    var cur = edges.localCheckpoint(true)
+    var rounds = 0
+    while (true) {
+      val deg = cur.select(col("a").as("n"))
+        .union(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      val nRemoved = deg.filter(col("d") < k).count()
+      rounds += 1
+      if (nRemoved == 0) {
+        return (deg.select(col("n"), col("d").as("core_deg")), rounds)
+      }
+      val keep = deg.filter(col("d") >= k).select("n")
+      cur = cur
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "leftsemi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "leftsemi")
+        .localCheckpoint(true)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def cooccurrenceEdges(t: Tables): DataFrame = {
+    val li = t.lineitem.select("l_orderkey", "l_suppkey")
+    li.alias("x").join(li.alias("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinCooc)
+      .select("a", "b")
+  }
+
+  private def oracleSql: String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // three times, so inlined CTEs would expand the scan tree 3^rounds
+    val rounds = (1 to UnrollRounds).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d${i - 1} da ON e.a = da.n JOIN d${i - 1} db ON e.b = db.n
+         |  WHERE da.d >= $K AND db.d >= $K)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cooc AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b, count(*) AS w
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (SELECT a, b FROM cooc WHERE w >= $MinCooc),
+       |$rounds
+       |SELECT n AS s_suppkey, count(*) AS core_deg FROM (
+       |  SELECT a AS n FROM e$UnrollRounds
+       |  UNION ALL SELECT b FROM e$UnrollRounds)
+       |GROUP BY 1""".stripMargin
+  }
+
+  private val q = Q(
+    "d13_kcore",
+    (s, d) => run(cooccurrenceEdges(Tables(s, d)), K)._1
+      .withColumnRenamed("n", "s_suppkey"),
+    Some(oracleSql),
   )
 
   def queries: Seq[Q] = Seq(q)

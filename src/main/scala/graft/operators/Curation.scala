@@ -359,40 +359,89 @@ object Curation {
     */
   val LmVocabCap = 65536
 
+  /** (doc_id, n_tok, logprob) under the capped corpus unigram LM —
+    * shared by `t_unigram_logprob` and `t_perplexity_buckets`.
+    */
+  private def unigramScores(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // total counts EVERY token (so probabilities stay normalised);
+    // only the broadcast table is capped
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    val capped = freq.orderBy(desc("cnt"), asc("w")).limit(LmVocabCap)
+    tok
+      .join(broadcast(capped), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(graft.util.Stable.dsum(
+          log(coalesce(col("cnt").cast("double"), lit(0.5))
+            / col("total").cast("double")), 6)
+          / count(lit(1)), 4).as("logprob"))
+  }
+
+  /** DuckDB replay of [[unigramScores]]: CTEs + the per-doc select,
+    * exposed as a full query string so callers can nest it.
+    */
+  private def unigramScoresSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |             FROM documents),
+       |freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+       |tot AS (SELECT sum(cnt) AS total FROM freq),
+       |capped AS (SELECT w, cnt FROM freq ORDER BY cnt DESC, w LIMIT $LmVocabCap)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  round(${graft.util.Stable.dsumSql(
+         "ln(coalesce(CAST(cnt AS DOUBLE), 0.5) / CAST(total AS DOUBLE))",
+         6)}
+       |    / count(*), 4) AS logprob
+       |FROM tok LEFT JOIN capped USING (w) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+
   private val logprob = Q(
     "t_unigram_logprob",
+    (s, d) => unigramScores(Tables(s, d).documents),
+    Some(unigramScoresSql),
+  )
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank docs by
+    * LM fluency and split head / middle / tail terciles — the mixture
+    * knob "train mostly on head, sample the tail" pipelines tune. Bucket
+    * assignment is pure integer rank arithmetic (`(rn−1)·3 div n`), no
+    * float thresholds, so the cut points are engine-exact even where
+    * scores tie (ties break on doc_id). The global rank here is a window
+    * over (score, doc_id) pairs only — the payload never sorts; at
+    * corpus scale you'd lift the two cut scores from the mergeable
+    * quantile sketch (a24) and bucket map-side, which is exactly the
+    * CCNet recipe (thresholds from a sample, then a scan).
+    */
+  private val pplBuckets = Q(
+    "t_perplexity_buckets",
     (s, d) => {
-      val docs = Tables(s, d).documents
-      val tok = docs.select(col("doc_id"),
-        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
-      val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-      // total counts EVERY token (so probabilities stay normalised);
-      // only the broadcast table is capped
-      val tot = freq.agg(sum(col("cnt")).as("total"))
-      val capped = freq.orderBy(desc("cnt"), asc("w")).limit(LmVocabCap)
-      tok
-        .join(broadcast(capped), Seq("w"), "left")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(graft.util.Stable.dsum(
-            log(coalesce(col("cnt").cast("double"), lit(0.5))
-              / col("total").cast("double")), 6)
-            / count(lit(1)), 4).as("logprob"))
+      val scores = unigramScores(Tables(s, d).documents)
+      val n = scores.agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(desc("logprob"), asc("doc_id"))
+      scores
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_tok"), col("logprob"),
+          element_at(
+            typedLit(Seq("head", "middle", "tail")),
+            (least(lit(2), expr("(rn - 1) * 3 div n_docs")) + lit(1))
+              .cast("int"))
+            .as("bucket"))
     },
     Some(
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |             FROM documents),
-         |freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
-         |tot AS (SELECT sum(cnt) AS total FROM freq),
-         |capped AS (SELECT w, cnt FROM freq ORDER BY cnt DESC, w LIMIT $LmVocabCap)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-         |  round(${graft.util.Stable.dsumSql(
-             "ln(coalesce(CAST(cnt AS DOUBLE), 0.5) / CAST(total AS DOUBLE))",
-             6)}
-         |    / count(*), 4) AS logprob
-         |FROM tok LEFT JOIN capped USING (w) CROSS JOIN tot
-         |GROUP BY doc_id""".stripMargin),
+      s"""WITH scores AS ($unigramScoresSql),
+         |n AS (SELECT count(*) AS n_docs FROM scores),
+         |ranked AS (
+         |  SELECT doc_id, n_tok, logprob,
+         |    row_number() OVER (ORDER BY logprob DESC, doc_id) AS rn
+         |  FROM scores)
+         |SELECT doc_id, n_tok, logprob,
+         |  (['head', 'middle', 'tail'])[
+         |    CAST(least(2, (rn - 1) * 3 // n_docs) AS INT) + 1] AS bucket
+         |FROM ranked CROSS JOIN n""".stripMargin),
   )
 
   /** Deterministic sharded corpus shuffle — the "global shuffle before
@@ -695,6 +744,6 @@ object Curation {
 
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
-      mixture, crossdoc, chunk, logprob, shuffle, stratified, chunkDedup,
-      pipeline, dsir, dsirResample)
+      mixture, crossdoc, chunk, logprob, pplBuckets, shuffle, stratified,
+      chunkDedup, pipeline, dsir, dsirResample)
 }

@@ -94,5 +94,74 @@ object Sessions {
         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(sessions, cubeQ, asof)
+  /** Ordered conversion funnel (view → click → purchase) with a per-step
+    * conversion window: each user's first view, first click within
+    * [[FunnelWindowHours]] hours AFTER that view, first purchase within
+    * the window after that click. The classic product-analytics operator
+    * the reference's weekly-stock reporting stops short of
+    * (`dqa/data_getters.py` aggregates but never sequences). Shape: one
+    * min-agg per step, then a join chain all keyed on `user_id` — the
+    * exchange on `user_id` is planned once and reused down the chain, so
+    * cost is K small aggregations, never a self-join explosion.
+    * Timestamps surface as epoch micros (engine-exact integers on both
+    * sides of the oracle).
+    */
+  val FunnelWindowHours = 12
+
+  private val funnel = Q(
+    "e_funnel_steps",
+    (s, d) => {
+      val e = Tables(s, d).events
+      def step(evType: String, prev: org.apache.spark.sql.DataFrame,
+               prevCol: String, outCol: String) =
+        e.filter(col("event_type") === evType)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol) &&
+            col("ts") <= col(prevCol) +
+              expr(s"INTERVAL $FunnelWindowHours HOURS"))
+          .groupBy("user_id").agg(min(col("ts")).as(outCol))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val clicks = step("click", views, "t_view", "t_click")
+      val purchases = step("purchase", clicks, "t_click", "t_purchase")
+      e.select("user_id").distinct()
+        .join(views, Seq("user_id"), "left")
+        .join(clicks, Seq("user_id"), "left")
+        .join(purchases, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("view_us"),
+          unix_micros(col("t_click")).as("click_us"),
+          unix_micros(col("t_purchase")).as("purchase_us"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("stage"))
+    },
+    Some(
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         |           WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click
+         |      FROM events e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |        AND e.ts <= v.t_view + INTERVAL $FunnelWindowHours HOUR
+         |      GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+         |      FROM events e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |        AND e.ts <= c.t_click + INTERVAL $FunnelWindowHours HOUR
+         |      GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM events)
+         |SELECT u.user_id,
+         |  CAST(epoch_us(v.t_view) AS BIGINT) AS view_us,
+         |  CAST(epoch_us(c.t_click) AS BIGINT) AS click_us,
+         |  CAST(epoch_us(p.t_purchase) AS BIGINT) AS purchase_us,
+         |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+         |            WHEN c.user_id IS NOT NULL THEN 2
+         |            WHEN v.user_id IS NOT NULL THEN 1
+         |            ELSE 0 END AS INT) AS stage
+         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         |  LEFT JOIN p USING (user_id)""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel)
 }

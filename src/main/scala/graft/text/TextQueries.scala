@@ -633,8 +633,63 @@ object TextQueries {
         |WHERE dup_word_frac <= 0.8 AND top_bigram_frac <= 0.2""".stripMargin),
   )
 
+  /** PMI collocation mining — the standard "which word pairs belong
+    * together" detector (Church & Hanks 1990) behind multi-word surface
+    * forms (the reference builds those from noun chunks at
+    * `ojd_daps/flows/enrich/labs/salaries/common.py`-adjacent tooling;
+    * SURVEY §2.7 treats phrase discovery as a text-analysis component).
+    * Instead of log-PMI we surface the exact association RATIO
+    * c12·N / (c1·c2) (= e^PMI): every factor is an exact BIGINT count,
+    * the two multiplies and one divide are single IEEE ops, so the value
+    * is bit-identical on any engine — no libm `ln` in the gate. Margins
+    * c1/c2 come from the bigram stream itself (left/right position
+    * counts), so the distribution normalises exactly. Two vocab-bounded
+    * hash aggregates + two broadcast joins; nothing scales with corpus
+    * size except the token scan.
+    */
+  private val pmi = Q(
+    "t_pmi_collocations",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val bg = Tables(s, d).documents
+        .select(explode(zip_with(
+          slice(words, lit(1), size(words) - 1),
+          slice(words, lit(2), size(words) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val left = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val right = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val tot = bg.agg(count(lit(1)).as("n"))
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .join(broadcast(left), "w1")
+        .join(broadcast(right), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") * col("n").cast("double")
+            / (col("c1").cast("double") * col("c2").cast("double")), 6)
+            .as("pmi_ratio"))
+    },
+    Some(
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+        |lft AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |rgt AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+        |tot AS (SELECT count(*) AS n FROM bg),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY w1, w2)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(CAST(c12.c12 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |    / (CAST(lft.c1 AS DOUBLE) * CAST(rgt.c2 AS DOUBLE)), 6)
+        |    AS pmi_ratio
+        |FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+        |WHERE c12.c12 >= 5""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, backoffLm,
-    bpeMerges, bpeApply, bpeCompression)
+    bpeMerges, bpeApply, bpeCompression, pmi)
 }

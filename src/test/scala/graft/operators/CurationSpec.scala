@@ -108,4 +108,29 @@ class CurationSpec extends SparkSpec {
     val b = w.repartition(13).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("perplexity buckets are exact rank terciles ordered by fluency") {
+    import spark.implicits._
+    // 6 docs: three of corpus-dominant tokens, three of near-unique ones
+    val docs = Seq(
+      (0L, "the the the the the the"),
+      (1L, "the the the the of of"),
+      (2L, "the of the of the of"),
+      (3L, "rare1 rare2 the of the of"),
+      (4L, "rare3 rare4 rare5 rare6 the of"),
+      (5L, "zz1 zz2 zz3 zz4 zz5 zz6"))
+    val tmp = java.nio.file.Files.createTempDirectory("ppl").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.Registry.byName("t_perplexity_buckets").run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.forall(_.length == 2), s"terciles of 6: $got")
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // all-common docs lead, the all-unique doc trails
+    val bucketOf = got.map(t => t._1 -> t._3).toMap
+    assert(bucketOf(0L) == "head" && bucketOf(5L) == "tail")
+  }
 }

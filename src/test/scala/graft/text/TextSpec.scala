@@ -150,3 +150,24 @@ class BpeEncodeSpec extends SparkSpec {
     }
   }
 }
+
+/** Collocation mining: the association ratio is exact count algebra. */
+class PmiSpec extends SparkSpec {
+
+  test("pmi ratio is the exact count algebra on a known corpus") {
+    import spark.implicits._
+    // "a b" x6 and "b a" x5 adjacencies in one doc of 12 tokens
+    val text = Seq.fill(6)("a b").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("pmi").toString
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.Registry.byName("t_pmi_collocations").run(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // N=11 bigrams; c12(a,b)=6, left c1(a)=6, right c2(b)=6
+    assert(got(("a", "b")) == (6L, BigDecimal(6.0 * 11 / 36)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // c12(b,a)=5, c1(b)=5, c2(a)=5 -> 5*11/25 = 2.2
+    assert(got(("b", "a")) == (5L, 2.2))
+  }
+}
