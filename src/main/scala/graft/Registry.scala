@@ -36,6 +36,7 @@ object Registry {
       text.PiiScrub.queries ++
       similarity.KnnGraph.queries ++
       similarity.LabelCentroids.queries ++
+      similarity.ProductQuantization.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++

@@ -1,0 +1,207 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization ANN (Jégou, Douze & Schmid, TPAMI 2011 — the
+  * FAISS `IndexPQ` the reference's dedup stack sits next to,
+  * labs/deduplication/faiss_utils.py): split each vector into
+  * [[M]] subspaces, learn a tiny per-subspace codebook, store each
+  * corpus vector as M byte codes (here 64 floats → 16 codes, a 16×
+  * compression at rest), and score queries against the RECONSTRUCTION
+  * via asymmetric distance (full-precision query vs quantized corpus).
+  * Subspace/codebook sizes are tuned to the synthetic table (near-random
+  * Gaussian dims — PQ's adversarial case; real text embeddings have
+  * correlated dims and quantize far better).
+  *
+  * The 100 TB posture is the point of PQ: the corpus is scanned as
+  * codes, never raw floats — the scoring pass is a pure map over a
+  * broadcast (codebook + query) constant, zero corpus shuffle, and the
+  * in-memory footprint per vector is M bytes. Codebook training mirrors
+  * the IVF build: deterministic seeds (first [[KSub]] vectors per
+  * subspace) + ONE Lloyd refinement with decimal-stable means, so the
+  * whole train→encode→score chain is partition-order-independent and
+  * replays exactly in SQL. Every distance is an explicit left-to-right
+  * 8-term fold (same IEEE rounding as the oracle's spelled-out sum);
+  * per-subspace distances combine in fixed m=0..M−1 order.
+  */
+object ProductQuantization {
+
+  val Dim = 64
+  val M = 16
+  val SubDim = 4
+  val KSub = 64
+
+  /** ‖a_m − c‖² over subspace m: a is the FULL vector (positions
+    * m·SubDim+1 …), c the SubDim-dim centroid; explicit left-assoc fold.
+    */
+  private def l2sub(a: Column, c: Column, m: Int): Column =
+    (1 to SubDim).map { i =>
+      val d = element_at(a, m * SubDim + i).cast("double") -
+        element_at(c, i).cast("double")
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** Codebook rows (m, cid, c: array<double>[SubDim]) packed into one
+    * broadcastable row `cb` (array of structs).
+    */
+  private def pack(cb: DataFrame): DataFrame =
+    cb.agg(array_sort(collect_list(struct(
+      col("m"), col("cid"), col("c")))).as("cb"))
+
+  /** Per-row codes under a packed codebook: codes[m] = argmin cid by
+    * (subspace distance, cid). A pure map over the broadcast constant.
+    */
+  private def assignCodes(corpus: DataFrame, packed: DataFrame): DataFrame = {
+    val withCb = corpus.crossJoin(broadcast(packed))
+    val codeCols = (0 until M).map { m =>
+      val cands = filter(col("cb"), e => e.getField("m") === lit(m))
+      val scored = transform(cands, e =>
+        struct(l2sub(col("embedding"), e.getField("c"), m).as("d"),
+          e.getField("cid").as("cid")))
+      element_at(array_sort(scored), 1).getField("cid")
+    }
+    withCb.select(corpus.columns.map(col) :+ array(codeCols: _*).as("codes"): _*)
+  }
+
+  /** Seed codebook: subspace slices of the first KSub vectors. */
+  private def seedCodebook(corpus: DataFrame): DataFrame =
+    corpus.orderBy("vec_id").limit(KSub)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("cid"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+        col("v"))
+      .select(col("m"), col("cid"),
+        slice(col("v"), col("m") * SubDim + 1, lit(SubDim)).as("c"))
+
+  /** One Lloyd step: per (m, cid, position) decimal-stable mean of the
+    * assigned sub-vectors (shuffle is M·KSub·SubDim rows after map-side
+    * combine, independent of corpus size).
+    */
+  private def refine(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("embedding"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "cid")
+      .select(col("m"), col("cid"),
+        posexplode(slice(col("embedding").cast("array<double>"),
+          col("m") * SubDim + 1, lit(SubDim))))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg((graft.util.Stable.dsum(col("col"), 9) / count(lit(1))).as("x"))
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+      .select(col("m"), col("cid"),
+        transform(col("px"), p => p.getField("x")).as("c"))
+
+  /** Train (seed + one refinement), encode the corpus, ADC-score the
+    * query set, top-k per query by (distance, id).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val packedSeeds = pack(seedCodebook(corpus))
+    val codebook = refine(assignCodes(corpus, packedSeeds))
+    val packed = pack(codebook)
+    val encoded = assignCodes(corpus, packed)
+      .select("vec_id", "codes")
+    // ADC: reconstruct each neighbour from its codes against the full
+    // query — per-subspace lookup from the broadcast codebook, summed in
+    // fixed subspace order
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = encoded
+      .crossJoin(broadcast(packed))
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+    val dist = (0 until M).map { m =>
+      val cent = element_at(
+        filter(col("cb"), e => e.getField("m") === lit(m) &&
+          e.getField("cid") === element_at(col("codes"), m + 1)),
+        1).getField("c")
+      l2sub(col("qv"), cent, m)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
+    scored
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dist.as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rn"))
+  }
+
+  // ---- oracle: the full train→encode→score chain in SQL ----
+
+  /** Spelled-out ‖a_m − c‖²: a indexes the full vector at m·SubDim+i,
+    * c the SubDim-dim centroid list, left-assoc like the engine fold.
+    */
+  private def l2subSql(a: String, c: String, mExpr: String): String =
+    (1 to SubDim).map { i =>
+      s"(($a[$mExpr*$SubDim + $i]) - ($c[$i])) * (($a[$mExpr*$SubDim + $i]) - ($c[$i]))"
+    }.mkString(" + ")
+
+  private def oracleSql: String = {
+    // seed centroid for subspace m of seed vector s.v IS the slice —
+    // index s.v at m*SubDim+i directly
+    val dSeed = (1 to SubDim).map { i =>
+      s"(en.v[ms.m*$SubDim + $i] - s.v[ms.m*$SubDim + $i]) * (en.v[ms.m*$SubDim + $i] - s.v[ms.m*$SubDim + $i])"
+    }.mkString(" + ")
+    val dCb = l2subSql("en.v", "cb.c", "cb.m")
+    val dAdc = l2subSql("q.v", "cb.c", "cb.m")
+    // fixed-order total: one pivoted column per subspace, added m=0..M-1
+    val pivot = (0 until M).map(m =>
+      s"sum(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
+    val total = (0 until M).map(m => s"d$m").mkString(" + ")
+    s"""WITH en AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS cid, v FROM en ORDER BY vec_id LIMIT $KSub),
+       |ms AS (SELECT unnest(range(0, $M)) AS m),
+       |a0 AS MATERIALIZED (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT en.vec_id, ms.m, s.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id, ms.m
+       |        ORDER BY $dSeed, s.cid) AS rn
+       |    FROM en CROSS JOIN ms CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |rf AS (
+       |  SELECT a0.m, a0.cid, p.i,
+       |    CAST(sum(CAST(en.v[a0.m*$SubDim + p.i] AS DECIMAL(30,9)))
+       |      AS DOUBLE) / count(*) AS x
+       |  FROM a0 JOIN en USING (vec_id),
+       |       LATERAL (SELECT unnest(range(1, ${SubDim + 1})) AS i) p
+       |  GROUP BY a0.m, a0.cid, p.i),
+       |cb AS MATERIALIZED (
+       |  SELECT m, cid, list(x ORDER BY i) AS c FROM rf GROUP BY m, cid),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT en.vec_id, cb.m, cb.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id, cb.m
+       |        ORDER BY $dCb, cb.cid) AS rn
+       |    FROM en CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |perm AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.m,
+       |    $dAdc AS dm
+       |  FROM codes t JOIN cb ON t.m = cb.m AND t.cid = cb.cid
+       |  CROSS JOIN (SELECT vec_id, v FROM en WHERE vec_id < 10) q
+       |  WHERE q.vec_id <> t.vec_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, $pivot
+       |  FROM perm GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc_dist, rn FROM (
+       |  SELECT query_id, neighbor_id, ($total) AS adc_raw,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ($total), neighbor_id) AS INT) AS rn
+       |  FROM adc)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  private val q = Q(
+    "ann_pq_topk",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      pqTopK(e, e.filter(col("vec_id") < 10), 5)
+    },
+    Some(oracleSql),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}
