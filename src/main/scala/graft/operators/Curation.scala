@@ -444,6 +444,90 @@ object Curation {
          |FROM ranked CROSS JOIN n""".stripMargin),
   )
 
+  /** Duplicated-SPAN excision (the within/cross-doc substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): any [[SpanL]]-token window whose text occurs earlier in
+    * the corpus — in a lower doc_id, or earlier in the same doc — is a
+    * repeat; every token covered by a repeat window is excised and the
+    * survivors reassemble in order (docs that were pure boilerplate
+    * collapse to ''). Lee et al. build suffix arrays; the n-gram-window
+    * form here is the shuffle-friendly approximation (misses duplicates
+    * only at length < SpanL, exactly like their minimum-match length).
+    * Scale: three linear shuffles — gram-hash ranking (first occurrence
+    * = window rank 1), covered-position set keyed by doc, doc-keyed
+    * reassembly. Nothing pairwise, nothing quadratic; shuffles carry
+    * md5 keys and positions, never gram text.
+    */
+  val SpanL = 8
+
+  private val dedupSpans = Q(
+    "t_dedup_spans",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      val base = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+      val tok = base
+        .select(col("doc_id"), posexplode(col("w")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      val grams = base
+        .filter(size(col("w")) >= SpanL)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - (SpanL - 1))).as("p"),
+          col("w"))
+        .select(col("doc_id"), col("p"),
+          md5(array_join(slice(col("w"), col("p"), lit(SpanL)), " ")).as("g"))
+      val wg = Window.partitionBy("g").orderBy(asc("doc_id"), asc("p"))
+      val covered = grams
+        .withColumn("rn", row_number().over(wg))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + (SpanL - 1))).as("pos"))
+        .distinct()
+      val rebuilt = tok
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+        .select(col("doc_id"),
+          array_join(transform(col("pt"), p => p.getField("tok")), " ")
+            .as("cleaned"),
+          size(col("pt")).cast("long").as("n_kept"))
+      docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+    Some(
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, w[i] AS tok
+         |  FROM dd, LATERAL (SELECT unnest(range(1, len(w)+1)) AS i)),
+         |grams AS (
+         |  SELECT doc_id, i AS p,
+         |    md5(array_to_string(w[i:i+$SpanL-1], ' ')) AS g
+         |  FROM dd, LATERAL (SELECT unnest(range(1, len(w)-$SpanL+2)) AS i)
+         |  WHERE len(w) >= $SpanL),
+         |ranked AS (
+         |  SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+         |  FROM grams),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, p + dlt AS pos
+         |  FROM (SELECT doc_id, p FROM ranked WHERE rn > 1),
+         |       LATERAL (SELECT unnest(range(0, $SpanL)) AS dlt)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL),
+         |reb AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned,
+         |  coalesce(r.n_kept, 0) AS n_kept
+         |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin),
+  )
+
   /** Deterministic sharded corpus shuffle — the "global shuffle before
     * training" step, without a global sort: shard = first hex digit of a
     * salted key hash (16 shards), position = rank of the full hash within
@@ -744,6 +828,6 @@ object Curation {
 
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
-      mixture, crossdoc, chunk, logprob, pplBuckets, shuffle, stratified,
-      chunkDedup, pipeline, dsir, dsirResample)
+      mixture, crossdoc, chunk, logprob, pplBuckets, dedupSpans, shuffle,
+      stratified, chunkDedup, pipeline, dsir, dsirResample)
 }

@@ -283,5 +283,60 @@ object TimeWindows {
         |GROUP BY 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11, j14)
+  /** Rolling z-score anomaly flag over per-key daily counts — the
+    * monitoring/alerting companion to the EWMA smoother (w11): each
+    * day's count scored against the TRAILING 7-day window (current day
+    * excluded, so an anomaly can't suppress itself). Determinism: the
+    * window sums s1=Σx, s2=Σx² are exact BIGINTs, and
+    * z = (x·m − s1)/√(s2·m − s1²) is three IEEE ops on them — identical
+    * bits on any engine, no incremental float variance. The σ=0 case
+    * (all window counts equal) floors the variance term at 1 so z stays
+    * finite. Per-key windows ⇒ embarrassingly parallel; the daily
+    * pre-aggregation is the only corpus-sized shuffle.
+    */
+  private val w12 = Q(
+    "w12_rolling_zscore",
+    (s, d) => {
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val num = col("x").cast("double") * col("m") - col("s1")
+      val den = sqrt(greatest(
+        col("s2").cast("double") * col("m") -
+          col("s1").cast("double") * col("s1"), lit(1.0)))
+      daily
+        .withColumn("s1", sum(col("x")).over(w))
+        .withColumn("s2", sum(col("x") * col("x")).over(w))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter(col("m") === 7)
+        .select(col("event_type"), col("day"), col("x"),
+          round(num / den, 4).as("z"),
+          (abs(num / den) > 2.0).as("is_anomaly"))
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, x,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(x*x) OVER w AS BIGINT) AS s2,
+        |    CAST(count(*) OVER w AS BIGINT) AS m
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, x,
+        |  round((CAST(x AS DOUBLE) * m - s1) /
+        |    sqrt(greatest(CAST(s2 AS DOUBLE) * m
+        |      - CAST(s1 AS DOUBLE) * s1, 1.0)), 4) AS z,
+        |  abs((CAST(x AS DOUBLE) * m - s1) /
+        |    sqrt(greatest(CAST(s2 AS DOUBLE) * m
+        |      - CAST(s1 AS DOUBLE) * s1, 1.0))) > 2.0 AS is_anomaly
+        |FROM win WHERE m = 7""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11, j14, w12)
 }

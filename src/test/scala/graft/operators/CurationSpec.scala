@@ -133,4 +133,25 @@ class CurationSpec extends SparkSpec {
     val bucketOf = got.map(t => t._1 -> t._3).toMap
     assert(bucketOf(0L) == "head" && bucketOf(5L) == "tail")
   }
+
+  test("dedup spans: first occurrence survives, repeats excised, short docs untouched") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (0L, span + " unique0 tail0"),          // first occurrence: intact
+      (1L, "lead1 " + span + " tail1"),       // repeat inside: span excised
+      (2L, span),                              // pure boilerplate: empties
+      (3L, "short doc only"),                  // < SpanL tokens: untouched
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"))      // unique 9-gram: untouched
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.Registry.byName("t_dedup_spans").run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L)._1 == span + " unique0 tail0")
+    assert(got(1L)._1 == "lead1 tail1", s"got ${got(1L)}")
+    assert(got(2L) == ("", 0L))
+    assert(got(3L)._1 == "short doc only")
+    assert(got(4L)._2 == 9L)
+  }
 }

@@ -129,4 +129,27 @@ class RangeJoinSpec extends graft.SparkSpec {
       !p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
     assert(p.contains("bucket"), "bucket must be a join key")
   }
+
+  test("rolling z-score: spike flags, constant series scores zero, warm-up rows excluded") {
+    import spark.implicits._
+    // 10 events/day for 8 days, then a 100-event spike on day 9
+    val rows = (1 to 9).flatMap { day =>
+      val n = if (day == 9) 100 else 10
+      (1 to n).map(i => (java.sql.Timestamp.valueOf(
+        f"2024-02-$day%02d 0${i % 9}:00:00"), "probe"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("zscore").toString
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.Registry.byName("w12_rolling_zscore").run(spark, tmp)
+      .collect().map(r => (r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // warm-up: first 7 days have no full trailing window
+    assert(got.map(_._1).min == "2024-02-08")
+    val day8 = got.find(_._1 == "2024-02-08").get
+    assert(day8._3 == 0.0 && !day8._4, s"constant series: $day8")
+    val day9 = got.find(_._1 == "2024-02-09").get
+    // sigma floors at 1: z = (100*7 - 70) / 1 = 630
+    assert(day9._2 == 100L && day9._3 == 630.0 && day9._4, s"spike: $day9")
+  }
 }
