@@ -37,6 +37,7 @@ object Registry {
       similarity.KnnGraph.queries ++
       similarity.LabelCentroids.queries ++
       similarity.ProductQuantization.queries ++
+      similarity.LabelPropagation.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++
