@@ -308,5 +308,105 @@ object KCore {
     Some(oracleSql),
   )
 
+  def queries: Seq[Q] = Seq(q) ++ Modularity.queries
+}
+
+/** Newman modularity of a node partition over an undirected graph —
+  * the quality metric every community detector (Louvain, Leiden, label
+  * propagation) optimises, and the number you report when you claim a
+  * clustering "found structure": Q = Σ_c (e_c/m − (d_c/2m)²), where
+  * e_c = within-community edges, d_c = community degree sum, m = |E|.
+  *
+  * INTEGER-EXACT: instead of the floating sum, emit per community the
+  * exact numerator q_num_c = 4m·e_c − d_c² over the common denominator
+  * 4m² — pure BIGINT algebra, so the gate hashes the exact rational and
+  * no engine's float accumulation order matters. Σ q_num_c / 4m² is Q.
+  *
+  * Scale: two hash aggregates (within-edge count, degree sum) over an
+  * edge list already joined to a broadcast node→community map; nothing
+  * pairwise, nothing global beyond |communities| rows. Pairs naturally
+  * with [[graft.dedup.ConnectedComponents]] / label propagation output
+  * as the partition under audit.
+  */
+object Modularity {
+
+  /** @param edges  canonical undirected edges (a < b), deduplicated.
+    * @param labels (n, community) covering every endpoint.
+    * @return per community: n_nodes, e_within, deg_sum, q_num (over the
+    *   shared denominator 4m²), plus the constant n_edges column.
+    */
+  def run(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("n").as("a"), col("community").as("ca"))
+    val lb = labels.select(col("n").as("b"), col("community").as("cb"))
+    val lab = edges.join(broadcast(la), "a").join(broadcast(lb), "b")
+      .localCheckpoint(false)
+    val within = lab.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_within"))
+    val degs = lab.select(col("ca").as("community"))
+      .union(lab.select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    val sizes = labels.groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"))
+    val m = lab.agg(count(lit(1)).as("n_edges"))
+    sizes
+      .join(degs, Seq("community"), "left")
+      .join(within, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("n_edges"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
+      .withColumn("q_num",
+        lit(4L) * col("n_edges") * col("e_within") -
+          col("deg_sum") * col("deg_sum"))
+  }
+
+  private val q = Q(
+    "d14_modularity",
+    (s, d) => {
+      val t = Tables(s, d)
+      val li = t.lineitem.select("l_orderkey", "l_suppkey")
+      val edges = li.alias("x").join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+      val labels = t.supplier.select(col("s_suppkey").as("n"),
+        col("s_nationkey").as("community"))
+      run(edges, labels)
+    },
+    Some(
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |lab AS (
+        |  SELECT und.a, und.b, sa.s_nationkey AS ca, sb.s_nationkey AS cb
+        |  FROM und JOIN supplier sa ON und.a = sa.s_suppkey
+        |           JOIN supplier sb ON und.b = sb.s_suppkey),
+        |within AS (
+        |  SELECT ca AS community, count(*) AS e_within
+        |  FROM lab WHERE ca = cb GROUP BY 1),
+        |degs AS (
+        |  SELECT community, count(*) AS deg_sum FROM (
+        |    SELECT ca AS community FROM lab
+        |    UNION ALL SELECT cb FROM lab)
+        |  GROUP BY 1),
+        |sizes AS (
+        |  SELECT s_nationkey AS community, count(*) AS n_nodes
+        |  FROM supplier GROUP BY 1),
+        |m AS (SELECT count(*) AS n_edges FROM lab)
+        |SELECT sizes.community, sizes.n_nodes, m.n_edges,
+        |  CAST(coalesce(within.e_within, 0) AS BIGINT) AS e_within,
+        |  CAST(coalesce(degs.deg_sum, 0) AS BIGINT) AS deg_sum,
+        |  CAST(4 * m.n_edges * coalesce(within.e_within, 0)
+        |    - coalesce(degs.deg_sum, 0) * coalesce(degs.deg_sum, 0)
+        |    AS BIGINT) AS q_num
+        |FROM sizes
+        |LEFT JOIN degs ON sizes.community = degs.community
+        |LEFT JOIN within ON sizes.community = within.community
+        |CROSS JOIN m""".stripMargin),
+  )
+
   def queries: Seq[Q] = Seq(q)
 }

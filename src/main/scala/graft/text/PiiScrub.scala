@@ -83,5 +83,30 @@ object PiiScrub {
         |FROM customer GROUP BY 1, 2""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, kanon)
+  /** l-diversity audit — k-anonymity's stronger sibling (Machanavajjhala
+    * et al. 2007): a k-anonymous group still leaks when every member
+    * shares the same SENSITIVE value (homogeneity attack), so each
+    * quasi-identifier group must also span ≥ l distinct sensitive
+    * values. One hash aggregate with a count-distinct — at fleet scale
+    * the exact distinct swaps for the [[graft.operators.Extended]] HLL
+    * register sketch, same group keys.
+    */
+  private val ldiv = Q(
+    "p12_l_diversity",
+    (s, d) =>
+      graft.Tables(s, d).customer
+        .withColumn("acct_band", floor(col("c_acctbal") / 2000))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("acct_band")).as("l_distinct"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("l_distinct"), (col("l_distinct") < 3).as("homogeneous")),
+    Some(
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT floor(c_acctbal / 2000)) AS l_distinct,
+        |  count(DISTINCT floor(c_acctbal / 2000)) < 3 AS homogeneous
+        |FROM customer GROUP BY 1, 2""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, kanon, ldiv)
 }
