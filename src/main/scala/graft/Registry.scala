@@ -38,6 +38,7 @@ object Registry {
       similarity.LabelCentroids.queries ++
       similarity.ProductQuantization.queries ++
       similarity.LabelPropagation.queries ++
+      similarity.MmrRerank.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++
