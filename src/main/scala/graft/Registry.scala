@@ -27,6 +27,7 @@ object Registry {
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
+      text.QualityClassifier.queries ++
       text.Bm25.queries ++
       text.HybridRetrieval.queries ++
       text.SurfaceForms.queries ++
