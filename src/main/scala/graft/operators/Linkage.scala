@@ -60,5 +60,50 @@ object Linkage {
         |FROM scored WHERE score >= 5.0""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(linkage)
+  /** Join-explosion audit — the pre-flight check before any fleet-scale
+    * join: per-key multiplicities on BOTH sides and the exact output
+    * cardinality each key contributes (n_left · n_right), ranked. At
+    * 100 TB this is what decides salting/skew-join hints BEFORE the
+    * shuffle burns a cluster-hour: the audit costs two key-sized hash
+    * aggregates + a join on the counts frames (|keys| rows, never the
+    * corpora). `total_out` rides along so the single result answers both
+    * "how big" and "who's to blame". All-BIGINT; Spark's AQE skew
+    * handling reacts to the same signal at runtime — this materialises
+    * it ahead of time, when the plan (bucketing, broadcast, salt count)
+    * can still change.
+    */
+  private val audit = Q(
+    "j16_join_explosion_audit",
+    (s, d) => {
+      val t = Tables(s, d)
+      val left = t.events.groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n_left"))
+      val right = t.orders.groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n_right"))
+      val contrib = left.join(right, "key")
+        .withColumn("out_rows", col("n_left") * col("n_right"))
+      val total = contrib.agg(sum("out_rows").as("total_out"))
+      contrib.crossJoin(broadcast(total))
+        .orderBy(desc("out_rows"), asc("key")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("out_rows"), asc("key"))))
+    },
+    Some(
+      """WITH l AS (SELECT user_id AS key, count(*) AS n_left
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT o_custkey AS key, count(*) AS n_right
+        |      FROM orders GROUP BY 1),
+        |c AS (SELECT l.key, l.n_left, r.n_right,
+        |        l.n_left * r.n_right AS out_rows
+        |      FROM l JOIN r USING (key)),
+        |t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total_out FROM c)
+        |SELECT key, n_left, n_right, out_rows, t.total_out,
+        |  CAST(row_number() OVER (ORDER BY out_rows DESC, key) AS INT)
+        |    AS rank
+        |FROM c CROSS JOIN t
+        |ORDER BY out_rows DESC, key LIMIT 10""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(linkage, audit)
 }
