@@ -22,6 +22,7 @@ object Registry {
       operators.Sessions.all ++
       operators.Curation.all ++
       operators.Linkage.all ++
+      operators.Bloom.queries ++
       functions.ScalarFns.all ++
       domain.DomainQueries.all ++
       dedup.DedupQueries.all ++
