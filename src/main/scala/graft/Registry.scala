@@ -29,6 +29,7 @@ object Registry {
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.QualityClassifier.queries ++
+      text.Winnowing.queries ++
       text.Bm25.queries ++
       text.HybridRetrieval.queries ++
       text.SurfaceForms.queries ++
