@@ -276,5 +276,75 @@ object SourcesSinks {
         |FROM customer""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, s15, p7, p7b)
+  /** Snapshot diff (change-data-capture): given two versions of a
+    * table, emit the changeset — `added` / `removed` / `changed` per
+    * key — the complement of `s14_upsert_merge` (which APPLIES a
+    * changeset, this PRODUCES one): diff two versioned dumps to audit
+    * what a pipeline run touched, or feed the result into downstream
+    * incremental refreshes. One full-outer equi join on the key with
+    * column-wise comparison (no row hashing — hashing a double column
+    * would couple the diff to float-formatting, column equality is
+    * exact); unchanged rows are filtered before any further shuffle.
+    * V2 here is derived in-plan from v1 by deterministic key-arithmetic
+    * mutations (delete ‰97, update ‰89, insert ‰83 re-keyed) so the
+    * oracle replays the whole build+diff; production passes two real
+    * dump paths to [[snapshotDiff]].
+    */
+  def snapshotDiff(v1: org.apache.spark.sql.DataFrame,
+      v2: org.apache.spark.sql.DataFrame, key: String,
+      compare: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val changed = compare.map(c =>
+      not(col(s"a.$c") <=> col(s"b.$c"))).reduce(_ || _)
+    v1.alias("a").join(v2.alias("b"),
+        col(s"a.$key") === col(s"b.$key"), "full_outer")
+      .withColumn("change",
+        when(col(s"a.$key").isNull, "added")
+          .when(col(s"b.$key").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
+        col("change"))
+  }
+
+  private val s16 = Q(
+    "s16_snapshot_diff",
+    (s, d) => {
+      val v1 = Tables(s, d).orders
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 83 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      snapshotDiff(v1, v2, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority"))
+    },
+    Some(
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 83 = 0),
+        |d AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+        |           OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |           OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+        |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |         THEN 'changed' END AS change
+        |  FROM orders a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, change FROM d WHERE change IS NOT NULL"""
+        .stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, s15, s16, p7, p7b)
 }
