@@ -95,6 +95,28 @@ object Bench {
     "a24_quantile_sketch",
     "j14_range_join_binned",
     "sim_random_projection",
+    // round 4 (cont.): graph analytics, linkage, layout, span excision
+    "d13_kcore",
+    "e_funnel_steps",
+    "t_dedup_spans",
+    "ann_pq_topk",
+    "t_perplexity_buckets",
+    "t_pmi_collocations",
+    "w12_rolling_zscore",
+    "j15_record_linkage",
+    "f16_zorder_key",
+    "sim_label_propagation",
+    // round 4 (cont.): containment/winnowing overlap detection, hashed
+    // classifier, MMR re-rank, partition quality, shuffle pre-flight,
+    // Bloom sketch, CDC diff
+    "d_ngram_containment_pairs",
+    "t_winnowing_fingerprints",
+    "t_quality_classifier",
+    "sim_mmr_rerank",
+    "d14_modularity",
+    "j16_join_explosion_audit",
+    "a28_bloom_replayable",
+    "s16_snapshot_diff",
   )
 
   def main(args: Array[String]): Unit = {
