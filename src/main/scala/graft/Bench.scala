@@ -139,7 +139,11 @@ object Bench {
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(root, true)
 
+    // SPARK_GRAFT_BENCH_ONLY=<substring>[,…] restricts the headline for
+    // fast local timing iteration; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val qs = headline.filter(Registry.byName.contains)
+      .filter(n => only.forall(_.exists(n.contains)))
     // a failing query must FAIL the bench, not time as ~0s and read as a
     // speedup — record the error per query and exit nonzero at the end
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -31,21 +31,25 @@ object Winnowing {
   private val q = Q(
     "t_winnowing_fingerprints",
     (s, d) => {
-      val w = split(col("text"), " ")
-      val grams = when(size(w) >= K,
-        transform(sequence(lit(0), size(w) - K),
-          i => concat_ws(" ", slice(w, i + 1, lit(K)))))
-        .otherwise(array().cast("array<string>"))
+      // grams via lead windows over the token stream instead of a
+      // per-row array transform: the string assembly and the hash stay
+      // inside whole-stage codegen, and the lead/min windows share one
+      // doc-keyed exchange+sort (same partitioning, same order)
+      val byPos = Window.partitionBy("doc_id").orderBy("p")
       Tables(s, d).documents
-        .withColumn("grams", grams)
-        .select(col("doc_id"), size(col("grams")).as("ng"),
-          posexplode(col("grams")).as(Seq("p", "g")))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .withColumn("w1", lead("w", 1).over(byPos))
+        .withColumn("w2", lead("w", 2).over(byPos))
+        .filter(col("w2").isNotNull)
         .withColumn("h",
-          graft.functions.TextSketches.hll_hash(col("g"))
+          graft.functions.TextSketches.hll_hash(
+            concat_ws(" ", col("w"), col("w1"), col("w2")))
             .bitwiseAND(lit(Long.MaxValue)))
-        .withColumn("fp", min("h").over(Window.partitionBy("doc_id")
-          .orderBy("p").rowsBetween(0, W - 1)))
-        .filter(col("p") <= col("ng") - W)
+        .withColumn("fp", min("h").over(byPos.rowsBetween(0, W - 1)))
+        // keep only FULL windows: the row W-1 gram-positions ahead exists
+        .withColumn("full", lead("h", W - 1).over(byPos))
+        .filter(col("full").isNotNull)
         .select("doc_id", "fp").distinct()
     },
     Some(
