@@ -30,6 +30,8 @@ object Registry {
       text.TextQueries.all ++
       text.QualityClassifier.queries ++
       text.Winnowing.queries ++
+      text.TfIdfTerms.queries ++
+      operators.Regression.all ++
       text.Bm25.queries ++
       text.HybridRetrieval.queries ++
       text.SurfaceForms.queries ++
@@ -42,6 +44,7 @@ object Registry {
       similarity.ProductQuantization.queries ++
       similarity.LabelPropagation.queries ++
       similarity.MmrRerank.queries ++
+      similarity.MutualKnn.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++

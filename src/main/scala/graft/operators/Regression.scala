@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Group-wise ordinary least squares — closed-form per-segment trend
+  * fitting (slope/intercept per key from the five sufficient
+  * statistics), the "is this segment growing?" analytics primitive and
+  * the distributed shape every per-group model fit reduces to: sufficient
+  * statistics are map-side-combinable sums, so the fit is ONE hash
+  * aggregate over the corpus plus per-group scalar algebra — no
+  * iteration, no solver, |groups| rows of state.
+  *
+  * Exactness: x is integer days, y is scaled to integer cents, so all
+  * five sums are exact BIGINTs; slope numerator/denominator are exact
+  * 128-bit products (DECIMAL(38,0) / HUGEINT — n·Σxy overflows a
+  * 64-bit long at sf0.1 already), and only the final slope/intercept
+  * divisions run in floating point, as the identical op sequence in
+  * both engines.
+  */
+object Regression {
+
+  private val q = Q(
+    "a29_groupwise_ols",
+    (s, d) => {
+      val base = Tables(s, d).orders.select(
+        col("o_orderpriority").as("grp"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1992-01-01"))).cast("long").as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y_c"))
+      val stats = base.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y_c")).as("sy_c"),
+        sum(col("x") * col("y_c")).as("sxy_c"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val num = dec(col("n")) * dec(col("sxy_c")) -
+        dec(col("sx")) * dec(col("sy_c"))
+      val den = dec(col("n")) * dec(col("sxx")) -
+        dec(col("sx")) * dec(col("sx"))
+      stats
+        .withColumn("slope_cents_per_day",
+          round(num.cast("double") / den.cast("double"), 6))
+        .withColumn("intercept_cents",
+          round((col("sy_c").cast("double") -
+            col("slope_cents_per_day") * col("sx").cast("double")) /
+            col("n").cast("double"), 4))
+        .select("grp", "n", "slope_cents_per_day", "intercept_cents")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+        |      AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y_c
+        |  FROM orders),
+        |stats AS (
+        |  SELECT grp, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    sum(y_c) AS sy_c, sum(x * y_c) AS sxy_c
+        |  FROM base GROUP BY 1),
+        |fit AS (
+        |  SELECT grp, n,
+        |    round(CAST(CAST(n AS HUGEINT) * sxy_c - sx * sy_c AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+        |      AS slope_cents_per_day,
+        |    sx, sy_c
+        |  FROM stats)
+        |SELECT grp, CAST(n AS BIGINT) AS n, slope_cents_per_day,
+        |  round((CAST(sy_c AS DOUBLE) -
+        |    slope_cents_per_day * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE),
+        |    4) AS intercept_cents
+        |FROM fit""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(q)
+}

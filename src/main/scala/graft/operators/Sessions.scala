@@ -163,5 +163,49 @@ object Sessions {
          |  LEFT JOIN p USING (user_id)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel)
+  /** First-order Markov transition matrix over per-user event streams —
+    * the clickstream sibling of the bigram LM (`t_bigram_condprob` walks
+    * token streams, this walks event streams): consecutive-event pairs
+    * per user via one lag window, transition counts, and the conditional
+    * probability in exact parts-per-million (cnt·10⁶ floor-div row
+    * total — positive operands, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree). The per-user window plus two
+    * transition-alphabet-sized aggregates is the whole cost — the
+    * standard input to funnel mining, next-event prediction and
+    * bot-pattern detection.
+    */
+  private val transitions = Q(
+    "e_event_transitions",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val tr = Tables(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy("prev_type").agg(sum("cnt").as("tot"))
+      tr.join(tot, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("cnt"),
+          expr("cnt * 1000000L div tot").as("p_ppm"))
+    },
+    Some(
+      """WITH tr AS (
+        |  SELECT event_type AS prev_type, next_type, count(*) AS cnt
+        |  FROM (SELECT event_type,
+        |          lead(event_type) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS next_type
+        |        FROM events)
+        |  WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS tot
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.next_type, CAST(tr.cnt AS BIGINT) AS cnt,
+        |  CAST(tr.cnt * 1000000 // tot.tot AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (prev_type)""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel, transitions)
 }
