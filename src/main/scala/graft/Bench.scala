@@ -117,6 +117,10 @@ object Bench {
     "j16_join_explosion_audit",
     "a28_bloom_replayable",
     "s16_snapshot_diff",
+    "t_tfidf_terms",
+    "a29_groupwise_ols",
+    "e_event_transitions",
+    "sim_mutual_knn",
   )
 
   def main(args: Array[String]): Unit = {

@@ -186,8 +186,11 @@ object Sessions {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("prev_type"), col("next_type"))
         .agg(count(lit(1)).as("cnt"))
-      val tot = tr.groupBy("prev_type").agg(sum("cnt").as("tot"))
-      tr.join(tot, "prev_type")
+      // row total via a window over the alphabet-sized transition frame
+      // (a second aggregation branch would duplicate the whole upstream
+      // subtree pre-AQE: measured 5 exchanges vs 3)
+      tr.withColumn("tot", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("prev_type")))
         .select(col("prev_type"), col("next_type"), col("cnt"),
           expr("cnt * 1000000L div tot").as("p_ppm"))
     },

@@ -55,12 +55,17 @@ object ProductQuantization {
       val diff = a - element_at(col("c"), i)
       diff * diff
     }.reduceLeft(_ + _)
+    // argmin via the bounded TopKAgg heap (score = −d: (−d desc, cid
+    // asc) ≡ (d asc, cid asc), the oracle's row_number order) — an
+    // ObjectHashAggregate with k=1 partial buffers, where min over a
+    // (d, cid) struct would fall back to SortAggregate and sort the
+    // |corpus|·M·KSub candidate stream inside every partition
+    val topk = udaf(new graft.functions.TopKAgg(1))
     sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"),
-        struct(d.as("d"), col("cid").as("cid")).as("s"))
       .groupBy("vec_id", "m")
-      .agg(min(col("s")).as("s"))
-      .select(col("vec_id"), col("m"), col("s").getField("cid").as("cid"))
+      .agg(topk(-d, col("cid")).as("nn"))
+      .select(col("vec_id"), col("m"),
+        element_at(col("nn"), 1).getField("id").as("cid"))
   }
 
   /** Seed codebook: subspace slices of the first KSub vectors. */

@@ -199,6 +199,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("PQ: assignment is a codegen broadcast-hash join with map-side " +
+    "argmin, never interpreted array search") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), "subspace join must be a BHJ")
+    assert(p.contains("ObjectHashAggregate"),
+      "argmin must be the bounded TopKAgg heap, partial-merged map-side")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"),
+      "no struct-min SortAggregate over the candidate stream")
+  }
+
+  test("containment join: every stage is an equi join — no cartesian, " +
+    "pair counts map-side combined") {
+    val p = plan("d_ngram_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert("partial_count".r.findAllIn(p).nonEmpty)
+  }
+
+  test("winnowing: gram assembly and hash stay in one doc-keyed window " +
+    "pipeline") {
+    val p = plan("t_winnowing_fingerprints")
+    assert(p.contains("Generate posexplode"), "token fanout stays codegen")
+    assert(shuffles(p) <= 3, s"shuffles=${shuffles(p)}")
+    assert(!p.contains("SinglePartition"), "nothing global")
+  }
+
+  test("tfidf terms: no cartesian, rank window per doc only") {
+    val p = plan("t_tfidf_terms")
+    assert(!p.contains("CartesianProduct"))
+    assert(shuffles(p) <= 5, s"shuffles=${shuffles(p)}")
+  }
+
+  test("group-wise OLS is one hash aggregate over the corpus") {
+    val p = plan("a29_groupwise_ols")
+    assert(shuffles(p) == 1, s"shuffles=${shuffles(p)}")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("event transitions: lag window + alphabet-sized aggs, no cartesian") {
+    val p = plan("e_event_transitions")
+    assert(!p.contains("CartesianProduct"))
+    assert(shuffles(p) <= 4, s"shuffles=${shuffles(p)}")
+  }
+
+  test("snapshot diff: one full-outer equi join, nothing nested-loop") {
+    val p = plan("s16_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("FullOuter"), "full-outer equi join")
+  }
+
+  test("bloom: filter and density frames broadcast under the probe join") {
+    val p = plan("a28_bloom_replayable")
+    assert(!p.contains("CartesianProduct"))
+    assert(broadcasts(p) >= 2, "bits + n_bits must broadcast")
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
