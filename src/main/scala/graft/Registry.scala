@@ -23,6 +23,7 @@ object Registry {
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
+      operators.WindowedHll.queries ++
       functions.ScalarFns.all ++
       domain.DomainQueries.all ++
       dedup.DedupQueries.all ++

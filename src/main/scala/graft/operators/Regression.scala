@@ -73,5 +73,58 @@ object Regression {
         |FROM fit""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(q)
+  /** Median-absolute-deviation outlier audit — the robust-statistics
+    * sibling of the z-score screens (`w12_rolling_zscore` assumes the
+    * mean/σ are trustworthy; MAD's 50% breakdown point survives the
+    * very outliers under test — the standard robust scale estimator,
+    * e.g. Rousseeuw & Croux 1993). Two exact-percentile aggregates
+    * (the np.percentile-parity machinery of a4) around one group-keyed
+    * join: med per group, deviations as a pure map, MAD per group, and
+    * the outlier count at the 3·MAD fence. Deviations are exact double
+    * subtractions and the fence one multiply+compare, so the whole
+    * audit is engine-exact despite being float-valued.
+    */
+  private val mad = Q(
+    "a30_mad_outliers",
+    (s, d) => {
+      val ev = Tables(s, d).events.select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      // med is constant within a group, so first() is deterministic here
+      val stats = dev.groupBy("event_type")
+        .agg(first(col("med")).as("med"),
+          percentile(col("dev"), lit(0.5)).as("mad"),
+          count(lit(1)).as("n"))
+      val out = dev
+        .join(broadcast(stats.select("event_type", "mad")), "event_type")
+        .filter(col("dev") > lit(3.0) * col("mad"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+      stats.join(out, Seq("event_type"), "left")
+        .select(col("event_type"), col("med"), col("mad"), col("n"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+    },
+    Some(
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |st AS (
+        |  SELECT event_type, any_value(med) AS med,
+        |    quantile_cont(dev, 0.5) AS mad, count(*) AS n
+        |  FROM dev GROUP BY 1),
+        |outl AS (
+        |  SELECT dev.event_type, count(*) AS n_outliers
+        |  FROM dev JOIN st USING (event_type)
+        |  WHERE dev.dev > 3.0 * st.mad
+        |  GROUP BY 1)
+        |SELECT st.event_type, st.med, st.mad, CAST(st.n AS BIGINT) AS n,
+        |  CAST(coalesce(outl.n_outliers, 0) AS BIGINT) AS n_outliers
+        |FROM st LEFT JOIN outl USING (event_type)""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(q, mad)
 }
