@@ -121,6 +121,8 @@ object Bench {
     "a29_groupwise_ols",
     "e_event_transitions",
     "sim_mutual_knn",
+    "w13_windowed_hll",
+    "a30_mad_outliers",
   )
 
   def main(args: Array[String]): Unit = {
