@@ -338,5 +338,64 @@ object TimeWindows {
         |FROM win WHERE m = 7""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11, j14, w12)
+  /** Gap-fill + last-observation-carried-forward — the step every
+    * time-series indicator needs between "aggregate per period" and
+    * "publish": a customer with orders in Jan and Apr must contribute a
+    * row for Feb/Mar (flagged as gaps, value carried forward), or the
+    * downstream stock/trend math silently treats absence as zero. The
+    * reference's weekly stock avoids this only because its `iterdates`
+    * grid is dense by construction (dqa/data_getters.py:105-117); this
+    * is the sparse-series general form.
+    *
+    * Scale shape: the spine is generated PER KEY from that key's own
+    * [min, max] period (one small agg + a map-side sequence/explode —
+    * never a global calendar crossJoin, which would be keys × all-time).
+    * The LOCF fill is a per-key running `last(ignoreNulls)` window; both
+    * stages partition by key, so the whole operator is two shuffles on
+    * the same key and embarrassingly parallel across keys.
+    */
+  private val w14 = Q(
+    "w14_gapfill_locf",
+    (s, d) => {
+      val monthly = Tables(s, d).orders
+        .groupBy(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mo"))
+        .agg(count(lit(1)).as("n"))
+      val spine = monthly.groupBy("o_custkey")
+        .agg(min(col("mo")).as("mn"), max(col("mo")).as("mx"))
+        .select(col("o_custkey"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 month"))).as("mo"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("mo")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      spine.join(monthly, Seq("o_custkey", "mo"), "left")
+        .select(col("o_custkey"), col("mo"),
+          col("n").isNull.as("is_gap"),
+          last(col("n"), ignoreNulls = true).over(w).as("n_filled"))
+    },
+    Some(
+      """WITH monthly AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT o_custkey,
+        |    CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS mo
+        |  FROM (SELECT o_custkey, min(mo) AS mn, max(mo) AS mx
+        |        FROM monthly GROUP BY 1))
+        |SELECT s.o_custkey, s.mo, m.n IS NULL AS is_gap,
+        |  CAST(last_value(m.n IGNORE NULLS) OVER (
+        |    PARTITION BY s.o_custkey ORDER BY s.mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS n_filled
+        |FROM spine s LEFT JOIN monthly m
+        |  ON s.o_custkey = m.o_custkey AND s.mo = m.mo""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w3b, w9, w11, j14, w12, w14)
 }

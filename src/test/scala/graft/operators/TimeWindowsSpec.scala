@@ -153,3 +153,42 @@ class RangeJoinSpec extends graft.SparkSpec {
     assert(day9._2 == 100L && day9._3 == 630.0 && day9._4, s"spike: $day9")
   }
 }
+
+/** Gap-fill + LOCF: dense spine per key, gap flags, carried values. */
+class GapfillSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("spine is dense per key, gaps carry the last observed value") {
+    // customer A orders in Jan, Apr (gap Feb, Mar); B only in Mar
+    val rows = Seq(
+      (1L, "1994-01-10"), (1L, "1994-01-20"), (1L, "1994-04-05"),
+      (2L, "1994-03-15"))
+    val tmp = java.nio.file.Files.createTempDirectory("gapfill").toString
+    rows.toDF("o_custkey", "d")
+      .select(col("o_custkey"), col("d").cast("date").as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = graft.Registry.byName("w14_gapfill_locf").run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getBoolean(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "1994-01-01", false, 2L),
+      (1L, "1994-02-01", true, 2L),  // gap, carries Jan's 2
+      (1L, "1994-03-01", true, 2L),
+      (1L, "1994-04-01", false, 1L),
+      (2L, "1994-03-01", false, 1L), // single-month key: spine = 1 row
+    ))
+  }
+
+  test("sf0.001: no gap escapes (every key's spine is contiguous monthly)") {
+    val got = graft.Registry.byName("w14_gapfill_locf")
+      .run(spark, sf("sf0.001"))
+    val bad = got.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_rows"),
+        (months_between(max(col("mo")), min(col("mo"))) + 1).as("span"))
+      .filter(col("n_rows") =!= col("span").cast("long"))
+    assert(bad.count() == 0)
+    // non-gap rows must carry their own observed count
+    assert(got.filter(!col("is_gap") && col("n_filled").isNull).count() == 0)
+  }
+}
