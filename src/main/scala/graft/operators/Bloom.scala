@@ -76,5 +76,95 @@ object Bloom {
          |GROUP BY pp.probe, pp.expected, nb.n_bits""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q)
+  // ---- Bloom semi-join reduction --------------------------------------
+
+  /** m for the join-reduction filter (bigger than a28's demo layout:
+    * this one is sized for key SETS, not a 25-key probe demo).
+    */
+  val JoinBits = 65536L
+
+  /** Pack the Bloom filter over `keys` into ONE broadcastable row: a
+    * widx → 64-bit-word map (≤ m/64 entries). The build is one distinct
+    * + a tiny agg over positions — never over the corpus.
+    */
+  def bloomWordsRow(keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val pos = keys.select(col(keyCol).cast("string").as("k")).distinct()
+      .select(explode(array((0 until Hashes).map { r =>
+        graft.functions.TextSketches
+          .hll_hash(concat(lit(s"$r:"), col("k")))
+          .bitwiseAND(lit(JoinBits - 1))
+      }: _*)).as("pos"))
+    pos
+      .groupBy(shiftrightunsigned(col("pos"), 6).as("widx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT)))")
+        .as("w"))
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("w"))))
+        .as("bloom"))
+  }
+
+  /** Semi-join reduction: keep only `fact` rows whose `keyCol` passes
+    * the Bloom filter built from `dimKeys` — the standard runtime-filter
+    * pattern for a fact ⋈ dim join where the dim's key set is too large
+    * to broadcast as an exact set (100M keys ≈ 800 MB) but whose Bloom
+    * fits in ~2 MB. The check is a pure map over the fact scan (codegen
+    * hash + two bit ops per hash function, against a broadcast one-row
+    * word map), so the fact-side EXCHANGE shrinks by the join's
+    * selectivity before any shuffle happens; false positives are dropped
+    * by the exact join that follows, so results are identical to the
+    * unfiltered join by construction.
+    */
+  def bloomPrefilter(fact: org.apache.spark.sql.DataFrame, keyCol: String,
+      dimKeys: org.apache.spark.sql.DataFrame,
+      dimKeyCol: String): org.apache.spark.sql.DataFrame = {
+    val words = bloomWordsRow(dimKeys, dimKeyCol)
+    var f = fact.crossJoin(broadcast(words))
+    (0 until Hashes).foreach { r =>
+      f = f.withColumn(s"__bp$r",
+        graft.functions.TextSketches
+          .hll_hash(concat(lit(s"$r:"), col(keyCol).cast("string")))
+          .bitwiseAND(lit(JoinBits - 1)))
+    }
+    val member = (0 until Hashes).map { r =>
+      expr(s"""(coalesce(element_at(bloom, shiftrightunsigned(__bp$r, 6)),
+           |  CAST(0 AS BIGINT))
+           |  & shiftleft(CAST(1 AS BIGINT), CAST(__bp$r & 63 AS INT))) != 0"""
+        .stripMargin)
+    }.reduce(_ && _)
+    f.filter(member)
+      .drop("bloom" +: (0 until Hashes).map(r => s"__bp$r"): _*)
+  }
+
+  private val j17 = Q(
+    "j17_bloom_semijoin",
+    (s, d) => {
+      val t = Tables(s, d)
+      val dim = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val survivors = bloomPrefilter(
+        t.lineitem.select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount")),
+        "l_orderkey", dim, "o_orderkey")
+      survivors.join(dim, survivors("l_orderkey") === dim("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.util.Stable.dsum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    },
+    // the oracle is the PLAIN join: the Bloom stage must be invisible in
+    // the result (no false negatives; false positives die in the exact
+    // join) — that invisibility is exactly what the gate checks
+    Some(
+      s"""SELECT l.l_returnflag, count(*) AS n,
+         |  ${graft.util.Stable.dsumSql(
+        "l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995
+         |GROUP BY 1""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, j17)
 }

@@ -33,3 +33,59 @@ class BloomSpec extends SparkSpec {
     assert(nBits > 0 && nBits <= 160)
   }
 }
+
+/** Bloom semi-join reduction: the prefilter must be transparent in the
+  * result, actually prune, and run as a map over the fact scan.
+  */
+class BloomSemiJoinSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("prefilter keeps every true match, prunes most non-matches") {
+    val dir = sf("sf0.001")
+    val t = graft.Tables(spark, dir)
+    val dim = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"))
+    val fact = t.lineitem.select(col("l_orderkey"))
+    val survivors = Bloom.bloomPrefilter(fact, "l_orderkey", dim, "o_orderkey")
+    val nFact = fact.count()
+    val nSurv = survivors.count()
+    val nTrue = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .count()
+    // no false negatives: every true-match row survives
+    val lost = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .select("l_orderkey").except(survivors.select("l_orderkey"))
+    assert(lost.count() == 0)
+    // and the filter genuinely prunes (dim keys are a small fraction of
+    // fact keys, so survivors must be far below the full fact)
+    assert(nSurv >= nTrue && nSurv < nFact / 2,
+      s"fact=$nFact survivors=$nSurv true=$nTrue")
+  }
+
+  test("registered query equals the plain unfiltered join") {
+    val dir = sf("sf0.001")
+    val t = graft.Tables(spark, dir)
+    val got = graft.Registry.byName("j17_bloom_semijoin").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = t.lineitem.join(t.orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("plan: inline bitmap probe, exact join is a hash join") {
+    val p = graft.Registry.byName("j17_bloom_semijoin")
+      .run(spark, sf("sf0.001")).queryExecution.executedPlan.toString()
+    // the bloom words arrive as a broadcast ONE-ROW constant (the
+    // repo-standard crossJoin shape — bounded by construction); the
+    // probe itself must be an inline expression over the scan, and the
+    // exactness-restoring equi join a real hash join
+    assert(p.contains("element_at"), "bitmap probe must be inline")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
