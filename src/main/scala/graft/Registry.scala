@@ -27,6 +27,7 @@ object Registry {
       functions.ScalarFns.all ++
       domain.DomainQueries.all ++
       dedup.DedupQueries.all ++
+      dedup.BottomK.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.QualityClassifier.queries ++
