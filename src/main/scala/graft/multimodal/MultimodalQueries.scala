@@ -329,6 +329,140 @@ object MultimodalQueries {
          |FROM cells GROUP BY i""".stripMargin),
   )
 
+  // ---- perceptual hashing (image near-dup) ----------------------------
+
+  case class ImageDHash(img_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** dHash perceptual fingerprint: box-resize to a 9×8 luminance grid,
+    * then one bit per adjacent-cell comparison (right > left) — 64 bits
+    * emitted as two 32-bit halves so every SQL engine replays them
+    * without signed-shift edge cases. Near-duplicate IMAGES (re-encoded,
+    * slightly rescaled) keep ~identical dHashes while any byte-level
+    * hash scatters — this is the image analog of SimHash for text, and
+    * the front half of an image-dedup pass over a multimodal corpus.
+    * All arithmetic is integer (the box filter is floor-average), so
+    * the hash is decoder-exact and the oracle recomputes it from the
+    * fixture pixel formulas.
+    */
+  def imageDHash(images: DataFrame): Dataset[ImageDHash] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("img_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val g = boxResize(decodeImage(bytes), 9, 8)
+          var h = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if ((g(y * 9 + x + 1) & 0xFF) > (g(y * 9 + x) & 0xFF))
+                h |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageDHash(id, h >>> 32, h & 0xFFFFFFFFL)
+        })
+      }
+  }
+
+  /** Shared oracle CTEs: dh(img_id, dhash_hi, dhash_lo) recomputed from
+    * the closed-form pixel formulas (9×8 grid, floor-average cells).
+    */
+  private def dhashOracleCtes: String =
+    s"""imgs AS (
+       |  SELECT i, 16 + i AS w, 12 + (i * 7) % 9 AS h
+       |  FROM range(0, $NumImages) t(i)),
+       |px AS (
+       |  SELECT i, x*9//w AS cx, y*8//h AS cy,
+       |    ((x*3+i)%256 + (y*5+i)%256 + (x+y+i)%256)//3 AS lum
+       |  FROM imgs, range(0, ${16 + NumImages}) rx(x), range(0, 21) ry(y)
+       |  WHERE x < w AND y < h),
+       |cells AS (
+       |  SELECT i, cx, cy, sum(lum)//count(*) AS v
+       |  FROM px GROUP BY i, cx, cy),
+       |bits AS (
+       |  SELECT a.i, a.cy, a.cx,
+       |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.i = b.i AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |dh AS (
+       |  SELECT CAST(i AS BIGINT) AS img_id,
+       |    CAST(sum(CASE WHEN cy >= 4
+       |      THEN bit * (1::BIGINT << (cy*8 + cx - 32)) ELSE 0 END)
+       |      AS BIGINT) AS dhash_hi,
+       |    CAST(sum(CASE WHEN cy < 4
+       |      THEN bit * (1::BIGINT << (cy*8 + cx)) ELSE 0 END)
+       |      AS BIGINT) AS dhash_lo
+       |  FROM bits GROUP BY i)""".stripMargin
+
+  private val dhash = Q(
+    "m_image_dhash",
+    (s, _) => imageDHash(fixtureImages(s)).toDF(),
+    Some(
+      s"""WITH $dhashOracleCtes
+         |SELECT img_id, dhash_hi, dhash_lo FROM dh""".stripMargin),
+  )
+
+  /** Hamming threshold for "same image, different encode". */
+  val DHashMaxHamming = 12
+
+  private val dhashPairs = Q(
+    "m_image_dhash_pairs",
+    (s, _) => {
+      // SimHash-style LSH banding over the 64-bit fingerprint: 4 bands
+      // of 16 bits; candidate pairs share ≥1 exact band (equi-shuffle on
+      // (band, value) — never all-pairs), then the exact Hamming check.
+      // Banded semantics are part of the contract (a ≤12-bit difference
+      // spread 4+4+4+4 over the bands escapes; the oracle states the
+      // same condition).
+      val dh = imageDHash(fixtureImages(s)).toDF()
+      val bands = dh.select(col("img_id"), col("dhash_hi"), col("dhash_lo"),
+        explode(array((0 until 4).map { bi =>
+          val src = if (bi < 2) col("dhash_lo") else col("dhash_hi")
+          val sh = (bi % 2) * 16
+          struct(lit(bi).as("bi"),
+            shiftrightunsigned(src, sh).bitwiseAND(lit(0xFFFFL)).as("bv"))
+        }: _*)).as("b"))
+        .select(col("img_id"), col("dhash_hi"), col("dhash_lo"),
+          col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val x = bands.alias("x")
+      val y = bands.alias("y")
+      val ham = (bit_count(col("x.dhash_hi").bitwiseXOR(col("y.dhash_hi"))) +
+        bit_count(col("x.dhash_lo").bitwiseXOR(col("y.dhash_lo"))))
+        .cast("int")
+      x.join(y, col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.img_id") < col("y.img_id"))
+        .select(col("x.img_id").as("img_a"), col("y.img_id").as("img_b"),
+          ham.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= DHashMaxHamming)
+    },
+    Some(
+      s"""WITH $dhashOracleCtes,
+         |bands AS (
+         |  SELECT img_id, dhash_hi, dhash_lo, b.bi,
+         |    CASE b.bi WHEN 0 THEN dhash_lo % 65536
+         |              WHEN 1 THEN (dhash_lo // 65536) % 65536
+         |              WHEN 2 THEN dhash_hi % 65536
+         |              ELSE (dhash_hi // 65536) % 65536 END AS bv
+         |  FROM dh, (SELECT unnest([0,1,2,3]) AS bi) b),
+         |pairs AS (
+         |  SELECT DISTINCT x.img_id AS img_a, y.img_id AS img_b,
+         |    x.dhash_hi AS xh, x.dhash_lo AS xl,
+         |    y.dhash_hi AS yh, y.dhash_lo AS yl
+         |  FROM bands x JOIN bands y
+         |    ON x.bi = y.bi AND x.bv = y.bv AND x.img_id < y.img_id)
+         |SELECT img_a, img_b,
+         |  CAST(bit_count(xor(xh, yh)) + bit_count(xor(xl, yl)) AS INT)
+         |    AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(xh, yh)) + bit_count(xor(xl, yl))
+         |  <= $DHashMaxHamming""".stripMargin),
+  )
+
   private val frames = Q(
     "m_frame_sample",
     (s, d) =>
@@ -523,5 +657,6 @@ object MultimodalQueries {
   )
 
   def all: Seq[Q] =
-    Seq(meta, feats, dims, partitioned, resize, frames, audio, vad)
+    Seq(meta, feats, dims, partitioned, resize, frames, audio, vad,
+      dhash, dhashPairs)
 }
