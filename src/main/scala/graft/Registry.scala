@@ -42,6 +42,7 @@ object Registry {
       text.ConsensusClusters.queries ++
       text.PiiScrub.queries ++
       similarity.KnnGraph.queries ++
+      similarity.KMeans.queries ++
       similarity.LabelCentroids.queries ++
       similarity.ProductQuantization.queries ++
       similarity.LabelPropagation.queries ++

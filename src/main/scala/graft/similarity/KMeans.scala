@@ -1,0 +1,134 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic multi-iteration k-means (Lloyd) over the embedding
+  * corpus — the clustering primitive behind SemDeDup-style semantic
+  * dedup, diversity-aware sampling, and IVF index builds (the IVF build
+  * in [[SimilarityQueries]] IS one iteration of this loop; here the loop
+  * is a first-class operator).
+  *
+  * Every piece is deterministic and cross-engine replayable:
+  * seeds = first k vectors by id; assignment = nearest centroid by
+  * cosine with cid-asc tiebreak, computed as a pure map over one
+  * broadcast packed-centroid row (zero corpus shuffle per iteration);
+  * refinement = decimal-stable element-wise mean via posexplode +
+  * partial agg on (cid, pos) — the shuffle is k×dim rows after map-side
+  * combine, never corpus×dim. So the whole fit replays in SQL as one
+  * chained CTE block per iteration, and the gate hash-checks the
+  * CLUSTERING, not a proxy.
+  *
+  * Per-iteration cost at scale = one corpus scan + one k×dim shuffle —
+  * the Lloyd lower bound; a cluster run would checkpoint centroids per
+  * iteration to cut lineage, which changes nothing about the math.
+  * Empty clusters drop (both engines, same rule).
+  */
+object KMeans {
+
+  val K = 8
+  val Iters = 2
+
+  /** `iters` Lloyd refinements from the deterministic seed set; returns
+    * (cid, centroid).
+    */
+  def fit(corpus: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    var cents = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = SimilarityQueries
+        .withNearest(corpus, SimilarityQueries.pack(cents), 1)
+        .select(col("embedding"),
+          element_at(col("lists"), 1).getField("cid").as("cid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((graft.util.Stable.dsum(col("col").cast("double"), 9)
+          / count(lit(1))).as("x"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cid"),
+          transform(col("px"), p => p.getField("x")).as("centroid"))
+    }
+    cents
+  }
+
+  /** Final assignment of every corpus row: (vec_id, cid, cos). */
+  def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    SimilarityQueries.withNearest(corpus, SimilarityQueries.pack(cents), 1)
+      .select(col("vec_id"),
+        element_at(col("lists"), 1).getField("cid").as("cid"),
+        (-element_at(col("lists"), 1).getField("negcos")).as("cos"))
+
+  // ---- SQL replay -----------------------------------------------------
+
+  private def dotSql(a: String, b: String, dim: Int): String =
+    SimilarityQueries.dotSql(a, b, dim)
+
+  /** One Lloyd iteration as CTEs: assignment from `prev`(cid, c, cn),
+    * refinement into `next`(cid, c, cn).
+    */
+  private def iterCtes(t: Int, prev: String, dim: Int): String = {
+    val dv = dotSql("en.v", "s.c", dim)
+    s"""a$t AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT en.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY -(($dv) / (en.nrm * s.cn)), s.cid) AS rn
+       |    FROM en CROSS JOIN $prev s)
+       |  WHERE rn = 1),
+       |r$t AS (
+       |  SELECT a$t.cid, p.pos,
+       |    CAST(sum(CAST(en.v[p.pos] AS DECIMAL(30,9))) AS DOUBLE)
+       |      / count(*) AS x
+       |  FROM a$t JOIN en USING (vec_id),
+       |       LATERAL (SELECT unnest(range(1, ${dim + 1})) AS pos) p
+       |  GROUP BY a$t.cid, p.pos),
+       |c$t AS (
+       |  SELECT cid, list(x ORDER BY pos) AS c FROM r$t GROUP BY cid),
+       |k$t AS (
+       |  SELECT cid, c, sqrt(${dotSql("c", "c", dim)}) AS cn FROM c$t)"""
+      .stripMargin
+  }
+
+  private def oracleSql(dim: Int, k: Int, iters: Int): String = {
+    val its = (1 to iters)
+      .map(t => iterCtes(t, if (t == 1) "c0" else s"k${t - 1}", dim))
+      .mkString(",\n")
+    val dvf = dotSql("en.v", "f.c", dim)
+    s"""WITH en AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(${dotSql("(embedding::DOUBLE[])", "(embedding::DOUBLE[])", dim)}) AS nrm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS c, nrm AS cn FROM en
+       |       ORDER BY vec_id LIMIT $k),
+       |$its,
+       |af AS (
+       |  SELECT vec_id, cid, cos FROM (
+       |    SELECT en.vec_id, f.cid, (($dvf) / (en.nrm * f.cn)) AS cos,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY -(($dvf) / (en.nrm * f.cn)), f.cid) AS rn
+       |    FROM en CROSS JOIN k$iters f)
+       |  WHERE rn = 1)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |  round(CAST(sum(CAST(cos AS DECIMAL(30,9))) AS DOUBLE)
+       |    / count(*), 4) AS mean_cos
+       |FROM af GROUP BY cid""".stripMargin
+  }
+
+  private val q = Q(
+    "sim_kmeans",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      val cents = fit(e)
+      assign(e, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          round(graft.util.Stable.dsum(col("cos"), 9) / count(lit(1)), 4)
+            .as("mean_cos"))
+    },
+    Some(oracleSql(dim = 64, k = K, iters = Iters)),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}

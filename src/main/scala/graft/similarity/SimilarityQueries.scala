@@ -131,7 +131,7 @@ object SimilarityQueries {
     */
   // all centroids in one broadcastable row: array of (cid, centroid,
   // cnorm) structs, sorted by cid for deterministic iteration
-  private def pack(cents: DataFrame): DataFrame =
+  private[similarity] def pack(cents: DataFrame): DataFrame =
     cents.agg(array_sort(collect_list(struct(
       col("cid").as("cid"), col("centroid").as("centroid"),
       norm(col("centroid")).as("cnorm")))).as("cents"))
@@ -152,7 +152,7 @@ object SimilarityQueries {
       .drop("cents")
   }
 
-  private def withNearest(df: DataFrame, packed: DataFrame,
+  private[similarity] def withNearest(df: DataFrame, packed: DataFrame,
       n: Int): DataFrame =
     nearestOnJoined(
       df.crossJoin(broadcast(packed)), n) // 1-row frame: broadcast constant
