@@ -43,6 +43,7 @@ object Registry {
       text.PiiScrub.queries ++
       similarity.KnnGraph.queries ++
       similarity.KMeans.queries ++
+      similarity.KCenter.queries ++
       similarity.LabelCentroids.queries ++
       similarity.ProductQuantization.queries ++
       similarity.LabelPropagation.queries ++
