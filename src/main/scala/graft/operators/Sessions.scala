@@ -210,5 +210,79 @@ object Sessions {
         |FROM tr JOIN tot USING (prev_type)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel, transitions)
+  /** Lookback window for crediting touches to a conversion. */
+  val AttributionLookbackDays = 7
+
+  /** Multi-touch attribution over the event stream: every `purchase` is
+    * a conversion; the view/click/signup events of the SAME user in the
+    * 7 days before it are its touches. Three standard credit models in
+    * one pass — first-touch, last-touch, and linear (1/n per touch) —
+    * rolled up per touch type. The fan-out join is keyed on user_id (the
+    * natural shuffle key; per-user event counts are bounded), window
+    * ranks are per conversion, and the linear credit uses the
+    * decimal-stable sum so partial-agg order can't move the published
+    * number.
+    */
+  private val attribution = Q(
+    "e_attribution",
+    (s, d) => {
+      val e = Tables(s, d).events
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("conv_ts"))
+      val touches = e.filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("ts").as("touch_ts"), col("event_id").as("touch_id"))
+      val joined = conv.join(touches, Seq("user_id"))
+        .filter(col("touch_ts") < col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") -
+            expr(s"INTERVAL $AttributionLookbackDays DAYS"))
+      val byConv = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id")
+      joined
+        .withColumn("rn_first", row_number().over(
+          byConv.orderBy(col("touch_ts"), col("touch_id"))))
+        .withColumn("rn_last", row_number().over(
+          byConv.orderBy(desc("touch_ts"), desc("touch_id"))))
+        .withColumn("n_touches", count(lit(1)).over(byConv))
+        .groupBy("touch_type")
+        .agg(
+          sum(when(col("rn_first") === 1, 1L).otherwise(0L))
+            .as("first_touch"),
+          sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"),
+          round(graft.util.Stable.dsum(
+            lit(1.0) / col("n_touches").cast("double"), 9), 4)
+            .as("linear_credit"))
+    },
+    Some(
+      s"""WITH conv AS (
+         |  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+         |  FROM events WHERE event_type = 'purchase'),
+         |touch AS (
+         |  SELECT user_id, event_type AS touch_type, ts AS touch_ts,
+         |    event_id AS touch_id
+         |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+         |j AS (
+         |  SELECT c.conv_id, t.touch_type, t.touch_ts, t.touch_id,
+         |    row_number() OVER (PARTITION BY c.conv_id
+         |      ORDER BY t.touch_ts, t.touch_id) AS rn_first,
+         |    row_number() OVER (PARTITION BY c.conv_id
+         |      ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn_last,
+         |    count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+         |  FROM conv c JOIN touch t USING (user_id)
+         |  WHERE t.touch_ts < c.conv_ts
+         |    AND t.touch_ts >= c.conv_ts
+         |      - INTERVAL $AttributionLookbackDays DAY)
+         |SELECT touch_type,
+         |  CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS first_touch,
+         |  CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS last_touch,
+         |  round(${graft.util.Stable.dsumSql(
+        "1.0 / CAST(n_touches AS DOUBLE)", 9)}, 4) AS linear_credit
+         |FROM j GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel, transitions,
+    attribution)
 }

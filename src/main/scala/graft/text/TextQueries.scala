@@ -688,8 +688,48 @@ object TextQueries {
         |WHERE c12.c12 >= 5""".stripMargin),
   )
 
+  /** Per-domain percentile normalisation of a quality signal — the
+    * thresholding step a mixed-source corpus needs: an absolute
+    * stopword-ratio cut that is right for web text over-prunes code or
+    * reference text, so production filters cut the bottom DECILE WITHIN
+    * EACH SOURCE instead. percent_rank over (signal, doc_id) is a
+    * per-source window (embarrassingly parallel across sources, no
+    * global sort), the doc_id tiebreak makes ranks total, and the
+    * (rank−1)/(n−1) ratio is exact integer→double — bit-identical on
+    * any engine, no rounding negotiation needed.
+    */
+  private val qualityPercentile = Q(
+    "t_quality_percentile",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val stopN = size(filter(words, w => w.isInCollection(stopwords)))
+      val scored = Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          (stopN.cast("double") / size(words)).as("stopword_ratio"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("stopword_ratio"), col("doc_id"))
+      scored
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("keep", col("pr") >= 0.1)
+    },
+    Some(
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('a','the','of','and'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, source, stopword_ratio,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY stopword_ratio, doc_id), 6) AS pr,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY stopword_ratio, doc_id), 6) >= 0.1 AS keep
+        |FROM scored""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, backoffLm,
-    bpeMerges, bpeApply, bpeCompression, pmi)
+    bpeMerges, bpeApply, bpeCompression, pmi, qualityPercentile)
 }
