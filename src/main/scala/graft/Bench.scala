@@ -123,6 +123,17 @@ object Bench {
     "sim_mutual_knn",
     "w13_windowed_hll",
     "a30_mad_outliers",
+    // round 4 (cont.): gap-fill, bloom runtime filter, corpus overlap,
+    // image near-dup, clustering/coreset, attribution, percentile cut
+    "w14_gapfill_locf",
+    "j17_bloom_semijoin",
+    "t_corpus_resemblance",
+    "m_image_dhash_pairs",
+    "sim_kmeans",
+    "sim_kcenter_coreset",
+    "e_attribution",
+    "t_quality_percentile",
+    "s18_incremental_agg_maintenance",
   )
 
   def main(args: Array[String]): Unit = {

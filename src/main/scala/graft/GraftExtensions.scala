@@ -34,6 +34,8 @@ object GraftFunctions {
     "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "minhash_signature" -> (exprs => MinHashSigExpr(exprs.head)),
     "fnv1a64" -> (exprs => Fnv1a64Expr(exprs.head)),
+    "hll_hash" -> (exprs => HllHashExpr(exprs.head)),
+    "nfc_normalize" -> (exprs => NfcNormalizeExpr(exprs.head)),
     "simhash64_fnv" -> (exprs => SimHashFnvExpr(exprs.head)),
     "minhash_signature_fnv" -> (exprs => MinHashSigFnvExpr(exprs.head)),
     "shingles" -> (exprs => ShinglesExpr(exprs.head,

@@ -346,5 +346,51 @@ object SourcesSinks {
         .stripMargin),
   )
 
-  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, s15, s16, p7, p7b)
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * that closes the CDC loop (s16 produces the changeset, s14 merges
+    * rows; this maintains an AGGREGATE without rescanning the base):
+    * yesterday's agg table + today's delta agg → full-outer merge on the
+    * group key, counts and sums added. The base (100 TB) is never
+    * re-read; the work is |delta| + |groups|.
+    *
+    * Exactness across the merge: partial sums stay DECIMAL until after
+    * the addition — `double(a_dec) + double(b_dec)` can differ from
+    * `double(a_dec + b_dec)` in the last ulp, so casting early would
+    * make the incremental result drift from a full recompute. With the
+    * addition in exact decimal, incremental ≡ recompute by
+    * associativity — which is precisely what the oracle (a plain full
+    * GROUP BY) checks: the maintenance machinery must be invisible in
+    * the result.
+    */
+  private val s18 = Q(
+    "s18_incremental_agg_maintenance",
+    (s, d) => {
+      val orders = Tables(s, d).orders
+      val cutoff = "1997-01-01"
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 4))).as("s"))
+      val base = aggOf(orders.filter(col("o_orderdate") < cutoff)).alias("b")
+      val delta = aggOf(orders.filter(col("o_orderdate") >= cutoff))
+        .alias("c")
+      base.join(delta, col("b.o_orderpriority") === col("c.o_orderpriority"),
+          "full_outer")
+        .select(
+          coalesce(col("b.o_orderpriority"), col("c.o_orderpriority"))
+            .as("o_orderpriority"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("c.n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("b.s"), lit(0).cast("decimal(30,4)")) +
+            coalesce(col("c.s"), lit(0).cast("decimal(30,4)")))
+            .cast("double").as("sum_total"))
+    },
+    Some(
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${graft.util.Stable.dsumSql("o_totalprice")} AS sum_total
+         |FROM orders GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(s1, s5, s7, s9, s13, s14, s15, s16, s18, p7, p7b)
 }

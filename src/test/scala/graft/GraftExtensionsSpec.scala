@@ -41,4 +41,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 11.0)
     assert(row.getDouble(5) == 4.0)
   }
+
+  test("SQL surface: hash-family and normalisation functions") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val row = spark.sql(
+      """SELECT hll_hash('abc') AS hh, fnv1a64('abc') AS fn,
+        |  nfc_normalize('café') AS nfc""".stripMargin).head()
+    assert(row.getLong(0) ==
+      graft.functions.TextSketches.hllHash(UTF8String.fromString("abc")))
+    assert(row.getLong(1) ==
+      graft.functions.TextSketches.fnv1a64(UTF8String.fromString("abc")))
+    assert(row.getString(2) == "café")
+  }
 }

@@ -257,6 +257,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts(p) >= 2, "bits + n_bits must broadcast")
   }
 
+  test("gap-fill: per-key spine aggs, 2-column pruned scan, no calendar crossJoin") {
+    val p = plan("w14_gapfill_locf")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(shuffles(p) <= 3, s"shuffles=${shuffles(p)}")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate"),
+      "scan must prune to the 2 consumed columns")
+  }
+
+  test("k-means: corpus is never hash-exchanged — only k×dim refine rows") {
+    val p = plan("sim_kmeans")
+    // every Exchange in the plan carries (cid,pos)/cid-keyed refine rows
+    // or the final per-cluster agg; the corpus itself reaches assignment
+    // via the broadcast packed-centroid row
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "corpus must not shuffle for assignment")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bottom-k resemblance: rank prune runs as WindowGroupLimit, semi joins broadcast") {
+    val p = plan("t_corpus_resemblance")
+    assert(p.contains("WindowGroupLimit"),
+      "per-shard bottom-k must push the rank limit into the sort")
+    assert(p.contains("LeftSemi"), "sketch intersection via semi joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("attribution: one user-keyed join, windows share the conv_id exchange") {
+    val p = plan("e_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
+  }
+
+  test("quality percentile: exactly one source-keyed exchange") {
+    val p = plan("t_quality_percentile")
+    assert(shuffles(p) == 1, s"shuffles=${shuffles(p)}")
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+      "lang/n_chars must be pruned from the scan")
+  }
+
+  test("image dhash: decode is a zero-shuffle mapPartitions over the listing scan") {
+    val p = plan("m_image_dhash")
+    assert(shuffles(p) == 0, s"shuffles=${shuffles(p)}")
+    assert(p.contains("MapPartitions"))
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }

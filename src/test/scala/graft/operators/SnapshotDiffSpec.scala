@@ -25,3 +25,23 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(1) == "changed")
   }
 }
+
+/** Incremental aggregate maintenance ≡ full recompute, any cutoff. */
+class IncrementalAggSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("merged agg equals full recompute bit-for-bit") {
+    val dir = sf("sf0.001")
+    val got = graft.Registry.byName("s18_incremental_agg_maintenance")
+      .run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = graft.Tables(spark, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        graft.util.Stable.dsum(col("o_totalprice")).as("sum_total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+  }
+}
