@@ -134,6 +134,7 @@ object Bench {
     "e_attribution",
     "t_quality_percentile",
     "s18_incremental_agg_maintenance",
+    "d15_incremental_cc",
   )
 
   def main(args: Array[String]): Unit = {

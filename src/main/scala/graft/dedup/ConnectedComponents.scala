@@ -150,4 +150,35 @@ object ConnectedComponents {
     nodes.unpersist()
     result
   }
+
+  /** Incremental maintenance: fold a batch of NEW edges into an existing
+    * labelling without re-running CC over the full graph. New-edge
+    * endpoints map through their current component roots (unlabelled
+    * endpoints stand for themselves), CC runs on that COLLAPSED graph —
+    * one supernode per touched component, so the iterative loop's input
+    * is ∝ |delta|, never |graph| — and the final labels compose through
+    * the supernode relabelling. Because component ids are min-reachable
+    * ids and min-of-mins is the global min, the composition is EXACTLY
+    * the labelling a full run over old ∪ new edges produces (pinned by
+    * IncrementalCcSpec and the d15 oracle).
+    */
+  def incremental(labels0: DataFrame, newEdges: DataFrame): DataFrame = {
+    val lsrc = labels0.select(col("id").as("src"), col("component").as("csrc"))
+    val ldst = labels0.select(col("id").as("dst"), col("component").as("cdst"))
+    val collapsed = newEdges
+      .join(lsrc, Seq("src"), "left").join(ldst, Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sup = run(collapsed)
+      .select(col("id").as("component"), col("component").as("newc"))
+    val newNodes = newEdges.select(col("src").as("id"))
+      .union(newEdges.select(col("dst").as("id"))).distinct()
+    val universe = labels0.select(col("id"), col("component"))
+      .union(newNodes.join(labels0, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    universe.join(sup, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component"))
+  }
 }

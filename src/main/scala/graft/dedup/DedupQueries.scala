@@ -96,7 +96,48 @@ object DedupQueries {
         |    AND TIMESTAMP '1997-12-31 00:00:00')""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(exact, exemplar, d3, j10) ++ MinHashDedup.queries ++
+  /** Incremental CC over an edge delta: d3's per-nation supplier chains
+    * are the base labelling; the delta links nation n to n+1 for
+    * n % 5 == 0 (via each nation's min supplier), merging component
+    * pairs. The oracle states the merged truth directly — nations
+    * {n, n+1} for n % 5 == 0 share one component, whose id is the pair's
+    * min supplier key — so a green row proves incremental == full
+    * recompute without the oracle ever simulating the machinery.
+    */
+  private val d15 = Q(
+    "d15_incremental_cc",
+    (s, d) => {
+      val t = Tables(s, d)
+      val w = Window.partitionBy("s_nationkey").orderBy(asc("s_suppkey"))
+      val ranked = t.supplier
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("rn", row_number().over(w))
+      val baseEdges = ranked.alias("a")
+        .join(ranked.alias("b"),
+          col("a.s_nationkey") === col("b.s_nationkey") &&
+            col("a.rn") === col("b.rn") - 1)
+        .select(col("a.s_suppkey").as("src"), col("b.s_suppkey").as("dst"))
+      val labels0 = ConnectedComponents.cached(baseEdges,
+        nodeSet = Some(t.supplier.select(col("s_suppkey").as("id"))))
+      val mins = t.supplier.groupBy("s_nationkey")
+        .agg(min(col("s_suppkey")).as("mk"))
+      val delta = mins.filter(col("s_nationkey") % 5 === 0).alias("a")
+        .join(mins.alias("b"),
+          col("b.s_nationkey") === col("a.s_nationkey") + 1)
+        .select(col("a.mk").as("src"), col("b.mk").as("dst"))
+      ConnectedComponents.incremental(labels0, delta)
+        .withColumnRenamed("id", "s_suppkey")
+    },
+    Some(
+      """SELECT s_suppkey,
+        |  min(s_suppkey) OVER (PARTITION BY
+        |    s_nationkey - CASE WHEN s_nationkey % 5 = 1 THEN 1 ELSE 0 END)
+        |  AS component
+        |FROM supplier""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(exact, exemplar, d3, j10, d15) ++
+    MinHashDedup.queries ++
     SimHashDedup.queries ++ NgramJaccard.queries ++ DedupClusters.queries ++
     PageRank.queries
 }
