@@ -61,6 +61,13 @@ object ProductQuantization {
     // (d, cid) struct would fall back to SortAggregate and sort the
     // |corpus|·M·KSub candidate stream inside every partition
     val topk = udaf(new graft.functions.TopKAgg(1))
+    // NO user repartition here: it would sit between the join and the
+    // aggregate, provide the agg's required distribution, and thereby
+    // DISABLE map-side partial aggregation — shuffling the full
+    // |corpus|·M·KSub candidate stream instead of the 32k partial
+    // buffers (measured slower). The partial agg collapses the stream
+    // before the exchange; the final merge is |corpus|·M rows and cheap
+    // even when AQE coalesces it.
     sub.join(broadcast(cb), "m")
       .groupBy("vec_id", "m")
       .agg(topk(-d, col("cid")).as("nn"))
@@ -99,12 +106,32 @@ object ProductQuantization {
     * query set, top-k per query by (distance, id).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val codebook = refine(corpus, assignFlat(corpus, seedCodebook(corpus)))
+    // the codebook frame (M·KSub = 1024 rows) feeds BOTH the encode
+    // branch and the LUT branch: checkpoint it (the MMR pattern) so the
+    // train chain — two full assignment passes — is not lazily
+    // recomputed once per consumer
+    val codebook =
+      refine(corpus, assignFlat(corpus, seedCodebook(corpus)))
+        .localCheckpoint()
+    // dense slot remap: Spark's map element_at is a LINEAR scan, so M
+    // lookups into a M·KSub-entry map cost M·M·KSub/2 comparisons per
+    // corpus row (measured: the scoring pass was a 1.4 s one-task
+    // stage). Assign every (m, cid) a contiguous slot and the LUT
+    // becomes a plain array with O(1) positional indexing — identical
+    // doubles, the oracle never sees slots
+    val slots = codebook.select(col("m"), col("cid"))
+      .withColumn("slot", row_number().over(
+        Window.orderBy(col("m"), col("cid"))) - 1)
+    // same AQE pinning as assignFlat: the code-assembly agg is
+    // collect_list-heavy per row, cheap in bytes
+    val parts = math.max(2,
+      corpus.sparkSession.sparkContext.defaultParallelism)
     val encoded = assignFlat(corpus, codebook)
+      .join(broadcast(slots), Seq("m", "cid"))
       .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("cid")))).as("mc"))
+      .agg(array_sort(collect_list(struct(col("m"), col("slot")))).as("mc"))
       .select(col("vec_id"),
-        transform(col("mc"), e => e.getField("cid")).as("codes"))
+        transform(col("mc"), e => e.getField("slot")).as("codes"))
     // ADC via the classic PQ distance LOOKUP TABLE: every (query, m,
     // cid) subspace distance is computed ONCE on the |queries|·M·KSub
     // codebook frame (10·1024 rows here) and broadcast as a per-query
@@ -120,19 +147,22 @@ object ProductQuantization {
         element_at(col("c"), i)
       d * d
     }.reduceLeft(_ + _)
-    val lut = codebook.crossJoin(broadcast(q))
-      .select(col("query_id"),
-        (col("m").cast("long") * lit(4294967296L) +
-          col("cid").cast("long")).as("k"),
-        lutD.as("v"))
+    val lut = codebook.join(broadcast(slots), Seq("m", "cid"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("slot"), lutD.as("v"))
       .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
-        .as("lut"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("v")))).as("kv"))
+      .select(col("query_id"),
+        transform(col("kv"), e => e.getField("v")).as("lut"))
+    // round-robin widen before the scoring projection: the window that
+    // follows partitions by query_id (|queries| tasks at most), and AQE
+    // would otherwise run the lookup-heavy map stage there too
     val scored = encoded
+      .repartition(parts)
       .crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("vec_id"))
     val dist = (0 until M).map { m =>
-      expr(s"lut[CAST($m AS BIGINT) * 4294967296 + element_at(codes, ${m + 1})]")
+      expr(s"element_at(lut, element_at(codes, ${m + 1}) + 1)")
     }.reduceLeft(_ + _)
     val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
     scored
