@@ -135,6 +135,8 @@ object Bench {
     "t_quality_percentile",
     "s18_incremental_agg_maintenance",
     "d15_incremental_cc",
+    "t_kneserney_bigrams",
+    "t_weighted_systematic_sample",
   )
 
   def main(args: Array[String]): Unit = {

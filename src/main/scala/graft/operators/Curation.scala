@@ -826,8 +826,74 @@ object Curation {
             |LIMIT 50""".stripMargin),
   )
 
+  /** Systematic weighted sampling: select documents with inclusion
+    * probability ∝ weight (here n_chars — the "sample docs proportional
+    * to token count" step a fixed-token-budget training mix needs),
+    * WITHOUT any RNG: lay documents on a line at their cumulative
+    * weight, select every document whose interval (cum−w, cum] covers a
+    * multiple of the stride. Exactly ⌊total/stride⌋ hits overall,
+    * long docs can be hit multiple times (multiplicity kept — that IS
+    * systematic sampling's semantics for w > stride).
+    *
+    * The global cumulative sum never global-sorts: per-shard running
+    * sums (parallel windows) + a broadcast ≤|shards|-row offset join —
+    * the same sharded-prefix-sum shape the sequence packer uses, made
+    * GLOBAL by composing shard offsets. Everything is BIGINT, so both
+    * engines place every boundary identically.
+    */
+  private val systematic = Q(
+    "t_weighted_systematic_sample",
+    (s, d) => {
+      val stride = 8192L
+      val nShards = 16
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("n_chars").as("w"))
+        .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      val wloc = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = base.withColumn("cum_local", sum(col("w")).over(wloc))
+      val offs = base.groupBy("shard").agg(sum(col("w")).as("tot"))
+        .withColumn("offset",
+          coalesce(sum(col("tot")).over(
+            Window.orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("shard", "offset")
+      local.join(broadcast(offs), "shard")
+        .withColumn("cum", col("offset") + col("cum_local"))
+        // integer division (all operands nonnegative BIGINT): no float
+        // boundary placement anywhere
+        .withColumn("n_hits",
+          expr(s"cum div ${stride}L - (cum - w) div ${stride}L"))
+        .filter(col("n_hits") > 0)
+        .select("doc_id", "w", "cum", "n_hits")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, n_chars AS w, doc_id % 16 AS shard
+        |  FROM documents),
+        |loc AS (
+        |  SELECT doc_id, w, shard,
+        |    CAST(sum(w) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_local
+        |  FROM base),
+        |offs AS (
+        |  SELECT shard,
+        |    CAST(coalesce(sum(tot) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS offset
+        |  FROM (SELECT shard, sum(w) AS tot FROM base GROUP BY 1))
+        |SELECT doc_id, w, cum, n_hits FROM (
+        |  SELECT l.doc_id, l.w, l.cum_local + o.offset AS cum,
+        |    CAST((l.cum_local + o.offset) // 8192
+        |      - (l.cum_local + o.offset - l.w) // 8192
+        |    AS BIGINT) AS n_hits
+        |  FROM loc l JOIN offs o USING (shard))
+        |WHERE n_hits > 0""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
       mixture, crossdoc, chunk, logprob, pplBuckets, dedupSpans, shuffle,
-      stratified, chunkDedup, pipeline, dsir, dsirResample)
+      stratified, chunkDedup, pipeline, dsir, dsirResample, systematic)
 }

@@ -688,6 +688,77 @@ object TextQueries {
         |WHERE c12.c12 >= 5""".stripMargin),
   )
 
+  /** Interpolated Kneser-Ney bigram probabilities — the standard n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998's benchmark
+    * winner), completing the LM ladder above the raw conditional
+    * (`t_bigram_condprob`) and stupid backoff (`t_backoff_logprob`):
+    *   p_kn(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/T
+    * with discount d = 3/4 and the CONTINUATION counts N1+ (how many
+    * distinct contexts a word completes) replacing raw frequency in the
+    * backoff — the insight that "Francisco" is frequent but only ever
+    * follows "San".
+    *
+    * d = 3/4 is dyadic, so scaling by 4 makes the whole probability one
+    * exact integer ratio: p = (max(4·c12 − 3, 0)·T + 3·N_l·N_r) /
+    * (4·c1·T) — BIGINT numerator/denominator, one IEEE division, no
+    * accumulated float anywhere (the EWMA/PageRank integer-units
+    * discipline again). Scale shape: the bigram scan + three
+    * vocab-bounded hash aggs (c12, per-w1 totals+distincts, per-w2
+    * distincts) joined on vocab keys.
+    */
+  private val knLm = Q(
+    "t_kneserney_bigrams",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val toks = Tables(s, d).documents
+        .select(explode(
+          zip_with(
+            slice(words, lit(1), size(words) - 1),
+            slice(words, lit(2), size(words) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = toks.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val left = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+        count(lit(1)).as("n_left")) // N1+(w1·): distinct continuations
+      val right = c12.groupBy("w2")
+        .agg(count(lit(1)).as("n_right")) // N1+(·w2): distinct contexts
+      val types = c12.agg(count(lit(1)).as("t_types"))
+      val num = (greatest(lit(4L) * col("c12") - 3L, lit(0L)) *
+        col("t_types")) + lit(3L) * col("n_left") * col("n_right")
+      c12.filter(col("c12") >= 5)
+        .join(broadcast(left), "w1")
+        .join(broadcast(right), "w2")
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("c12"), col("n_left"),
+          col("n_right"),
+          round(num.cast("double") /
+            (lit(4L) * col("c1") * col("t_types")).cast("double"), 6)
+            .as("p_kn"))
+    },
+    Some(
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY w1, w2),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |          CAST(count(*) AS BIGINT) AS n_left
+        |        FROM c12 GROUP BY w1),
+        |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_right
+        |        FROM c12 GROUP BY w2),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12, lft.n_left, rgt.n_right,
+        |  round(CAST(greatest(4 * c12.c12 - 3, 0) * tt.t_types
+        |      + 3 * lft.n_left * rgt.n_right AS DOUBLE)
+        |    / CAST(4 * lft.c1 * tt.t_types AS DOUBLE), 6) AS p_kn
+        |FROM c12
+        |JOIN lft ON c12.w1 = lft.w1
+        |JOIN rgt ON c12.w2 = rgt.w2
+        |CROSS JOIN tt
+        |WHERE c12.c12 >= 5""".stripMargin),
+  )
+
   /** Per-domain percentile normalisation of a quality signal — the
     * thresholding step a mixed-source corpus needs: an absolute
     * stopword-ratio cut that is right for web text over-prunes code or
@@ -731,5 +802,5 @@ object TextQueries {
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, backoffLm,
-    bpeMerges, bpeApply, bpeCompression, pmi, qualityPercentile)
+    bpeMerges, bpeApply, bpeCompression, pmi, qualityPercentile, knLm)
 }
