@@ -137,6 +137,7 @@ object Bench {
     "d15_incremental_cc",
     "t_kneserney_bigrams",
     "t_weighted_systematic_sample",
+    "d16_khop_distances",
   )
 
   def main(args: Array[String]): Unit = {

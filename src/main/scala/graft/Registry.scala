@@ -28,6 +28,7 @@ object Registry {
       domain.DomainQueries.all ++
       dedup.DedupQueries.all ++
       dedup.BottomK.queries ++
+      dedup.KHop.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.QualityClassifier.queries ++

@@ -38,3 +38,28 @@ class IncrementalCcSpec extends graft.SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 }
+
+/** Bounded BFS: min-distance semantics on branching/cyclic graphs. */
+class KHopSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("min distance wins across multiple paths; radius truncates") {
+    // diamond + tail:  1-2, 1-3, 2-4, 3-4, 4-5, 5-6, 6-7 ; seed {1}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L))
+    val got = KHop.distances(edges.toDF("src", "dst"),
+        Seq(Tuple1(1L)).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // 6 and 7 are beyond the radius
+    assert(!got.contains(6L) && !got.contains(7L))
+  }
+
+  test("multi-source: a node takes the nearest seed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = KHop.distances(edges.toDF("src", "dst"),
+        Seq(Tuple1(1L), Tuple1(5L)).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(3L) == 2 && got(2L) == 1 && got(4L) == 1)
+  }
+}
