@@ -138,6 +138,7 @@ object Bench {
     "t_kneserney_bigrams",
     "t_weighted_systematic_sample",
     "d16_khop_distances",
+    "t_cluster_contrastive_pairs",
   )
 
   def main(args: Array[String]): Unit = {

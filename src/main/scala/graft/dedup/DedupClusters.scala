@@ -102,5 +102,64 @@ object DedupClusters {
         |WHERE doc_id NOT IN (SELECT id FROM dups)""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, corpusQ)
+  /** Contrastive training pairs minted from the dedup graph itself:
+    * near-duplicate clusters are FREE positive pairs for embedding/
+    * retrieval training (two crawls of one page are semantically
+    * identical by construction), so the curation pipeline's by-product
+    * becomes a training set. anchor = cluster exemplar, positive = each
+    * duplicate, negative = the next exemplar in id order (a different
+    * cluster by construction — deterministic, no RNG). Shares the
+    * cached CC table with every other dedup consumer; the negative
+    * window runs over |clusters| rows, not the corpus.
+    */
+  private val contrastiveQ = Q(
+    "t_cluster_contrastive_pairs",
+    (s, d) => {
+      val cl = clusters(Tables(s, d).documents, 0.8)
+      val pos = cl.filter(col("is_duplicate"))
+        .select(col("cluster").as("anchor"), col("doc_id").as("positive"))
+      val negs = cl.filter(!col("is_duplicate"))
+        .select(col("doc_id").as("anchor"))
+        .withColumn("negative", lead(col("anchor"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("anchor")))
+        .filter(col("negative").isNotNull)
+      pos.join(negs, "anchor")
+    },
+    Some(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2]))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+        |cl AS (
+        |  SELECT id AS doc_id, min(comp) AS cluster,
+        |         id <> min(comp) AS is_duplicate
+        |  FROM walk GROUP BY id),
+        |ex AS (
+        |  SELECT doc_id AS anchor,
+        |    lead(doc_id) OVER (ORDER BY doc_id) AS negative
+        |  FROM cl WHERE NOT is_duplicate)
+        |SELECT p.anchor, p.positive, e.negative
+        |FROM (SELECT cluster AS anchor, doc_id AS positive
+        |      FROM cl WHERE is_duplicate) p
+        |JOIN ex e ON p.anchor = e.anchor
+        |WHERE e.negative IS NOT NULL""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, corpusQ, contrastiveQ)
 }

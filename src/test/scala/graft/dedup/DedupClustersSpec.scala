@@ -52,3 +52,24 @@ class DedupClustersSpec extends SparkSpec {
     assert(viaHash == viaStrings)
   }
 }
+
+/** Contrastive pairs: positives share a cluster, negatives never do. */
+class ClusterContrastiveSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("every pair is (exemplar, same-cluster dup, other-cluster exemplar)") {
+    val dir = sf("sf0.001")
+    val cl = DedupClusters.clusters(
+      graft.Tables(spark, dir).documents, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.Registry.byName("t_cluster_contrastive_pairs")
+      .run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, p, n) =>
+      assert(cl(a) == a, s"anchor $a must be its own exemplar")
+      assert(cl(p) == a, s"positive $p must live in anchor $a's cluster")
+      assert(cl(n) == n && n != a, s"negative $n must head another cluster")
+    }
+  }
+}
