@@ -117,8 +117,13 @@ object Bloom {
   def bloomPrefilter(fact: org.apache.spark.sql.DataFrame, keyCol: String,
       dimKeys: org.apache.spark.sql.DataFrame,
       dimKeyCol: String): org.apache.spark.sql.DataFrame = {
-    val words = bloomWordsRow(dimKeys, dimKeyCol)
-    var f = fact.crossJoin(broadcast(words))
+    // the one-row word map joins on a CONSTANT key rather than a
+    // crossJoin: identical broadcast plan in batch, and the same code
+    // path then works as a stream-static join (streams cannot
+    // crossJoin) — the d_streaming_ivf_assign_parity trick
+    val words = bloomWordsRow(dimKeys, dimKeyCol).withColumn("__k", lit(1))
+    var f = fact.withColumn("__k", lit(1))
+      .join(broadcast(words), Seq("__k")).drop("__k")
     (0 until Hashes).foreach { r =>
       f = f.withColumn(s"__bp$r",
         graft.functions.TextSketches

@@ -539,7 +539,43 @@ object StreamingOps {
          |SELECT vec_id, list_id FROM idx""".stripMargin),
   )
 
+  /** Stream-static runtime filter at ingest: the Bloom semi-join
+    * reduction (j17) applied to a STREAM — the static dim's bloom
+    * word-map joins each micro-batch on a constant key, the codegen
+    * bit-probe prunes ingest rows before any stateful operator sees
+    * them, and the exact join restores join-identical results. At
+    * ingest scale this is the difference between "state stores hold the
+    * full firehose" and "state stores hold the matching fraction".
+    * Shares j17's oracle shape: the filter must be invisible in the
+    * result.
+    */
+  private val bloomFilterParity = graft.Q(
+    "d_streaming_bloom_filter_parity",
+    (s, d) => {
+      val stream = spooledStream(s, s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val dim = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val survivors = graft.operators.Bloom
+        .bloomPrefilter(stream, "l_orderkey", dim, "o_orderkey")
+      val joined = survivors
+        .join(broadcast(dim), survivors("l_orderkey") === dim("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val name = sinkName("bloomf_")
+      runToMemory(joined, name, OutputMode.Complete())
+      s.table(name)
+    },
+    Some(
+      """SELECT l.l_returnflag, count(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995
+        |GROUP BY 1""".stripMargin),
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
-      hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity)
+      hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity,
+      bloomFilterParity)
 }
