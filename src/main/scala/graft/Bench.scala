@@ -139,6 +139,8 @@ object Bench {
     "t_weighted_systematic_sample",
     "d16_khop_distances",
     "t_cluster_contrastive_pairs",
+    "a31_unpivot",
+    "s19_dynamic_partition_pruning",
   )
 
   def main(args: Array[String]): Unit = {

@@ -295,6 +295,43 @@ object MultimodalQueries {
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"),
   )
 
+  /** Dynamic partition pruning — the join-driven sibling of the static
+    * prune above: the fact is partitioned by `lang`, the predicate lives
+    * on a DIM table (region = 'eu'), and Spark inserts a runtime
+    * `dynamicpruning` subquery on the fact's partition column — at
+    * 100 TB the fact directories for non-matching languages are never
+    * even listed. Both sides are file sources (a LocalRelation dim
+    * would constant-fold into a static filter and prove nothing); the
+    * plan guard asserts the dynamicpruning expression is present.
+    */
+  private val dpp = Q(
+    "s19_dynamic_partition_pruning",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("dpp_fact").toString
+      Tables(s, d).documents
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("dpp_dim").toString
+      import s.implicits._
+      Seq(("en", "na"), ("es", "na"), ("fr", "eu"), ("de", "eu"),
+        ("zh", "apac"))
+        .toDF("lang", "region")
+        .write.mode("overwrite").parquet(dimDir)
+      val fact = s.read.parquet(out)
+      val dim = s.read.parquet(dimDir).filter(col("region") === "eu")
+      fact.join(dim, "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    },
+    Some(
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('fr', 'de')
+        |GROUP BY 1""".stripMargin),
+  )
+
   private val resize = Q(
     "m_resize_thumbnails",
     (s, _) => {
@@ -657,6 +694,6 @@ object MultimodalQueries {
   )
 
   def all: Seq[Q] =
-    Seq(meta, feats, dims, partitioned, resize, frames, audio, vad,
+    Seq(meta, feats, dims, partitioned, dpp, resize, frames, audio, vad,
       dhash, dhashPairs)
 }

@@ -822,9 +822,45 @@ object Extended {
         |           WHERE cum >= ceil(q * n) GROUP BY g) t""".stripMargin),
   )
 
+  /** UNPIVOT (melt) — a18's inverse, closing the reshape pair: the wide
+    * per-day event-type counts stack back to (day, event_type, n) long
+    * form. `Dataset.unpivot` is a pure map-side Expand (each input row
+    * emits |value columns| rows, no shuffle); the only exchange is the
+    * upstream pivot's own aggregation. Zero-count cells are kept (the
+    * melt is lossless over the wide frame) so melt(pivot(x)) ⊇ x
+    * restricted to observed days — the oracle states the long form
+    * directly with a values-list cross join.
+    */
+  private val a31 = Q(
+    "a31_unpivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables(s, d).events
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array(col("day")),
+        types.map(col).toArray, "event_type", "n")
+    },
+    Some(
+      """WITH wide AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM wide),
+        |types AS (SELECT unnest(['click','error','purchase','signup',
+        |                        'view']) AS event_type)
+        |SELECT d.day, t.event_type,
+        |  CAST(coalesce(w.n, 0) AS BIGINT) AS n
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN wide w ON w.day = d.day AND w.event_type = t.event_type"""
+        .stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21, a22, a23, a24, a25, a26)
+      a21, a22, a23, a24, a25, a26, a31)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(

@@ -304,6 +304,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"))
   }
 
+  test("dynamic partition pruning: runtime subquery on the partition column") {
+    val p = plan("s19_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      "join-driven partition pruning must be planned")
+  }
+
+  test("unpivot is a map-side Expand: only the upstream pivot agg shuffles") {
+    val p = plan("a31_unpivot")
+    assert(p.contains("Expand"), "unpivot should plan as Expand")
+    // Spark plans pivot as a TWO-phase aggregation ((day, type) then
+    // day), so the wide frame costs 2 exchanges; the melt adds none
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
