@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish tables (see TESTDATA.md).
   *
@@ -21,17 +21,25 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long we
-    * convert to micros (lossless here — the generator emits µs precision).
+  /** events.ts has shifted across generator versions: TIMESTAMP(NANOS)
+    * parquet (rejected by Spark 4 unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into a long of
+    * nanos) and TIMESTAMP(us, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Normalize both to session-zoned TimestampType so
+    * downstream `unix_micros`/window arithmetic sees one type. The NTZ→TZ
+    * cast is lossless because the session timezone is pinned to UTC.
     */
   def events: DataFrame = {
     val raw = t("events")
-    if (raw.schema("ts").dataType == LongType)
-      // integer `div`, not `/` (which is double and loses ns precision)
-      raw.withColumn("ts",
-        timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/` (which is double and loses ns precision)
+        raw.withColumn("ts",
+          timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -29,13 +29,26 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     def keep(name: String) = only.forall(_.exists(name.contains))
     val selected = SparkEntry.queries.filter { case (name, _) => keep(name) }
+    var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashing query must surface as a FAILURE in the driver's
+        // compare, not vanish: write a sentinel one-row result whose
+        // schema can never match any oracle, so the report shows a
+        // schema/hash mismatch for this name instead of dropping it.
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        import spark.implicits._
+        Seq((name, String.valueOf(e.getMessage).take(500)))
+          .toDF("__graft_failed_query", "__graft_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: " +
+        failed.reverse.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -487,10 +487,17 @@ object StreamingOps {
       }
       val stream0 = s.readStream.schema(s.read.parquet(staged.toString).schema)
         .option("maxFilesPerTrigger", 1).parquet(spool.toString)
-      val ev =
-        if (isLong) stream0.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
-        else stream0
+      // normalize ts to session-zoned TimestampType whatever the parquet
+      // physical type: long-of-nanos (legacy generator) or TIMESTAMP_NTZ
+      // (current generator) — watermarks require TIMESTAMP, not NTZ
+      val ev = stream0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          stream0.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => stream0
+      }
       val sess = ev.withWatermark("ts", "1 minute")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),

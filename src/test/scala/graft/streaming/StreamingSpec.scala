@@ -11,17 +11,20 @@ import org.apache.spark.sql.types._
   */
 class StreamingSpec extends SparkSpec {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanosAsLong
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
+  // generator versions have shipped ts as long-of-nanos (read via
+  // nanosAsLong) and as TIMESTAMP_NTZ — take the schema from the file
+  // and normalize either shape to a session-zoned `created` column
+  private lazy val eventsSchema: StructType =
+    spark.read.parquet(sf("sf0.001") + "/events.parquet").schema
 
   private def asTs(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("created", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("created", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("created", col("ts").cast(TimestampType))
+      case _ => df.withColumn("created", col("ts"))
+    }
 
   // the file stream source requires a directory, not a single file
   private lazy val eventsDir: String = {
