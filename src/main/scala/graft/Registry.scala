@@ -17,6 +17,7 @@ object Registry {
   def all: Seq[Q] =
     operators.Relational.all ++
       operators.SourcesSinks.all ++
+      operators.Bucketing.all ++
       operators.Extended.all ++
       operators.TimeWindows.all ++
       operators.Sessions.all ++

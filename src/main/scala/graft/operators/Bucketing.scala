@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Bucketed (pre-shuffled) tables: the storage-level answer to REPEATED
+  * big⋈big joins at 100 TB.
+  *
+  * The reference re-joins its ads⋈vectors⋈features tables in every flow
+  * run (ojd_daps/dqa/data_getters.py builds the same joins per getter
+  * call); at cluster scale each run would pay the full shuffle of both
+  * fact tables again. Writing the tables `bucketBy(join key)` pays ONE
+  * shuffle at write time; every subsequent join on that key plans as a
+  * zero-exchange sort-merge join — Spark's scan reports the bucket spec
+  * and Catalyst drops both Exchange nodes (BucketingSpec pins exactly
+  * that plan shape, with broadcast disabled so the guard bites).
+  *
+  * The registered rows exercise the full path end-to-end — bucketed
+  * write → catalog table → co-located join / bucket-pruned scan — and
+  * hash-match DuckDB oracles on the plain-parquet equivalent, proving
+  * bucketing is invisible to results.
+  */
+object Bucketing {
+
+  /** Bucketed twin of `<dir>/<name>.parquet`, created once per session:
+    * an external parquet table under java.io.tmpdir, bucketed (and
+    * sorted) on `key` into `n` buckets. Warm runs (and later queries in
+    * the same process) hit the catalog and skip the write.
+    */
+  private def bucketedTable(s: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, key: String, cols: Seq[String], n: Int): String = {
+    // identifier-safe, stable per (dir, table, projection, bucket spec):
+    // two rows bucketing the same table differently must not collide
+    val tag = f"${(dir + "/" + name + "|" + key + "|" +
+      cols.mkString(",") + "|" + n).hashCode & 0xffffffffL}%08x"
+    val table = s"${name}_bkt_$tag"
+    if (!s.catalog.tableExists(table)) {
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed", table)
+      s.read.parquet(s"$dir/$name.parquet")
+        .select(cols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(n, key).sortBy(key)
+        .option("path", path.toString)
+        .saveAsTable(table)
+    }
+    table
+  }
+
+  /** S20: orders ⋈ lineitem with BOTH sides bucketed on the order key.
+    * The join itself adds no exchange (the buckets are the shuffle,
+    * written once); the only exchange in the plan is the downstream
+    * per-customer aggregation — which is also what a 1000-executor plan
+    * should look like: scan co-located buckets, join in place, shuffle
+    * only the (customer, partial-agg) rows.
+    */
+  private val s20 = Q(
+    "s20_bucketed_colocated_join",
+    (s, d) => {
+      val to = bucketedTable(s, d, "orders", "o_orderkey",
+        Seq("o_orderkey", "o_custkey"), 16)
+      val tl = bucketedTable(s, d, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_extendedprice"), 16)
+      s.table(tl).join(s.table(to),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          graft.util.Stable.dsum(col("l_extendedprice")).as("revenue"))
+    },
+    Some(
+      s"""SELECT o_custkey, count(*) AS n_items,
+         |  ${graft.util.Stable.dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin),
+  )
+
+  /** S21: bucket pruning — an equality predicate on the bucket key scans
+    * ONE bucket of 16, no matter how large the table (the scan node
+    * reports `SelectedBucketsCount: 1 out of 16`; BucketingSpec pins
+    * it). The partition-dimension analog is s19's dynamic partition
+    * pruning; together they bound a point-lookup's IO at any scale.
+    */
+  private val s21 = Q(
+    "s21_bucket_pruned_scan",
+    (s, d) => {
+      val tl = bucketedTable(s, d, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_linenumber", "l_quantity"), 16)
+      s.table(tl).filter(col("l_orderkey") === 1L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(s20, s21)
+}

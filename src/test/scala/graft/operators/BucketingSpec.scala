@@ -46,4 +46,35 @@ class BucketingSpec extends SparkSpec {
       lineitem("l_orderkey") === orders("o_orderkey")).count()
     assert(joined.count() == expect)
   }
+
+  test("registered s20: the join subtree adds no exchange of its own") {
+    // disable broadcast so the co-location claim is what the plan shows
+    // (at real scale neither fact side broadcasts anyway)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.Registry.byName("s20_bucketed_colocated_join")
+      .run(s, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // exactly ONE exchange: the per-customer aggregation above the join
+    assert(exchanges == 1, s"want 1 exchange (agg only), got $exchanges:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+    assert(df.count() > 0)
+  }
+
+  test("registered s21: an equality filter on the bucket key prunes to 1 bucket") {
+    // autoBucketedScan turns bucketed reads OFF for scans with no
+    // join/agg to feed — and bucket-filter pruning with them. Pin the
+    // pruning with the heuristic disabled; results are identical either
+    // way (the registered row's oracle covers the default path).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val df = graft.Registry.byName("s21_bucket_pruned_scan")
+      .run(s, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+      plan.linesIterator.take(8).mkString("\n"))
+    assert(df.count() > 0)
+  }
 }
