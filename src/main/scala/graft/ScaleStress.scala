@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up evidence for the dedup family's Σ|block|² claims:
+  * run MinHash-LSH pairs, the full dedup-cluster pipeline, and the
+  * salted fuzzy name join on the sf0.1 tables and on a ×N synthetic
+  * scale-up, and report the time and output-row ratios (SCALING.md
+  * records the numbers).
+  *
+  * Scale-up construction — "more data at the same duplicate density",
+  * the way a real corpus grows, NOT verbatim replication (which would
+  * multiply every duplicate group's size and quadratically inflate the
+  * pair space — a different workload, not a bigger one):
+  *  - documents: N shards; shard i inserts a shard-unique token every
+  *    10 words. Within a shard, two near-dups get the same insertions,
+  *    so their Jaccard stays ≈ original and within-shard pair structure
+  *    is preserved; across shards the inserted tokens differ in every
+  *    window, dropping cross-shard Jaccard of the same doc to ~0.6 —
+  *    under the 0.8 threshold, so pairs scale ×N, not ×N².
+  *  - part names: shard i appends its index to the blocking noun, so
+  *    blocks replicate (×N block COUNT at constant block size — the
+  *    Σ|block|² sum scales ×N) and appending the same digit to both
+  *    sides of a within-block pair leaves edit distances unchanged.
+  *
+  * Generated inputs land under target/scale/ (inside the repo; the
+  * read-only testdata tree is never touched) and are rebuilt only when
+  * absent.
+  */
+object ScaleStress {
+
+  private def scaledDocs(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      val words = split(col("text"), " ")
+      val tok = concat(lit("shard"), col("shard"))
+      val perturbed = concat_ws(" ", flatten(transform(
+        sequence(lit(0),
+          greatest((size(words) + 9) / 10 - 1, lit(0)).cast("int")),
+        i => concat(slice(words, i * 10 + 1, lit(10)), array(tok)))))
+      docs.crossJoin(shards)
+        .select(
+          (col("doc_id") + col("shard").cast("long") * 100000000L)
+            .as("doc_id"),
+          perturbed.as("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  private def scaledPart(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      part.crossJoin(shards)
+        .select(
+          (col("p_partkey") + col("shard").cast("long") * 100000000L)
+            .as("p_partkey"),
+          concat(col("p_name"), col("shard")).as("p_name"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // hermetic: the dedup-cluster pipeline memoises through SharedCache
+    val root = new org.apache.hadoop.fs.Path(domain.SharedCache.defaultRoot)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+
+    val scaleDir = "target/scale"
+    new java.io.File(scaleDir).mkdirs()
+
+    // ×1 inputs go through the same generator (1 shard) so both scales
+    // carry identical perturbation overhead and the ratio isolates SIZE
+    val docs1 = scaledDocs(spark, sfDir, 1, s"$scaleDir/docs_x1.parquet")
+    val docsN = scaledDocs(spark, sfDir, factor,
+      s"$scaleDir/docs_x$factor.parquet")
+    val part1 = scaledPart(spark, sfDir, 1, s"$scaleDir/part_x1.parquet")
+    val partN = scaledPart(spark, sfDir, factor,
+      s"$scaleDir/part_x$factor.parquet")
+
+    // JVM/codegen warmup on the small corpus so both measured scales run
+    // with compiled plans — the ratio compares data sizes, not Janino
+    val warm = spark.read.parquet(s"$sfDir/../sf0.01/documents.parquet")
+    dedup.MinHashDedup.nearDupPairs(warm).count()
+    dedup.DedupClusters.clusters(warm).count()
+    operators.Extended.fuzzyNameJoin(
+      spark.read.parquet(s"$sfDir/../sf0.01/part.parquet")).count()
+
+    def time(name: String, factor: Int)(thunk: => Long): (String, Double) = {
+      val t0 = System.nanoTime()
+      val rows = thunk
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","factor":$factor,"sec":$sec%.2f,"rows":$rows}""")
+      (s"$name@x$factor", sec)
+    }
+
+    val results = Seq(
+      time("minhash_lsh_pairs", 1) {
+        dedup.MinHashDedup.nearDupPairs(docs1).count() },
+      time("minhash_lsh_pairs", factor) {
+        dedup.MinHashDedup.nearDupPairs(docsN).count() },
+      time("dedup_clusters", 1) {
+        dedup.DedupClusters.clusters(docs1).count() },
+      time("dedup_clusters", factor) {
+        dedup.DedupClusters.clusters(docsN).count() },
+      time("fuzzy_name_join", 1) {
+        operators.Extended.fuzzyNameJoin(part1).count() },
+      time("fuzzy_name_join", factor) {
+        operators.Extended.fuzzyNameJoin(partN).count() },
+    ).toMap
+    for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join")) {
+      val r = results(s"$op@x$factor") / results(s"$op@x1")
+      println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
+    }
+    spark.stop()
+  }
+}

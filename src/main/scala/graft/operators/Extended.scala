@@ -404,9 +404,11 @@ object Extended {
     * blocking-key-cardinality trap SCALING.md documents, and the salted
     * join is the standing fix when the key space is small.
     */
-  private val j13 = Q(
-    "j13_fuzzy_name_join",
-    (s, d) => {
+  /** j13's pipeline over any (p_partkey, p_name) frame — public so the
+    * scale-stress harness can run it on a synthetically scaled table.
+    */
+  def fuzzyNameJoin(part: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val noun = element_at(
         org.apache.spark.sql.functions.split(col("p_name"), " "), -1)
       // Verify on DISTINCT names, then expand back to keys: the edit
@@ -415,7 +417,7 @@ object Extended {
       // pair (at sf0.1: 4k verifies instead of 25M — rows sharing a name
       // collapse; with mostly-unique names this degrades gracefully to
       // the original pair count, still blocked + salted on the noun).
-      val names = Tables(s, d).part
+      val names = part
         .select(col("p_name"), noun.as("noun")).distinct()
       def side(n: String) = names
         .select(col("p_name").as(n), col("noun"))
@@ -438,15 +440,19 @@ object Extended {
         .select("name_a", "name_b", "dist")
       // expansion: two equi joins fan the verified name pairs back out to
       // key pairs; the output volume is the result size itself
-      val a = Tables(s, d).part.select(col("p_partkey").as("key_a"),
+      val a = part.select(col("p_partkey").as("key_a"),
         col("p_name").as("name_a"))
-      val b = Tables(s, d).part.select(col("p_partkey").as("key_b"),
+      val b = part.select(col("p_partkey").as("key_b"),
         col("p_name").as("name_b"))
       a.join(namePairs, Seq("name_a"))
         .join(b, Seq("name_b"))
         .filter(col("key_a") < col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b", "dist")
-    },
+  }
+
+  private val j13 = Q(
+    "j13_fuzzy_name_join",
+    (s, d) => fuzzyNameJoin(Tables(s, d).part),
     Some(
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
