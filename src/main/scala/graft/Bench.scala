@@ -144,6 +144,7 @@ object Bench {
     // round 5: bucketed tables (write-once shuffle, join/scan thereafter)
     "s20_bucketed_colocated_join",
     "s21_bucket_pruned_scan",
+    "sim_recall_at_k",
   )
 
   def main(args: Array[String]): Unit = {

@@ -562,7 +562,76 @@ object SimilarityQueries {
         |FROM pos JOIN neg USING (query_id)""".stripMargin),
   )
 
+  /** Recall@k of the IVF index against brute-force ground truth — the
+    * quality gauge every production ANN deployment runs before trusting
+    * an index (FAISS ships the same check; the reference tunes its
+    * IndexIVFFlat nprobe on it, labs/deduplication/faiss_utils.py).
+    * Both sides are deterministic here, so unlike a sampled recall
+    * estimate the whole evaluation replays exactly in SQL: ground truth
+    * and approximate top-k are row-for-row pinned, and recall is their
+    * per-query overlap. At 100 TB the brute side limits the check to a
+    * query SAMPLE (it is one broadcast-join scan of the corpus per
+    * batch) while the IVF side is the production path — exactly how
+    * recall is audited on a live index.
+    */
+  private val recallAtK = Q(
+    "sim_recall_at_k",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      val qs = e.filter(col("vec_id") < 10)
+      val truth = bruteForceTopK(e, qs, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = ivfTopK(e, qs, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", col("n_hit") / lit(5.0))
+    },
+    Some(
+      s"""WITH ${ivfOracleCtes(dim = 64, nlist = 16, nassign = 1)},
+         |btk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round((${dotSql("q.v", "c.v", 64)})
+         |          / (q.nrm * c.nrm), 4) DESC, c.vec_id) AS rn
+         |    FROM en q JOIN en c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rn <= 5),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS list_id FROM (
+         |    SELECT en.vec_id, k.cid,
+         |      row_number() OVER (PARTITION BY en.vec_id
+         |        ORDER BY -((${dotSql("en.v", "k.c", 64)}) / (en.nrm * k.cn)),
+         |          k.cid) AS rn
+         |    FROM en CROSS JOIN cn k WHERE en.vec_id < 10)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, i.vec_id AS neighbor_id
+         |  FROM probes p JOIN idx i USING (list_id)
+         |  WHERE i.vec_id <> p.query_id),
+         |atk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY round((${dotSql("q.v", "n.v", 64)})
+         |          / (q.nrm * n.nrm), 4) DESC, c.neighbor_id) AS rn
+         |    FROM cand c JOIN en q ON c.query_id = q.vec_id
+         |                JOIN en n ON c.neighbor_id = n.vec_id)
+         |  WHERE rn <= 5)
+         |SELECT b.query_id, count(*) AS n_true,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) / 5.0 AS recall
+         |FROM btk b LEFT JOIN atk a
+         |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin),
+  )
+
   def queries: Seq[Q] =
     Seq(brute, cosineDedup, ivf, quantized, semanticDedup, hardNegatives,
-      randomProjection, triplets)
+      randomProjection, triplets, recallAtK)
 }
