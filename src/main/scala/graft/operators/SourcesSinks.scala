@@ -133,26 +133,34 @@ object SourcesSinks {
       upsertMerge(base, updates.unionByName(deletes).unionByName(inserts),
         "c_custkey", "is_delete")
     },
-    Some(
-      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-        |changes AS (
-        |  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
-        |         false AS is_delete
-        |  FROM base WHERE c_custkey % 10 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, NULL, NULL, true FROM base
-        |  WHERE c_custkey % 17 = 0 AND c_custkey % 10 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'new ' || c_name, 0.0, false
-        |  FROM base WHERE c_custkey % 13 = 0)
-        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
-        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
-        |       ELSE b.c_name END AS c_name,
-        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
-        |       ELSE b.c_acctbal END AS c_acctbal
-        |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
-        |WHERE coalesce(c.is_delete, false) = false""".stripMargin),
+    Some(upsertOracleSql),
   )
+
+  /** s14's oracle, shared verbatim by the streaming CDC parity row —
+    * the micro-batched fold over key-disjoint changesets must equal the
+    * one-shot merge exactly.
+    */
+  // lazy: referenced by s14 above its declaration point — a strict val
+  // would still be null during the object's initializer
+  private[graft] lazy val upsertOracleSql: String =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+      |         false AS is_delete
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, NULL, NULL, true FROM base
+      |  WHERE c_custkey % 17 = 0 AND c_custkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'new ' || c_name, 0.0, false
+      |  FROM base WHERE c_custkey % 13 = 0)
+      |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+      |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+      |       ELSE b.c_name END AS c_name,
+      |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
+      |       ELSE b.c_acctbal END AS c_acctbal
+      |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+      |WHERE coalesce(c.is_delete, false) = false""".stripMargin
 
   private val s13 = Q(
     "s13_orc_roundtrip",

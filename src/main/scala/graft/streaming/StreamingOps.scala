@@ -581,8 +581,87 @@ object StreamingOps {
         |GROUP BY 1""".stripMargin),
   )
 
+  /** Streaming CDC ingest with an idempotent versioned sink — the
+    * production upsert shape: a changestream drains through
+    * `foreachBatch`, each micro-batch re-reads the CURRENT target
+    * version, applies [[graft.operators.SourcesSinks.upsertMerge]], and
+    * publishes the next version with an atomic pointer swap. A retried
+    * batch rewrites the same next version from the same inputs — the
+    * rename-swap makes the sink effectively exactly-once without any
+    * transactional store. The spooled changeset is split into three
+    * KEY-DISJOINT micro-batch files (mod 3 on the key), so the
+    * sequential fold is order-free and the drained target equals
+    * s14's one-shot batch merge — pinned by sharing s14's oracle SQL
+    * verbatim.
+    */
+  private val upsertParity = graft.Q(
+    "s22_streaming_upsert_parity",
+    (s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val base = graft.Tables(s, d).customer
+        .select("c_custkey", "c_name", "c_acctbal")
+      val k = col("c_custkey")
+      val updates = base.filter(k % 10 === 0)
+        .select(k.as("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+          lit(false).as("is_delete"))
+      val deletes = base.filter(k % 17 === 0 && k % 10 =!= 0)
+        .select(k.as("c_custkey"), lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(true).as("is_delete"))
+      val inserts = base.filter(k % 13 === 0)
+        .select((k + 1000000L).as("c_custkey"),
+          concat(lit("new "), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"), lit(false).as("is_delete"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+
+      val src = Paths.get(s"$d/customer.parquet")
+      val stamp = s"$src:${Files.size(src)}:" +
+        Files.getLastModifiedTime(src).toMillis
+      val spool = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_upsert_spool", Integer.toHexString(stamp.hashCode))
+      if (!Files.exists(spool)) {
+        val build = Files.createTempDirectory("graft_upsert_build")
+        Files.createDirectories(spool)
+        (0 until 3).foreach { b =>
+          val part = build.resolve(s"b$b")
+          changes.filter(pmod(col("c_custkey"), lit(3)) === b)
+            .coalesce(1).write.mode("overwrite").parquet(part.toString)
+          val f = Files.list(part).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.move(f, spool.resolve(s"part-$b.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+
+      val target = Files.createTempDirectory("graft_upsert_target")
+      base.write.parquet(target.resolve("v0").toString)
+      val current = new java.util.concurrent.atomic.AtomicReference(
+        target.resolve("v0").toString)
+      val stream = s.readStream
+        .schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          val merged = graft.operators.SourcesSinks.upsertMerge(
+            s.read.parquet(current.get), batch, "c_custkey", "is_delete")
+          val next = target.resolve(s"v${id + 1}").toString
+          merged.write.mode("overwrite").parquet(next)
+          current.set(next)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(current.get)
+    },
+    Some(graft.operators.SourcesSinks.upsertOracleSql),
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
       hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity,
-      bloomFilterParity)
+      bloomFilterParity, upsertParity)
 }
