@@ -145,6 +145,7 @@ object Bench {
     "s20_bucketed_colocated_join",
     "s21_bucket_pruned_scan",
     "sim_recall_at_k",
+    "t_corpus_drift",
   )
 
   def main(args: Array[String]): Unit = {

@@ -799,8 +799,73 @@ object TextQueries {
         |FROM scored""".stripMargin),
   )
 
+  /** Corpus drift audit: per-source total-variation distance between the
+    * source's unigram distribution and the corpus mixture — the number a
+    * curation pipeline watches to catch a crawl source going off-profile
+    * between snapshots (swap `source` for a version tag and the same
+    * machinery diffs two corpus versions).
+    *
+    * INTEGER-EXACT (the modularity trick): with p_w = c_ws/N_s and
+    * q_w = c_w/N,  TV = ½·Σ_w |p_w − q_w| decomposes over the source's
+    * OBSERVED vocab plus a closed form for the absent mass
+    * (Σ_{w∉s} q_w = 1 − Σ_{w∈s} c_w/N), so
+    *   tv_num = Σ_{w∈s} |c_ws·N − c_w·N_s| + (N − Σ_{w∈s} c_w)·N_s
+    *   tv_den = 2·N_s·N
+    * is pure BIGINT algebra — no float accumulation order anywhere, the
+    * gate hashes the exact rational, and `tv` is one IEEE division.
+    * Scale: two hash aggs over the token stream + one vocab-sized join;
+    * nothing pairwise. At fleet scale the products need DECIMAL(38)
+    * (c·N overflows BIGINT past ~3·10⁹ tokens per side) — same
+    * escalation as every other integer-exact op here.
+    */
+  private val corpusDrift = Q(
+    "t_corpus_drift",
+    (s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val cws = toks.groupBy("source", "w").agg(count(lit(1)).as("c_ws"))
+      val cw = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+      val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      cws.join(cw, "w").join(ns, "source").crossJoin(broadcast(n))
+        .groupBy("source")
+        .agg(
+          sum(abs(col("c_ws") * col("n") - col("c_w") * col("n_s")))
+            .as("present_num"),
+          sum(col("c_w")).as("cov"),
+          min(col("n_s")).as("n_s"), min(col("n")).as("n"))
+        .select(col("source"),
+          (col("present_num") + (col("n") - col("cov")) * col("n_s"))
+            .as("tv_num"),
+          (lit(2L) * col("n_s") * col("n")).as("tv_den"))
+        .withColumn("tv", round(col("tv_num") / col("tv_den"), 6))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cws AS (SELECT source, w, count(*) AS c_ws FROM toks GROUP BY 1, 2),
+        |cw AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM toks),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(sum(abs(c_ws * n - c_w * n_s)) AS BIGINT) AS present_num,
+        |    CAST(sum(c_w) AS BIGINT) AS cov,
+        |    min(n_s) AS n_s, min(n) AS n
+        |  FROM cws JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT source,
+        |  CAST(present_num + (n - cov) * n_s AS BIGINT) AS tv_num,
+        |  CAST(2 * n_s * n AS BIGINT) AS tv_den,
+        |  round(CAST(present_num + (n - cov) * n_s AS BIGINT)
+        |    / CAST(2 * n_s * n AS BIGINT), 6) AS tv
+        |FROM agg""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(quality, tokens, fpMd5, fpRolling, fpUnicode,
     nfcQ, langid, phrase,
     qualityFilter, tokenStats, heavyHitters, repetition, bigramLm, backoffLm,
-    bpeMerges, bpeApply, bpeCompression, pmi, qualityPercentile, knLm)
+    bpeMerges, bpeApply, bpeCompression, pmi, qualityPercentile, knLm,
+    corpusDrift)
 }
