@@ -146,6 +146,7 @@ object Bench {
     "s21_bucket_pruned_scan",
     "sim_recall_at_k",
     "t_corpus_drift",
+    "m_scene_segments",
   )
 
   def main(args: Array[String]): Unit = {

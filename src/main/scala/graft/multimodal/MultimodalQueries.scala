@@ -693,7 +693,90 @@ object MultimodalQueries {
          |FROM nonsilent GROUP BY i, isl""".stripMargin),
   )
 
+  /** Scene segmentation (shot-boundary detection) over the sampled frame
+    * stream: per frame an 8-bucket byte-profile signature, L1 distance
+    * to the previous sampled frame, boundary where the distance exceeds
+    * [[SceneCutThreshold]], scenes as the running boundary count — the
+    * standard video-curation step before per-scene frame dedup (one
+    * exemplar frame per shot instead of every frame of a static shot).
+    *
+    * The signature is computed from the SAME byte windows
+    * [[sampleFrames]] extracts (the fixture's "video" payload is the
+    * document text, so byte b of frame f is `ascii(substr(text,
+    * f·64+b+1, 1))` — ASCII corpus, chars ≡ bytes), which keeps the
+    * whole lag-window segmentation SQL-replayable. Scale: signatures are
+    * a pure map in the scan, the lag/sum windows partition by doc — no
+    * global ordering, no driver state, segments stream out per document.
+    */
+  val SceneCutThreshold = 600
+
+  private val scenes = Q(
+    "m_scene_segments",
+    (s, d) => {
+      val frames = sampleFrames(
+        Tables(s, d).documents
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .toDF().select(col("doc_id"), col("frame_idx"))
+      val sig = frames
+        .join(Tables(s, d).documents.select(col("doc_id"), col("text")),
+          "doc_id")
+        .select(col("doc_id"), col("frame_idx"), expr(
+          """transform(sequence(0, 7), b ->
+            |  aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, j) ->
+            |    acc + ascii(substring(text,
+            |      CAST(frame_idx * 64 + b * 8 + j AS INT), 1))))"""
+            .stripMargin).as("sig"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      val withPrev = sig.withColumn("prev", lag(col("sig"), 1).over(w))
+      val dist = expr(
+        """aggregate(zip_with(sig, prev, (x, y) -> abs(x - y)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
+      val cut = withPrev.withColumn("boundary",
+        when(col("prev").isNull ||
+          dist > SceneCutThreshold, 1L).otherwise(0L))
+      cut.withColumn("scene_id", sum(col("boundary")).over(w))
+        .groupBy("doc_id", "scene_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("frame_idx")).cast("int").as("start_idx"),
+          max(col("frame_idx")).cast("int").as("end_idx"))
+    },
+    Some(
+      s"""WITH fr AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, strlen(text) // 64, 4)) AS frame_idx
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, frame_idx,
+         |    list_transform(range(0, 8), b ->
+         |      list_sum(list_transform(range(1, 9), j ->
+         |        ascii(substr(text,
+         |          CAST(frame_idx * 64 + b * 8 + j AS INT), 1))))) AS sg
+         |  FROM fr),
+         |lagged AS (
+         |  SELECT doc_id, frame_idx, sg,
+         |    lag(sg) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |  FROM sig),
+         |cut AS (
+         |  SELECT doc_id, frame_idx,
+         |    CASE WHEN prev IS NULL OR
+         |      list_sum(list_transform(range(1, 9), i ->
+         |        abs(sg[i] - prev[i]))) > $SceneCutThreshold
+         |    THEN 1 ELSE 0 END AS boundary
+         |  FROM lagged),
+         |scenes AS (
+         |  SELECT doc_id, frame_idx,
+         |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |      AS scene_id
+         |  FROM cut)
+         |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+         |  count(*) AS n_frames,
+         |  CAST(min(frame_idx) AS INT) AS start_idx,
+         |  CAST(max(frame_idx) AS INT) AS end_idx
+         |FROM scenes GROUP BY 1, 2""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(meta, feats, dims, partitioned, dpp, resize, frames, audio, vad,
-      dhash, dhashPairs)
+      dhash, dhashPairs, scenes)
 }
