@@ -147,6 +147,7 @@ object Bench {
     "sim_recall_at_k",
     "t_corpus_drift",
     "m_scene_segments",
+    "d17_clustering_coefficient",
   )
 
   def main(args: Array[String]): Unit = {

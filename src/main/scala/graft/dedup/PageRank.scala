@@ -220,6 +220,111 @@ object TriangleCount {
         |FROM tri""".stripMargin),
   )
 
+  def queries: Seq[Q] = Seq(q) ++ ClusteringCoefficient.queries
+}
+
+/** Per-node local clustering coefficient (Watts & Strogatz 1998):
+  * cc_v = 2·T_v / (deg_v·(deg_v − 1)) — how close v's neighbourhood is
+  * to a clique. The node-level sibling of [[TriangleCount]]'s global
+  * count and [[Modularity]]'s partition audit: high-coefficient nodes
+  * sit inside dense duplicate/boilerplate clusters, low ones are
+  * bridges — the standard structural feature when triaging a duplicate
+  * graph.
+  *
+  * INTEGER-EXACT like modularity: emits the exact rational
+  * (cc_num = 2·T_v, cc_den = deg·(deg−1)) plus one IEEE division for
+  * display, so the gate hashes integers. Scale: the same
+  * degree-oriented wedge join as the global count (each triangle
+  * enumerated once, Σ min(deg) work bound), then ONE explode (3 rows
+  * per triangle) + hash agg per node; degrees join back broadcast-free
+  * on the node key. Nodes of degree < 2 have no defined coefficient
+  * and are excluded by contract.
+  */
+object ClusteringCoefficient {
+
+  /** @param edges undirected (src, dst), any order/duplication.
+    * @return (n, n_tri, deg, cc_num, cc_den, cc) for deg ≥ 2 nodes.
+    */
+  def run(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("n"), col("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val o = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val w1 = o.select(col("u"), col("v").as("v1"))
+    val w2 = o.select(col("u"), col("v").as("v2"))
+    val wedges = w1.join(w2, "u").filter(col("v1") < col("v2"))
+    val closing = o.select(col("u").as("x"), col("v").as("y"))
+    // each triangle surfaces exactly once; explode its 3 corners
+    val triNodes = wedges.join(closing,
+      (col("x") === col("v1") && col("y") === col("v2")) ||
+        (col("x") === col("v2") && col("y") === col("v1")))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triNodes, Seq("n"), "left")
+      .select(col("n"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"))
+      .withColumn("cc_num", lit(2L) * col("n_tri"))
+      .withColumn("cc_den", col("deg") * (col("deg") - 1L))
+      .withColumn("cc", round(col("cc_num") / col("cc_den"), 6))
+  }
+
+  private val q = Q(
+    "d17_clustering_coefficient",
+    (s, d) => {
+      val li = Tables(s, d).lineitem.select("l_orderkey", "l_suppkey")
+      val edges = li.alias("x").join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      run(edges).withColumnRenamed("n", "s_suppkey")
+    },
+    Some(
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.deg < db.deg
+        |              OR (da.deg = db.deg AND und.a < und.b)
+        |         THEN und.a ELSE und.b END AS u,
+        |         CASE WHEN da.deg < db.deg
+        |              OR (da.deg = db.deg AND und.a < und.b)
+        |         THEN und.b ELSE und.a END AS v
+        |  FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+        |tn AS (
+        |  SELECT unnest([w1.u, w1.v, w2.v]) AS n
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+        |  JOIN o c ON (c.u = w1.v AND c.v = w2.v)
+        |           OR (c.u = w2.v AND c.v = w1.v)),
+        |tc AS (SELECT n, count(*) AS n_tri FROM tn GROUP BY 1)
+        |SELECT deg.n AS s_suppkey,
+        |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(2 * coalesce(tc.n_tri, 0) AS BIGINT) AS cc_num,
+        |  CAST(deg.deg * (deg.deg - 1) AS BIGINT) AS cc_den,
+        |  round(CAST(2 * coalesce(tc.n_tri, 0) AS BIGINT)
+        |    / CAST(deg.deg * (deg.deg - 1) AS BIGINT), 6) AS cc
+        |FROM deg LEFT JOIN tc ON deg.n = tc.n
+        |WHERE deg.deg >= 2""".stripMargin),
+  )
+
   def queries: Seq[Q] = Seq(q)
 }
 
