@@ -148,6 +148,7 @@ object Bench {
     "t_corpus_drift",
     "m_scene_segments",
     "d17_clustering_coefficient",
+    "t_temperature_mixture",
   )
 
   def main(args: Array[String]): Unit = {

@@ -892,8 +892,72 @@ object Curation {
         |WHERE n_hits > 0""".stripMargin),
   )
 
+  /** Temperature-scaled mixture resampling (the multilingual/domain
+    * α-sampling every large LM pipeline runs — p_s^α re-balancing with
+    * α = 0.5): target share of source s ∝ √n_s, so rare sources are
+    * UPsampled (rate > 1 ⇒ deterministic duplication) and dominant ones
+    * down-sampled, at constant total corpus size.
+    *
+    * Everything is RNG-free and engine-exact: α = 0.5 is `sqrt` (IEEE
+    * correctly-rounded in both engines — `pow` is NOT and would flip
+    * threshold compares), rates are chains of exact IEEE divisions, a
+    * doc's copy count is floor(rate) plus one more iff its md5 prefix
+    * clears the fractional rate (the [[graft.operators.SourcesSinks
+    * .deterministicSample]] compare, same %08x formatting both sides).
+    * Scale: one broadcast join of per-source rates + a bounded explode;
+    * membership is a pure function of the key, so the sample is stable
+    * across partitioning, retries, and engines — and replays in SQL.
+    */
+  private val temperature = Q(
+    "t_temperature_mixture",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      val perSource = docs.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n_s"))
+      val tot = perSource.agg(
+        sum(sqrt(col("n_s"))).as("sum_sqrt"),
+        sum(col("n_s")).as("n"))
+      val rates = perSource.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (sqrt(col("n_s")) / col("sum_sqrt") * col("n") / col("n_s"))
+            .as("rate"))
+      val base = floor(col("rate")).cast("long")
+      val frac = col("rate") - floor(col("rate"))
+      val thr = format_string("%08x",
+        floor(frac * lit(4294967296.0)).cast("long"))
+      val copies = (base + when(
+        substring(md5(col("doc_id").cast("string")), 1, 8) < thr, 1L)
+        .otherwise(0L)).as("copies")
+      docs.join(broadcast(rates), "source")
+        .select(col("doc_id"), col("source"), copies)
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+    },
+    Some(
+      """WITH ns AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(sqrt(n_s)) AS sum_sqrt, sum(n_s) AS n FROM ns),
+        |rates AS (
+        |  SELECT source, sqrt(n_s) / sum_sqrt * n / n_s AS rate
+        |  FROM ns CROSS JOIN tot),
+        |cp AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(r.rate) AS BIGINT) +
+        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |      printf('%08x', CAST(floor((r.rate - floor(r.rate))
+        |        * 4294967296.0) AS BIGINT))
+        |    THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+        |FROM cp WHERE copies > 0""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(split, batches, batchesSharded, decontaminate, incremental, packing,
       mixture, crossdoc, chunk, logprob, pplBuckets, dedupSpans, shuffle,
-      stratified, chunkDedup, pipeline, dsir, dsirResample, systematic)
+      stratified, chunkDedup, pipeline, dsir, dsirResample, systematic,
+      temperature)
 }
