@@ -149,6 +149,7 @@ object Bench {
     "m_scene_segments",
     "d17_clustering_coefficient",
     "t_temperature_mixture",
+    "t_cluster_split",
   )
 
   def main(args: Array[String]): Unit = {

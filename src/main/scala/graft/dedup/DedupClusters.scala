@@ -161,5 +161,60 @@ object DedupClusters {
         |WHERE e.negative IS NOT NULL""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, corpusQ, contrastiveQ)
+  /** Leakage-safe train/test split: assignment is by DEDUP CLUSTER, not
+    * by document — a plain per-doc hash split puts two near-duplicates
+    * of the same page on opposite sides and the eval set silently tests
+    * memorisation. Here every doc maps to its cluster id (singleton =
+    * itself), and the 80/20 cut hashes the CLUSTER, so a whole
+    * near-duplicate family lands on one side by construction. Shares
+    * the cached CC table with every other dedup consumer; the split
+    * itself is the deterministicSample md5-threshold compare
+    * (floor(0.8·2³²) = 0xcccccccc), partition-stable and SQL-replayable.
+    */
+  private val clusterSplitQ = Q(
+    "t_cluster_split",
+    (s, d) => {
+      val docs = Tables(s, d).documents
+      val cl = clusters(docs, 0.8).select(col("doc_id"), col("cluster"))
+      val withCluster = docs.select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      withCluster.withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 8)
+          < "cccccccc", "train").otherwise("test"))
+    },
+    Some(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2]))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster
+        |       FROM walk GROUP BY id),
+        |wc AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+        |    < 'cccccccc' THEN 'train' ELSE 'test' END AS split
+        |FROM wc""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, corpusQ, contrastiveQ, clusterSplitQ)
 }
