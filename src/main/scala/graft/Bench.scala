@@ -150,6 +150,7 @@ object Bench {
     "d17_clustering_coefficient",
     "t_temperature_mixture",
     "t_cluster_split",
+    "a32_association_lift",
   )
 
   def main(args: Array[String]): Unit = {

@@ -126,5 +126,70 @@ object Regression {
         |FROM st LEFT JOIN outl USING (event_type)""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(q, mad)
+  /** Association rules over order baskets (market-basket lift): for
+    * part pairs co-occurring in ≥ [[LiftMinSupport]] orders, emit
+    * support counts and lift = P(a,b)/(P(a)·P(b)) as the EXACT rational
+    * (lift_num = c_ab·N, lift_den = c_a·c_b) plus one IEEE division —
+    * the integer-exact discipline of modularity/drift again, so the
+    * gate hashes integers. The same shape mines skill co-occurrence
+    * rules from exploded skill lists in the domain layer.
+    *
+    * Scale: the pair space is Σ|basket|² like every blocking join here
+    * — baskets are small and bounded (order lines), so the self-join is
+    * shuffle-bounded by the basket key; item marginals join back as a
+    * broadcast-sized dim (|items|, not |pairs|).
+    */
+  private val LiftMinSupport = 3L
+
+  private val lift = Q(
+    "a32_association_lift",
+    (s, d) => {
+      val items = Tables(s, d).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val ca = items.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val n = items.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val pairs = items.alias("x").join(items.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"),
+          col("y.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= LiftMinSupport)
+      pairs
+        .join(ca.select(col("l_partkey").as("part_a"), col("c").as("c_a")),
+          "part_a")
+        .join(ca.select(col("l_partkey").as("part_b"), col("c").as("c_b")),
+          "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"),
+          col("c_b"),
+          (col("c_ab") * col("n")).as("lift_num"),
+          (col("c_a") * col("c_b")).as("lift_den"))
+        .withColumn("lift", round(col("lift_num") / col("lift_den"), 6))
+    },
+    Some(
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |ca AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+         |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+         |pairs AS (
+         |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+         |    count(*) AS c_ab
+         |  FROM items x JOIN items y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $LiftMinSupport)
+         |SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
+         |  CAST(c_ab * n.n AS BIGINT) AS lift_num,
+         |  CAST(a.c * b.c AS BIGINT) AS lift_den,
+         |  round(CAST(c_ab * n.n AS BIGINT)
+         |    / CAST(a.c * b.c AS BIGINT), 6) AS lift
+         |FROM pairs
+         |JOIN ca a ON pairs.part_a = a.l_partkey
+         |JOIN ca b ON pairs.part_b = b.l_partkey
+         |CROSS JOIN n""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(q, mad, lift)
 }
