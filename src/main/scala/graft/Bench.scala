@@ -151,6 +151,7 @@ object Bench {
     "t_temperature_mixture",
     "t_cluster_split",
     "a32_association_lift",
+    "e_cusum_changepoints",
   )
 
   def main(args: Array[String]): Unit = {

@@ -283,6 +283,71 @@ object Sessions {
          |FROM j GROUP BY 1""".stripMargin),
   )
 
+  /** CUSUM changepoint detection on per-type daily event volumes (Page
+    * 1954): S_i = max(0, S_{i−1} + (c_i·D − T)) accumulates excess over
+    * the per-type mean in INTEGER units (deviation scaled by D = #days
+    * so the mean never becomes a float), and days where S exceeds T/10
+    * — 10% of total volume in cumulative excess — flag a sustained
+    * level shift. The ops-monitoring primitive for "did this event
+    * stream change behaviour, and when".
+    *
+    * The recurrence is sequential BY DEFINITION (max(0,·) breaks prefix
+    * decomposition), so it runs as a bounded per-key fold: each type's
+    * day series (≤ a few hundred rows) collects into an array and the
+    * prefix states come from an O(n²) nested aggregate — per-key work
+    * is days², the corpus never re-shuffles, and every key folds in
+    * parallel. The DuckDB oracle replays the identical recurrence as a
+    * recursive CTE over the day index.
+    */
+  private val cusum = Q(
+    "e_cusum_changepoints",
+    (s, d) => {
+      val daily = graft.Tables(s, d).events
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val perType = daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+          .as("seq"),
+          sum(col("c")).as("t"), count(lit(1)).as("nd"))
+      perType.select(col("event_type"), col("t"), explode(expr(
+        """transform(sequence(1, size(seq)), i -> struct(
+          |  element_at(seq, i).day AS day,
+          |  aggregate(slice(seq, 1, i), CAST(0 AS BIGINT),
+          |    (acc, x) -> greatest(CAST(0 AS BIGINT),
+          |      acc + (x.c * size(seq) - t))) AS cusum))""".stripMargin))
+        .as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.cusum").as("cusum"))
+        .filter(col("cusum") > expr("t div 10"))
+    },
+    Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM daily GROUP BY 1),
+        |walk(event_type, i, s) AS (
+        |  SELECT x.event_type, x.i,
+        |    greatest(0, x.c * tot.nd - tot.t)
+        |  FROM idx x JOIN tot USING (event_type) WHERE x.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.i,
+        |    greatest(0, w.s + (x.c * tot.nd - tot.t))
+        |  FROM walk w
+        |  JOIN idx x ON x.event_type = w.event_type AND x.i = w.i + 1
+        |  JOIN tot ON tot.event_type = x.event_type)
+        |SELECT w.event_type, idx.day, CAST(w.s AS BIGINT) AS cusum
+        |FROM walk w JOIN idx USING (event_type, i)
+        |JOIN tot USING (event_type)
+        |WHERE w.s > tot.t // 10""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel, transitions,
-    attribution)
+    attribution, cusum)
 }
