@@ -152,6 +152,17 @@ object Bench {
     "t_cluster_split",
     "a32_association_lift",
     "e_cusum_changepoints",
+    // round 5 (cont.): PCA power iteration, ROUGE decontamination,
+    // seasonal decomposition + Holt smoothing, compaction planning,
+    // FD profiling
+    "sim_pca_power",
+    "t_rouge_decontaminate",
+    "e_stl_decompose",
+    "w15_holt_linear",
+    "s23_compaction_plan",
+    "a33_fd_audit",
+    "d18_spectral_bipartition",
+    "a34_ab_welch",
   )
 
   def main(args: Array[String]): Unit = {

@@ -20,6 +20,7 @@ object Registry {
       operators.Bucketing.all ++
       operators.Extended.all ++
       operators.TimeWindows.all ++
+      operators.Timeseries.all ++
       operators.Sessions.all ++
       operators.Curation.all ++
       operators.Linkage.all ++
@@ -28,10 +29,12 @@ object Registry {
       functions.ScalarFns.all ++
       domain.DomainQueries.all ++
       dedup.DedupQueries.all ++
+      dedup.Spectral.queries ++
       dedup.BottomK.queries ++
       dedup.KHop.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
+      text.Rouge.queries ++
       text.QualityClassifier.queries ++
       text.Winnowing.queries ++
       text.TfIdfTerms.queries ++
@@ -51,6 +54,7 @@ object Registry {
       similarity.LabelPropagation.queries ++
       similarity.MmrRerank.queries ++
       similarity.MutualKnn.queries ++
+      similarity.PowerIteration.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++

@@ -94,5 +94,66 @@ object Bucketing {
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(s20, s21)
+  /** S23: small-file compaction planning — the maintenance operator
+    * every long-lived 100 TB table needs (daily ingest writes thousands
+    * of partition-sized files; scans want ~target-sized ones). The plan
+    * is the standard sort-preserving greedy bin-pack: walk the file
+    * inventory in partition-key order, keep a running size, and assign
+    * file → bin floor(bytes_before / target). Key order (not best-fit)
+    * is deliberate: each compacted output then covers a CONTIGUOUS key
+    * range, so min-max pruning keeps working after the rewrite.
+    *
+    * Scale posture: the input is the file-inventory METADATA (one row
+    * per file — the catalog listing, not the data), so the single
+    * running-sum window is one task over ~|files| rows; the data itself
+    * is never touched at planning time. Demo inventory: per-day 1995
+    * order counts standing in for per-file row counts.
+    */
+  private val TargetRows = 5000L
+
+  private val s23 = Q(
+    "s23_compaction_plan",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val files = Tables(s, d).orders
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val planned = files
+        .withColumn("rows_before",
+          coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("rows_before") / TargetRows))
+      val bins = planned.groupBy("bin")
+        .agg(count(lit(1)).as("n_files_in_bin"),
+          sum(col("n_rows")).as("bin_rows"))
+      planned.join(broadcast(bins), "bin")
+        .select(col("day"), col("n_rows"), col("rows_before"), col("bin"),
+          col("n_files_in_bin"), col("bin_rows"))
+    },
+    Some(
+      s"""WITH files AS (
+         |  SELECT o_orderdate AS day, count(*) AS n_rows
+         |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+         |planned AS (
+         |  SELECT day, CAST(n_rows AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(n_rows) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS rows_before
+         |  FROM files),
+         |b AS (
+         |  SELECT day, n_rows, rows_before,
+         |    rows_before // $TargetRows AS bin
+         |  FROM planned),
+         |bins AS (
+         |  SELECT bin, count(*) AS n_files_in_bin,
+         |    CAST(sum(n_rows) AS BIGINT) AS bin_rows
+         |  FROM b GROUP BY 1)
+         |SELECT b.day, b.n_rows, b.rows_before, b.bin,
+         |  CAST(bins.n_files_in_bin AS BIGINT) AS n_files_in_bin,
+         |  bins.bin_rows
+         |FROM b JOIN bins USING (bin)""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(s20, s21, s23)
 }

@@ -864,9 +864,60 @@ object Extended {
         .stripMargin),
   )
 
+  /** A33: functional-dependency audit — the profiling step beside a17's
+    * per-column stats: does LHS → RHS actually hold in the data, and if
+    * not, how badly is it violated? The discovery loop every schema-
+    * inference / key-detection / data-contract checker runs (Papenbrock
+    * & Naumann's FD-discovery framing, reduced to the audit of declared
+    * candidates). One hash aggregate per audited pair — group by LHS,
+    * count distinct RHS — then one tiny rollup; nothing pairwise, and
+    * each audit is map-side-combinable at any scale. Violation rows
+    * (groups with > 1 RHS value) are the data-quality signal; fd_holds
+    * is their absence.
+    */
+  private def fdAudit(df: org.apache.spark.sql.DataFrame, table: String,
+      lhs: String, rhs: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("n_rhs"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("n_rhs")).as("max_rhs_per_lhs"))
+      .select(lit(table).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+        col("n_groups"), col("n_violating"), col("max_rhs_per_lhs"),
+        (col("n_violating") === 0L).as("fd_holds"))
+
+  private val a33 = Q(
+    "a33_fd_audit",
+    (s, d) => {
+      val t = graft.Tables(s, d)
+      fdAudit(t.orders, "orders", "o_orderkey", "o_custkey")
+        .unionAll(fdAudit(t.orders, "orders", "o_custkey", "o_orderpriority"))
+        .unionAll(fdAudit(t.lineitem, "lineitem", "l_orderkey", "l_returnflag"))
+        .unionAll(fdAudit(t.lineitem, "lineitem", "l_orderkey", "l_partkey"))
+        .unionAll(fdAudit(t.supplier, "supplier", "s_nationkey", "s_suppkey"))
+    },
+    Some {
+      def one(table: String, lhs: String, rhs: String) =
+        s"""SELECT '$table' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+           |  count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  max(n_rhs) AS max_rhs_per_lhs,
+           |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS n_rhs
+           |      FROM $table GROUP BY 1)""".stripMargin
+      Seq(one("orders", "o_orderkey", "o_custkey"),
+        one("orders", "o_custkey", "o_orderpriority"),
+        one("lineitem", "l_orderkey", "l_returnflag"),
+        one("lineitem", "l_orderkey", "l_partkey"),
+        one("supplier", "s_nationkey", "s_suppkey"))
+        .mkString("\nUNION ALL\n")
+    },
+  )
+
   def all: Seq[Q] =
     Seq(p2, j4, j8, j11, a8, f5, f7, f9, d1, a16, a16b, a17, a18, j13, a19, a20,
-      a21, a22, a23, a24, a25, a26, a31)
+      a21, a22, a23, a24, a25, a26, a31, a33)
 
   private implicit class ToDfOps(seq: Seq[String]) {
     def toDF(s: org.apache.spark.sql.SparkSession)(
