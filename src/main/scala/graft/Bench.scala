@@ -163,6 +163,9 @@ object Bench {
     "a33_fd_audit",
     "d18_spectral_bipartition",
     "a34_ab_welch",
+    "j18_entity_golden_records",
+    "a35_theilsen_trend",
+    "t_ngram_novelty",
   )
 
   def main(args: Array[String]): Unit = {

@@ -35,6 +35,7 @@ object Registry {
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.Rouge.queries ++
+      text.Novelty.queries ++
       text.QualityClassifier.queries ++
       text.Winnowing.queries ++
       text.TfIdfTerms.queries ++

@@ -20,28 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** Fellegi–Sunter scored candidate pairs over nation blocks — shared
+    * by the j15 classification and j18's entity resolution.
+    */
+  private def scoredPairs(t: Tables): org.apache.spark.sql.DataFrame = {
+    val c = t.customer
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).as("band"),
+        pmod(col("c_custkey"), lit(10)).as("chk"))
+    val score =
+      when(col("a.seg") === col("b.seg"), lit(2.5)).otherwise(lit(-1.5)) +
+        when(col("a.band") === col("b.band"), lit(3.0))
+          .otherwise(lit(-2.0)) +
+        when(col("a.chk") === col("b.chk"), lit(1.5)).otherwise(lit(-0.5))
+    c.alias("a")
+      .join(c.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(score, 2).as("score"))
+  }
+
   private val linkage = Q(
     "j15_record_linkage",
-    (s, d) => {
-      val c = Tables(s, d).customer
-        .select(col("c_custkey").as("id"), col("c_nationkey").as("blk"),
-          col("c_mktsegment").as("seg"),
-          floor(col("c_acctbal") / 1000).as("band"),
-          pmod(col("c_custkey"), lit(10)).as("chk"))
-      val score =
-        when(col("a.seg") === col("b.seg"), lit(2.5)).otherwise(lit(-1.5)) +
-          when(col("a.band") === col("b.band"), lit(3.0))
-            .otherwise(lit(-2.0)) +
-          when(col("a.chk") === col("b.chk"), lit(1.5)).otherwise(lit(-0.5))
-      c.alias("a")
-        .join(c.alias("b"),
-          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(score, 2).as("score"))
+    (s, d) =>
+      scoredPairs(Tables(s, d))
         .filter(col("score") >= 5.0)
         .withColumn("match_class",
-          when(col("score") >= 7.0, "link").otherwise("possible"))
-    },
+          when(col("score") >= 7.0, "link").otherwise("possible")),
     Some(
       """WITH c AS (
         |  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
@@ -105,5 +111,77 @@ object Linkage {
         |ORDER BY out_rows DESC, key LIMIT 10""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(linkage, audit)
+  /** J18: entity resolution end-to-end — the "golden record" build that
+    * closes the linkage loop: j15's high-confidence links become edges,
+    * connected components merge transitive matches into ENTITIES (the
+    * same shared-cache CC machinery the dedup pipeline runs), and each
+    * entity gets survivorship-resolved attributes — modal market
+    * segment with a deterministic (count DESC, value ASC) tie-break,
+    * min id as the stable entity key. The step every MDM/customer-360
+    * pipeline runs after pairwise linkage; transitivity is exactly what
+    * pairwise classification alone cannot give you.
+    *
+    * Scale: links are block-bounded (Σ|block|² candidates), CC is the
+    * O(log n) loop paid once per distinct link set, survivorship is one
+    * (entity, value) count + an entity-keyed argmax window.
+    */
+  private val golden = Q(
+    "j18_entity_golden_records",
+    (s, d) => {
+      val t = Tables(s, d)
+      val links = scoredPairs(t).filter(col("score") >= 7.0)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comps = graft.dedup.ConnectedComponents.cached(links, key = Some(
+        s"linkage-cc-v1|${graft.domain.SharedCache.planKey(t.customer)}"))
+      val recs = comps.join(
+        t.customer.select(col("c_custkey").as("id"),
+          col("c_mktsegment").as("seg")), "id")
+      val segCounts = recs.groupBy(col("component"), col("seg"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(desc("n"), asc("seg"))
+      val canon = segCounts
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("component"), col("seg").as("canonical_seg"))
+      recs.groupBy("component").agg(count(lit(1)).as("n_records"))
+        .join(canon, "component")
+        .select(col("component").as("entity_id"), col("n_records"),
+          col("canonical_seg"))
+    },
+    Some(
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+        |    floor(c_acctbal / 1000) AS band, c_custkey % 10 AS chk
+        |  FROM customer),
+        |links AS (
+        |  SELECT a.id AS src, b.id AS dst
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE round(
+        |    (CASE WHEN a.seg = b.seg THEN 2.5 ELSE -1.5 END) +
+        |    (CASE WHEN a.band = b.band THEN 3.0 ELSE -2.0 END) +
+        |    (CASE WHEN a.chk = b.chk THEN 1.5 ELSE -0.5 END), 2) >= 7.0),
+        |sym AS (SELECT src AS a, dst AS b FROM links
+        |        UNION SELECT dst, src FROM links),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+        |comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY 1),
+        |recs AS (
+        |  SELECT comps.component, c.seg
+        |  FROM comps JOIN c ON comps.id = c.id),
+        |sc AS (
+        |  SELECT component, seg, count(*) AS n FROM recs GROUP BY 1, 2),
+        |canon AS (
+        |  SELECT component, seg AS canonical_seg
+        |  FROM sc QUALIFY row_number() OVER (PARTITION BY component
+        |    ORDER BY n DESC, seg ASC) = 1)
+        |SELECT r.component AS entity_id,
+        |  count(*) AS n_records, any_value(canon.canonical_seg)
+        |    AS canonical_seg
+        |FROM recs r JOIN canon USING (component)
+        |GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(linkage, audit, golden)
 }

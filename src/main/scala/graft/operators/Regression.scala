@@ -250,5 +250,77 @@ object Regression {
     },
   )
 
-  def all: Seq[Q] = Seq(q, mad, lift, ab)
+  /** Theil–Sen robust trend — the 29%-breakdown sibling of a29's OLS
+    * (Sen 1968): slope = median of all pairwise slopes, intercept =
+    * median of y − m·x. One outlier day drags an OLS fit; the pairwise
+    * median shrugs it off — the estimator monitoring pipelines want on
+    * contaminated volume series. Scale: the pair space is per-KEY over
+    * the TIME axis (≤ days²/2 pairs per series — bounded by the window
+    * length, independent of corpus size); the corpus-sized work is the
+    * same daily pre-agg every other timeseries operator shares. Exact:
+    * slopes are single IEEE divisions of exact BIGINTs; the median is
+    * the same exact-percentile aggregate a30 relies on.
+    */
+  private val theilsen = Q(
+    "a35_theilsen_trend",
+    (s, d) => {
+      // x is rebased to each series' own first day so the intercept is
+      // the level at series start, not at the 1970 epoch
+      val counts = Tables(s, d).events
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val starts = counts.groupBy("event_type")
+        .agg(min(col("day")).as("d0"))
+      val daily = counts.join(broadcast(starts), "event_type")
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("long").as("x"),
+          col("n").cast("double").as("y"))
+      val slopes = daily.alias("a")
+        .join(daily.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x")))
+            .as("slope"))
+      val m = slopes.groupBy("event_type")
+        .agg(percentile(col("slope"), lit(0.5)).as("slope"),
+          count(lit(1)).as("n_pairs"))
+      daily.join(broadcast(m), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          first(col("n_pairs")).as("n_pairs"),
+          round(first(col("slope")), 6).as("slope"),
+          round(percentile(col("y") - col("slope") * col("x"), lit(0.5)), 6)
+            .as("intercept"))
+    },
+    Some(
+      """WITH counts AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |starts AS (
+        |  SELECT event_type, min(day) AS d0 FROM counts GROUP BY 1),
+        |daily AS (
+        |  SELECT c.event_type,
+        |    date_diff('day', s.d0, c.day) AS x,
+        |    CAST(c.n AS DOUBLE) AS y
+        |  FROM counts c JOIN starts s USING (event_type)),
+        |slopes AS (
+        |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |m AS (
+        |  SELECT event_type, quantile_cont(slope, 0.5) AS slope,
+        |    count(*) AS n_pairs
+        |  FROM slopes GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_days,
+        |  CAST(any_value(m.n_pairs) AS BIGINT) AS n_pairs,
+        |  round(any_value(m.slope), 6) AS slope,
+        |  round(quantile_cont(d.y - m.slope * d.x, 0.5), 6) AS intercept
+        |FROM daily d JOIN m USING (event_type)
+        |GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(q, mad, lift, ab, theilsen)
 }
