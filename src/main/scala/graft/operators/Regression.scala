@@ -202,52 +202,76 @@ object Regression {
     * fleet scale this is the same one-pass shape with the variant map
     * joined in from the assignment service's table.
     */
+  /** The SUM-mergeable sufficient statistics (n, Σv, Σv² per variant,
+    * exact decimals) — identical as a batch aggregate and as a
+    * Complete-mode streaming aggregate, which is what lets the
+    * streaming parity row share this operator's oracle verbatim.
+    */
+  def abStatsAggs: Seq[org.apache.spark.sql.Column] = {
+    import graft.util.Stable
+    def side(tag: String, v: Int) = Seq(
+      sum(when(col("variant") === v, 1L).otherwise(0L)).as(s"n_$tag"),
+      Stable.dsum(when(col("variant") === v, col("value")), 6)
+        .as(s"s1_$tag"),
+      Stable.dsum(when(col("variant") === v, col("value") * col("value")),
+        6).as(s"s2_$tag"))
+    side("c", 0) ++ side("t", 1)
+  }
+
+  /** (event_type, value, variant) projection shared by batch and
+    * streaming sides.
+    */
+  def abProject(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.select(col("event_type"), col("value"),
+      pmod(col("user_id"), lit(2)).as("variant"))
+
+  /** Welch finish over a drained stats frame (columns n_c..s2_t). */
+  def abFinish(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def mean(t: String) = col(s"s1_$t") / col(s"n_$t")
+    def vr(t: String) =
+      (col(s"s2_$t") - col(s"s1_$t") * col(s"s1_$t") / col(s"n_$t")) /
+        (col(s"n_$t") - 1)
+    stats.select(col("event_type"), col("n_c"), col("n_t"),
+      round(mean("c"), 6).as("mean_c"), round(mean("t"), 6).as("mean_t"),
+      round(vr("c"), 6).as("var_c"), round(vr("t"), 6).as("var_t"),
+      round((mean("t") - mean("c")) /
+        sqrt(vr("c") / col("n_c") + vr("t") / col("n_t")), 6).as("z"))
+  }
+
+  def abWelch(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val aggs = abStatsAggs
+    abFinish(abProject(events).groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*))
+  }
+
+  val abOracle: Option[String] = Some {
+    def dsum(e: String) = graft.util.Stable.dsumSql(e, 6)
+    def n(v: Int) = s"CAST(SUM(CASE WHEN user_id % 2 = $v THEN 1 ELSE 0 END) AS BIGINT)"
+    def s1(v: Int) = dsum(s"CASE WHEN user_id % 2 = $v THEN value END")
+    def s2(v: Int) = dsum(s"CASE WHEN user_id % 2 = $v THEN value * value END")
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    ${n(0)} AS n_c, ${s1(0)} AS s1_c, ${s2(0)} AS s2_c,
+       |    ${n(1)} AS n_t, ${s1(1)} AS s1_t, ${s2(1)} AS s2_t
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n_c, n_t,
+       |  round(s1_c / n_c, 6) AS mean_c,
+       |  round(s1_t / n_t, 6) AS mean_t,
+       |  round((s2_c - s1_c * s1_c / n_c) / (n_c - 1), 6) AS var_c,
+       |  round((s2_t - s1_t * s1_t / n_t) / (n_t - 1), 6) AS var_t,
+       |  round((s1_t / n_t - s1_c / n_c) /
+       |    sqrt(((s2_c - s1_c * s1_c / n_c) / (n_c - 1)) / n_c
+       |       + ((s2_t - s1_t * s1_t / n_t) / (n_t - 1)) / n_t), 6) AS z
+       |FROM st""".stripMargin
+  }
+
   private val ab = Q(
     "a34_ab_welch",
-    (s, d) => {
-      import graft.util.Stable
-      val ev = Tables(s, d).events
-        .select(col("event_type"), col("value"),
-          pmod(col("user_id"), lit(2)).as("variant"))
-      def side(tag: String, v: Int) = Seq(
-        sum(when(col("variant") === v, 1L).otherwise(0L)).as(s"n_$tag"),
-        Stable.dsum(when(col("variant") === v, col("value")), 6)
-          .as(s"s1_$tag"),
-        Stable.dsum(when(col("variant") === v, col("value") * col("value")),
-          6).as(s"s2_$tag"))
-      val aggs = side("c", 0) ++ side("t", 1)
-      def mean(t: String) = col(s"s1_$t") / col(s"n_$t")
-      def vr(t: String) =
-        (col(s"s2_$t") - col(s"s1_$t") * col(s"s1_$t") / col(s"n_$t")) /
-          (col(s"n_$t") - 1)
-      ev.groupBy("event_type")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("event_type"), col("n_c"), col("n_t"),
-          round(mean("c"), 6).as("mean_c"), round(mean("t"), 6).as("mean_t"),
-          round(vr("c"), 6).as("var_c"), round(vr("t"), 6).as("var_t"),
-          round((mean("t") - mean("c")) /
-            sqrt(vr("c") / col("n_c") + vr("t") / col("n_t")), 6).as("z"))
-    },
-    Some {
-      def dsum(e: String) = graft.util.Stable.dsumSql(e, 6)
-      def n(v: Int) = s"CAST(SUM(CASE WHEN user_id % 2 = $v THEN 1 ELSE 0 END) AS BIGINT)"
-      def s1(v: Int) = dsum(s"CASE WHEN user_id % 2 = $v THEN value END")
-      def s2(v: Int) = dsum(s"CASE WHEN user_id % 2 = $v THEN value * value END")
-      s"""WITH st AS (
-         |  SELECT event_type,
-         |    ${n(0)} AS n_c, ${s1(0)} AS s1_c, ${s2(0)} AS s2_c,
-         |    ${n(1)} AS n_t, ${s1(1)} AS s1_t, ${s2(1)} AS s2_t
-         |  FROM events GROUP BY 1)
-         |SELECT event_type, n_c, n_t,
-         |  round(s1_c / n_c, 6) AS mean_c,
-         |  round(s1_t / n_t, 6) AS mean_t,
-         |  round((s2_c - s1_c * s1_c / n_c) / (n_c - 1), 6) AS var_c,
-         |  round((s2_t - s1_t * s1_t / n_t) / (n_t - 1), 6) AS var_t,
-         |  round((s1_t / n_t - s1_c / n_c) /
-         |    sqrt(((s2_c - s1_c * s1_c / n_c) / (n_c - 1)) / n_c
-         |       + ((s2_t - s1_t * s1_t / n_t) / (n_t - 1)) / n_t), 6) AS z
-         |FROM st""".stripMargin
-    },
+    (s, d) => abWelch(Tables(s, d).events),
+    abOracle,
   )
 
   /** Theil–Sen robust trend — the 29%-breakdown sibling of a29's OLS

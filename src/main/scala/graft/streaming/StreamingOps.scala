@@ -660,8 +660,31 @@ object StreamingOps {
     Some(graft.operators.SourcesSinks.upsertOracleSql),
   )
 
+  /** Streaming A/B monitoring — the live-experiment twin of a34: the
+    * Welch sufficient statistics (n, Σv, Σv² per metric×variant, exact
+    * decimals) are SUM-mergeable, so a Complete-mode streaming
+    * aggregate holds EXACTLY the batch statistics at every trigger —
+    * the dashboard never waits for a batch job, state is 6 numbers per
+    * metric regardless of stream length, and the z finish runs on the
+    * drained stats table. Shares a34's oracle verbatim: parity is the
+    * whole point.
+    */
+  private val abParity = graft.Q(
+    "e_streaming_ab_parity",
+    (s, d) => {
+      val aggs = graft.operators.Regression.abStatsAggs
+      val stats = graft.operators.Regression
+        .abProject(spooledStream(s, s"$d/events.parquet"))
+        .groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      val name = sinkName("abp_")
+      runToMemory(stats, name, OutputMode.Complete())
+      graft.operators.Regression.abFinish(s.table(name))
+    },
+    graft.operators.Regression.abOracle,
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
       hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity,
-      bloomFilterParity, upsertParity)
+      bloomFilterParity, upsertParity, abParity)
 }
