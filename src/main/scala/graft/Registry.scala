@@ -25,6 +25,8 @@ object Registry {
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
+      operators.Bootstrap.queries ++
+      functions.Hilbert.queries ++
       operators.WindowedHll.queries ++
       functions.ScalarFns.all ++
       domain.DomainQueries.all ++
@@ -39,6 +41,9 @@ object Registry {
       text.QualityClassifier.queries ++
       text.Winnowing.queries ++
       text.TfIdfTerms.queries ++
+      text.TextRank.queries ++
+      similarity.LabelAffinity.queries ++
+      similarity.Silhouette.queries ++
       operators.Regression.all ++
       text.Bm25.queries ++
       text.HybridRetrieval.queries ++
@@ -52,6 +57,7 @@ object Registry {
       similarity.KCenter.queries ++
       similarity.LabelCentroids.queries ++
       similarity.ProductQuantization.queries ++
+      similarity.IvfPq.queries ++
       similarity.LabelPropagation.queries ++
       similarity.MmrRerank.queries ++
       similarity.MutualKnn.queries ++

@@ -75,8 +75,12 @@ object PageRank {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  private def oracleSql: String = {
-    val rounds = (1 to Iterations).map { k =>
+  /** The r1..rN integer-recurrence CTE chain over CTEs `nodes(id)`,
+    * `e(src, dst, outdeg)` and `r0(id, rank)` — shared by every
+    * PageRank-family oracle (d11 and the TextRank keyword query).
+    */
+  private[graft] def roundsSql: String =
+    (1 to Iterations).map { k =>
       s"""r$k AS (
          |  SELECT n.id,
          |    150000 + (85 * coalesce(s.m, 0)) // 100 AS rank
@@ -85,6 +89,9 @@ object PageRank {
          |    FROM e JOIN r${k - 1} r ON e.src = r.id
          |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
     }.mkString(",\n")
+
+  private def oracleSql: String = {
+    val rounds = roundsSql
     s"""WITH ranked AS (
        |  SELECT s_suppkey, s_nationkey,
        |    row_number() OVER (PARTITION BY s_nationkey

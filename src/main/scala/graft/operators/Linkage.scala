@@ -129,10 +129,15 @@ object Linkage {
     "j18_entity_golden_records",
     (s, d) => {
       val t = Tables(s, d)
-      val links = scoredPairs(t).filter(col("score") >= 7.0)
+      // threshold 5.0 = any two of the three field agreements (a
+      // perfect 7.0 triple-match is vanishingly rare below sf0.01, and
+      // an entity-resolution gate that only links exact triples is just
+      // exact dedup) — 2-of-3 agreement is the Fellegi-Sunter "link"
+      // region this operator models
+      val links = scoredPairs(t).filter(col("score") >= 5.0)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val comps = graft.dedup.ConnectedComponents.cached(links, key = Some(
-        s"linkage-cc-v1|${graft.domain.SharedCache.planKey(t.customer)}"))
+        s"linkage-cc-v2|${graft.domain.SharedCache.planKey(t.customer)}"))
       val recs = comps.join(
         t.customer.select(col("c_custkey").as("id"),
           col("c_mktsegment").as("seg")), "id")
@@ -159,7 +164,7 @@ object Linkage {
         |  WHERE round(
         |    (CASE WHEN a.seg = b.seg THEN 2.5 ELSE -1.5 END) +
         |    (CASE WHEN a.band = b.band THEN 3.0 ELSE -2.0 END) +
-        |    (CASE WHEN a.chk = b.chk THEN 1.5 ELSE -0.5 END), 2) >= 7.0),
+        |    (CASE WHEN a.chk = b.chk THEN 1.5 ELSE -0.5 END), 2) >= 5.0),
         |sym AS (SELECT src AS a, dst AS b FROM links
         |        UNION SELECT dst, src FROM links),
         |walk(id, comp) AS (

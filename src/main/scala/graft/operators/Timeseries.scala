@@ -185,5 +185,55 @@ object Timeseries {
         |  ON f.event_type = s.event_type AND f.dow = s.dow""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(holt, stl)
+  // ---- MASE forecast-accuracy gate ------------------------------------
+
+  /** Mean Absolute Scaled Error (Hyndman & Koehler 2006) of the
+    * seasonal-naive forecaster (ŷ_t = y_{t−7}) against the in-sample
+    * naive baseline (y_{t−1}) over each event type's daily volume — the
+    * standard scale-free answer to "is the weekly rhythm actually
+    * predictive for this series?". MASE < 1 means exploiting seasonality
+    * beats carry-forward; a type drifting above 1 is the signal to
+    * re-fit whatever model publishes its indicator.
+    *
+    * Exactness: both MAEs are kept as BIGINT sums over the SAME row set
+    * (rows with a full 7-day history), and the ratio is one integer
+    * floor-division in parts-per-million — no float accumulates.
+    * Scale: one per-key window pass + one per-key aggregate; series key
+    * count bounds the shuffle, never event count.
+    */
+  private val mase = Q(
+    "e_forecast_mase",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      dailyCounts(Tables(s, d))
+        .withColumn("l1", lag(col("n"), 1).over(w))
+        .withColumn("l7", lag(col("n"), 7).over(w))
+        .filter(col("l7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("l7"))).as("seasonal_abs_err"),
+          sum(abs(col("n") - col("l1"))).as("naive_abs_err"))
+        .withColumn("mase_ppm",
+          expr("(1000000 * seasonal_abs_err) div naive_abs_err"))
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER w AS l1, lag(n, 7) OVER w AS l7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(abs(n - l7)) AS BIGINT) AS seasonal_abs_err,
+        |  CAST(sum(abs(n - l1)) AS BIGINT) AS naive_abs_err,
+        |  (1000000 * CAST(sum(abs(n - l7)) AS BIGINT))
+        |    // CAST(sum(abs(n - l1)) AS BIGINT) AS mase_ppm
+        |FROM lagged WHERE l7 IS NOT NULL
+        |GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(holt, stl, mase)
 }

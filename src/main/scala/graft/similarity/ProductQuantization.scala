@@ -102,10 +102,13 @@ object ProductQuantization {
       .select(col("m"), col("cid"),
         transform(col("px"), p => p.getField("x")).as("c"))
 
-  /** Train (seed + one refinement), encode the corpus, ADC-score the
-    * query set, top-k per query by (distance, id).
+  /** Train (seed + one refinement), encode the corpus, and ADC-score
+    * every (query, corpus) pair: (query_id, neighbor_id, adc). The
+    * un-ranked form is shared by [[pqTopK]] (global rank) and
+    * [[IvfPq]] (rank within IVF candidate lists).
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  private[similarity] def adcScores(corpus: DataFrame,
+      queries: DataFrame): DataFrame = {
     // train/encode are memoized through SharedCache (keyed on the corpus
     // plan + the PQ constants, version-tagged): a PQ index is trained
     // OFFLINE and serves many query batches — re-deriving the two full
@@ -174,10 +177,16 @@ object ProductQuantization {
     val dist = (0 until M).map { m =>
       expr(s"element_at(lut, element_at(codes, ${m + 1}) + 1)")
     }.reduceLeft(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
     scored
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dist.as("adc"))
+  }
+
+  /** Top-k per query by (ADC distance, id) over the full corpus. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc"), asc("neighbor_id"))
+    adcScores(corpus, queries)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -194,7 +203,13 @@ object ProductQuantization {
       s"(($a[$mExpr*$SubDim + $i]) - ($c[$i])) * (($a[$mExpr*$SubDim + $i]) - ($c[$i]))"
     }.mkString(" + ")
 
-  private def oracleSql: String = {
+  /** The PQ train→encode→ADC chain as reusable CTEs over an existing
+    * `en(vec_id, v)` frame, ending in `adcv(query_id, neighbor_id,
+    * adc_raw)` — shared by the standalone PQ oracle and the IVF-PQ
+    * composition (names prefixed `p` to avoid colliding with
+    * [[SimilarityQueries.ivfOracleCtes]]'s seeds/a0/rf).
+    */
+  private[similarity] def adcCtes: String = {
     // seed centroid for subspace m of seed vector s.v IS the slice —
     // index s.v at m*SubDim+i directly
     val dSeed = (1 to SubDim).map { i =>
@@ -206,26 +221,25 @@ object ProductQuantization {
     val pivot = (0 until M).map(m =>
       s"sum(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
     val total = (0 until M).map(m => s"d$m").mkString(" + ")
-    s"""WITH en AS MATERIALIZED (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |seeds AS (SELECT vec_id AS cid, v FROM en ORDER BY vec_id LIMIT $KSub),
+    s"""pseeds AS (SELECT vec_id AS cid, v FROM en
+       |           ORDER BY vec_id LIMIT $KSub),
        |ms AS (SELECT unnest(range(0, $M)) AS m),
-       |a0 AS MATERIALIZED (
+       |pa0 AS MATERIALIZED (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT en.vec_id, ms.m, s.cid,
        |      row_number() OVER (PARTITION BY en.vec_id, ms.m
        |        ORDER BY $dSeed, s.cid) AS rn
-       |    FROM en CROSS JOIN ms CROSS JOIN seeds s)
+       |    FROM en CROSS JOIN ms CROSS JOIN pseeds s)
        |  WHERE rn = 1),
-       |rf AS (
-       |  SELECT a0.m, a0.cid, p.i,
-       |    CAST(sum(CAST(en.v[a0.m*$SubDim + p.i] AS DECIMAL(30,9)))
+       |prf AS (
+       |  SELECT pa0.m, pa0.cid, p.i,
+       |    CAST(sum(CAST(en.v[pa0.m*$SubDim + p.i] AS DECIMAL(30,9)))
        |      AS DOUBLE) / count(*) AS x
-       |  FROM a0 JOIN en USING (vec_id),
+       |  FROM pa0 JOIN en USING (vec_id),
        |       LATERAL (SELECT unnest(range(1, ${SubDim + 1})) AS i) p
-       |  GROUP BY a0.m, a0.cid, p.i),
+       |  GROUP BY pa0.m, pa0.cid, p.i),
        |cb AS MATERIALIZED (
-       |  SELECT m, cid, list(x ORDER BY i) AS c FROM rf GROUP BY m, cid),
+       |  SELECT m, cid, list(x ORDER BY i) AS c FROM prf GROUP BY m, cid),
        |codes AS MATERIALIZED (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT en.vec_id, cb.m, cb.cid,
@@ -239,16 +253,25 @@ object ProductQuantization {
        |  FROM codes t JOIN cb ON t.m = cb.m AND t.cid = cb.cid
        |  CROSS JOIN (SELECT vec_id, v FROM en WHERE vec_id < 10) q
        |  WHERE q.vec_id <> t.vec_id),
-       |adc AS (
+       |adcp AS (
        |  SELECT query_id, neighbor_id, $pivot
-       |  FROM perm GROUP BY query_id, neighbor_id)
-       |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc_dist, rn FROM (
-       |  SELECT query_id, neighbor_id, ($total) AS adc_raw,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY ($total), neighbor_id) AS INT) AS rn
-       |  FROM adc)
-       |WHERE rn <= 5""".stripMargin
+       |  FROM perm GROUP BY query_id, neighbor_id),
+       |adcv AS (
+       |  SELECT query_id, neighbor_id, ($total) AS adc_raw FROM adcp)"""
+      .stripMargin
   }
+
+  private def oracleSql: String =
+    s"""WITH en AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$adcCtes
+       |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc_dist, rn
+       |FROM (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_raw, neighbor_id) AS INT) AS rn
+       |  FROM adcv)
+       |WHERE rn <= 5""".stripMargin
 
   private val q = Q(
     "ann_pq_topk",

@@ -651,7 +651,106 @@ object SimilarityQueries {
          |GROUP BY 1""".stripMargin),
   )
 
+  // ---- NDCG@10 retrieval-quality gate ---------------------------------
+
+  /** round(1e6 / log2(rank+1)) — the DCG discount per rank as exact
+    * integers, so the gain sum is BIGINT algebra and the only division
+    * is the final ppm ratio. Float DCG would hash differently per
+    * accumulation order.
+    */
+  private val ndcgWeights = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+  private val ndcgCum = ndcgWeights.scanLeft(0L)(_ + _).tail
+
+  /** NDCG@10 of cosine retrieval against same-label relevance — the
+    * graded-ranking companion to `sim_recall_at_k` (recall says WHETHER
+    * the right neighbors surfaced; NDCG says whether they surfaced
+    * EARLY, which is what a retrieval-augmented pipeline actually pays
+    * for). Ideal DCG uses the true per-label relevant count (n_label−1,
+    * capped at k), so a query whose label has < k members is not
+    * penalised for the unfillable tail.
+    *
+    * Scale: rides the same broadcast-queries brute ranking as the
+    * oracle-ceiling ANN rows (queries broadcast, corpus streamed), plus
+    * one label-count aggregate broadcast back — nothing new shuffles.
+    */
+  private val ndcgAtK = Q(
+    "sim_ndcg_at_k",
+    (s, d) => {
+      val e = Tables(s, d).embeddings
+      val labels = e.select(col("vec_id"), col("label"))
+      val top = bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+      val w = ndcgWeights.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (u, i)) => when(col("rn") === i + 1, u).otherwise(acc)
+      }
+      val scored = top
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("ql")), "query_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl")), "neighbor_id")
+        .withColumn("rel", when(col("ql") === col("nl"), 1L).otherwise(0L))
+        .withColumn("w", w)
+        .groupBy("query_id")
+        .agg(sum(col("rel") * col("w")).as("dcg_units"),
+          sum(col("rel")).as("n_rel_at_k"))
+      val nRel = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val ideal = e.filter(col("vec_id") < 10)
+        .join(broadcast(nRel), "label")
+        .select(col("vec_id").as("query_id"),
+          (col("n_label") - 1).as("n_rel"))
+      val idcg = ndcgCum.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (c, i)) =>
+          when(least(col("n_rel"), lit(10L)) === i + 1, c).otherwise(acc)
+      }
+      scored.join(ideal, "query_id")
+        .withColumn("idcg_units", idcg)
+        .withColumn("ndcg_ppm",
+          when(col("n_rel") === 0, 0L)
+            .otherwise(expr("(1000000 * dcg_units) div idcg_units")))
+        .select("query_id", "n_rel_at_k", "n_rel", "dcg_units", "ndcg_ppm")
+    },
+    Some {
+      val wCase = ndcgWeights.zipWithIndex
+        .map { case (u, i) => s"WHEN ${i + 1} THEN $u" }.mkString(" ")
+      val cumCase = ndcgCum.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+      s"""WITH top AS (
+         |  SELECT query_id, neighbor_id, rn FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+         |          c.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rn <= 10),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |agg AS (
+         |  SELECT t.query_id,
+         |    CAST(sum((CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) *
+         |      (CASE t.rn $wCase ELSE 0 END)) AS BIGINT) AS dcg_units,
+         |    CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_rel_at_k
+         |  FROM top t JOIN lab ql ON t.query_id = ql.vec_id
+         |             JOIN lab nl ON t.neighbor_id = nl.vec_id
+         |  GROUP BY 1),
+         |nlab AS (SELECT label, count(*) AS n_label
+         |         FROM embeddings GROUP BY 1),
+         |nr AS (
+         |  SELECT q.vec_id AS query_id,
+         |    CAST(n.n_label - 1 AS BIGINT) AS n_rel
+         |  FROM embeddings q JOIN nlab n ON q.label = n.label
+         |  WHERE q.vec_id < 10)
+         |SELECT a.query_id, a.n_rel_at_k, nr.n_rel, a.dcg_units,
+         |  CASE WHEN nr.n_rel = 0 THEN 0
+         |       ELSE (1000000 * a.dcg_units) //
+         |         (CASE least(nr.n_rel, 10) $cumCase ELSE 0 END)
+         |  END AS ndcg_ppm
+         |FROM agg a JOIN nr ON a.query_id = nr.query_id""".stripMargin
+    },
+  )
+
   def queries: Seq[Q] =
     Seq(brute, cosineDedup, ivf, quantized, semanticDedup, hardNegatives,
-      randomProjection, triplets, recallAtK)
+      randomProjection, triplets, recallAtK, ndcgAtK)
 }

@@ -108,5 +108,74 @@ object PiiScrub {
         |FROM customer GROUP BY 1, 2""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, kanon, ldiv)
+  /** t-closeness audit — the distributional member of the privacy
+    * triple (Li, Li & Venkatasubramanian 2007): a group can be
+    * k-anonymous AND l-diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs sharply from the global one (skewness
+    * attack). Per quasi-identifier group, total-variation distance
+    * between the group's sensitive-band distribution and the corpus
+    * distribution; groups beyond t = 0.3 are flagged.
+    *
+    * Exactness: TVD over a common denominator —
+    * Σ_b |n_gb·N − n_b·N_g| / (2·N_g·N) — stays in BIGINT until one
+    * final ppm floor-division. The group×band grid comes from a
+    * broadcastable cross join of two TINY aggregates (groups × bands),
+    * left-joined with the group-band counts, so absent bands contribute
+    * their full global mass; the fact table is scanned twice and never
+    * shuffled wider than its group keys. At fleet counts the BIGINT
+    * products (n·N ≤ 4·10¹⁸) near Long range — swap to DECIMAL(38,0)
+    * there, identical plan.
+    */
+  private val tclose = Q(
+    "p13_t_closeness",
+    (s, d) => {
+      val rows = graft.Tables(s, d).customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("band"))
+      val global = rows.groupBy("band").agg(count(lit(1)).as("n_b"))
+      val groups = rows.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_g"))
+      val cells = rows.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("n_gb"))
+      val total = rows.agg(count(lit(1)).as("n_total"))
+      val grid = groups.crossJoin(broadcast(global))
+        .crossJoin(broadcast(total))
+        .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .withColumn("n_gb", coalesce(col("n_gb"), lit(0L)))
+      grid.groupBy("c_nationkey", "c_mktsegment")
+        .agg(max(col("n_g")).as("n"),
+          expr("sum(abs(n_gb * n_total - n_b * n_g))").as("tvd_num"),
+          max(expr("2 * n_g * n_total")).as("tvd_den"))
+        .withColumn("tvd_ppm", expr("(1000000 * tvd_num) div tvd_den"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("tvd_ppm"), (col("tvd_ppm") > 300000).as("skewed"))
+    },
+    Some(
+      """WITH rows_ AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+        |  FROM customer),
+        |gb AS (SELECT band, count(*) AS n_b FROM rows_ GROUP BY 1),
+        |grps AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_g
+        |         FROM rows_ GROUP BY 1, 2),
+        |cells AS (SELECT c_nationkey, c_mktsegment, band,
+        |            count(*) AS n_gb
+        |          FROM rows_ GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS n_total FROM rows_),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.n_b,
+        |    t.n_total, coalesce(c.n_gb, 0) AS n_gb
+        |  FROM grps g CROSS JOIN gb b CROSS JOIN tot t
+        |  LEFT JOIN cells c
+        |    ON c.c_nationkey = g.c_nationkey
+        |   AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band)
+        |SELECT c_nationkey, c_mktsegment, max(n_g) AS n,
+        |  CAST((1000000 * sum(abs(n_gb * n_total - n_b * n_g)))
+        |    // max(2 * n_g * n_total) AS BIGINT) AS tvd_ppm,
+        |  CAST((1000000 * sum(abs(n_gb * n_total - n_b * n_g)))
+        |    // max(2 * n_g * n_total) AS BIGINT) > 300000 AS skewed
+        |FROM grid GROUP BY 1, 2""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, kanon, ldiv, tclose)
 }

@@ -22,6 +22,25 @@ class TimeseriesSpec extends SparkSpec {
     dir
   }
 
+  test("mase: a perfect weekly rhythm scores 0 once history covers it") {
+    // 4 repetitions of a period-7 pattern: the seasonal-naive forecast
+    // (lag 7) is exact from day 8 on → numerator 0 → MASE = 0, while
+    // the naive lag-1 denominator sees the within-week swings
+    val pattern = Seq(5L, 1L, 2L, 1L, 3L, 1L, 9L)
+    val days = (0 until 28).map { t =>
+      ("view", f"2024-01-${t + 1}%02d", pattern(t % 7))
+    }
+    val dir = eventsDir(days)
+    val rows = graft.Registry.byName("e_forecast_mase")
+      .run(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 21L, s"n_days ${r.getLong(1)}") // 28 − 7
+    assert(r.getLong(2) == 0L, s"seasonal err ${r.getLong(2)}")
+    assert(r.getLong(3) > 0L)
+    assert(r.getLong(4) == 0L, s"mase_ppm ${r.getLong(4)}")
+  }
+
   test("holt tracks a linear ramp: level ≈ y, trend ≈ slope") {
     // y_t = 100 + 5·t over 25 days: after the 10-tap window fills, the
     // truncated filter's level must sit near the series and the trend
