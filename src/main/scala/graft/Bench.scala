@@ -166,6 +166,25 @@ object Bench {
     "j18_entity_golden_records",
     "a35_theilsen_trend",
     "t_ngram_novelty",
+    // round 5 (cont.): bootstrap uncertainty, Hilbert layout, forecast
+    // gate, retrieval quality, production ANN composition, cluster
+    // diagnostics, graph centrality, keyword graph
+    "a36_poisson_bootstrap_ci",
+    "f17_hilbert_key",
+    "e_forecast_mase",
+    "sim_ndcg_at_k",
+    "ann_ivfpq_topk",
+    "sim_silhouette",
+    "d19_harmonic_centrality",
+    "t_textrank_keywords",
+    "p13_t_closeness",
+    // round 5 (cont.): data contracts, dead-letter split, Benford,
+    // corpus concentration + Zipf fit
+    "a37_expectation_audit",
+    "s24_quarantine_split",
+    "a38_benford_audit",
+    "t_source_gini",
+    "t_zipf_slope",
   )
 
   def main(args: Array[String]): Unit = {

@@ -26,6 +26,7 @@ object Registry {
       operators.Linkage.all ++
       operators.Bloom.queries ++
       operators.Bootstrap.queries ++
+      operators.Audits.queries ++
       functions.Hilbert.queries ++
       operators.WindowedHll.queries ++
       functions.ScalarFns.all ++
@@ -42,6 +43,7 @@ object Registry {
       text.Winnowing.queries ++
       text.TfIdfTerms.queries ++
       text.TextRank.queries ++
+      text.CorpusShape.queries ++
       similarity.LabelAffinity.queries ++
       similarity.Silhouette.queries ++
       operators.Regression.all ++
