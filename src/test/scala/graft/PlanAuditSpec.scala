@@ -318,6 +318,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
   }
 
+  test("hilbert key is a pure map: zero shuffles, zero broadcasts") {
+    val p = plan("f17_hilbert_key")
+    assert(shuffles(p) == 0 && broadcasts(p) == 0,
+      p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("hilbert_key"), "codegen expression in the plan")
+  }
+
+  test("poisson bootstrap: the ×B explode collapses map-side") {
+    val p = plan("a36_poisson_bootstrap_ci")
+    // replicate means, CI window, point agg, final join — every
+    // exchange carries (group) or (group, replicate) keys, never rows×B
+    assert(!p.contains("SortAggregate"),
+      "weighted sums must stay in hash aggregation")
+    assert(shuffles(p) <= 4, s"shuffles=${shuffles(p)}")
+  }
+
+  test("expectation audit: one scan pass + broadcast anti join") {
+    val p = plan("a37_expectation_audit")
+    assert(broadcasts(p) >= 2, "customer dim + total must broadcast")
+    // exactly ONE hash exchange: the uniqueness constraint's exact
+    // count-distinct partials on the 8-byte key (map-side deduped —
+    // inherent to exact uniqueness without bucketed input). Every other
+    // constraint reduces to counters in the same global agg.
+    assert(shuffles(p) == 1, s"shuffles=${shuffles(p)}")
+  }
+
+  test("silhouette: centroid table broadcasts into the corpus scan") {
+    val p = plan("sim_silhouette")
+    assert(broadcasts(p) >= 1)
+    assert(!p.contains("CartesianProduct"),
+      "label fan-out must ride the broadcast, not a cartesian")
+  }
+
+  test("ivfpq: candidate join is broadcast equi, ADC rides the LUT") {
+    val p = plan("ann_ivfpq_topk")
+    assert(broadcasts(p) >= 2, "probes + LUT broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
