@@ -35,6 +35,7 @@ object Registry {
       dedup.Spectral.queries ++
       dedup.BottomK.queries ++
       dedup.KHop.queries ++
+      dedup.LinkPrediction.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.Rouge.queries ++
@@ -46,6 +47,7 @@ object Registry {
       text.CorpusShape.queries ++
       similarity.LabelAffinity.queries ++
       similarity.Silhouette.queries ++
+      similarity.DimTruncation.queries ++
       operators.Regression.all ++
       text.Bm25.queries ++
       text.HybridRetrieval.queries ++

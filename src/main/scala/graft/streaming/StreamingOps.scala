@@ -683,8 +683,77 @@ object StreamingOps {
     graft.operators.Regression.abOracle,
   )
 
+  /** Streaming data-contract monitor — `a37_expectation_audit` at
+    * ingest. Every constraint that reduces to a COUNTER is
+    * sum-mergeable, so a Complete-mode global aggregate holds exactly
+    * the batch audit at every trigger: not-null / range /
+    * accepted-values are per-row predicates, and referential integrity
+    * rides a stream-static broadcast left join evaluated per
+    * micro-batch. The one batch constraint deliberately absent is
+    * uniqueness — exact duplicate detection on a stream is keyed state
+    * (`dropDuplicates` + watermark), not a counter, and belongs to the
+    * dedup family's stateful rows. State here = five numbers, total.
+    */
+  private val contractParity = graft.Q(
+    "s25_streaming_contract_parity",
+    (s, d) => {
+      val stream = spooledStream(s, s"$d/orders.parquet")
+      val withRef = stream.join(
+        broadcast(graft.Tables(s, d).customer.select(col("c_custkey"))),
+        stream("o_custkey") === col("c_custkey"), "left_outer")
+      val agg = withRef.groupBy().agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("v_notnull"),
+        sum(when(col("o_totalprice") < 0d ||
+          col("o_totalprice") >= 300000d, 1L).otherwise(0L)).as("v_range"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("v_accepted"),
+        // unmatched AFTER the left join — includes null keys, exactly
+        // the batch anti-join count
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_ref"))
+      val name = sinkName("dc_")
+      runToMemory(agg, name, OutputMode.Complete())
+      s.table(name).select(
+        expr(
+          """stack(4,
+            |  'not_null:o_custkey',             v_notnull,
+            |  'range:o_totalprice[0,300000)',   v_range,
+            |  'accepted:o_orderstatus{O,F}',    v_accepted,
+            |  'referential:o_custkey->customer', v_ref)
+            |  AS (constraint, violations)""".stripMargin),
+        col("total"))
+        .withColumn("ok", col("violations") === 0L)
+    },
+    Some(
+      """WITH t AS (SELECT count(*) AS total FROM orders)
+        |SELECT c.constraint, c.violations, t.total,
+        |  c.violations = 0 AS ok
+        |FROM t CROSS JOIN (
+        |  SELECT 'not_null:o_custkey' AS constraint,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'range:o_totalprice[0,300000)',
+        |    CAST(sum(CASE WHEN o_totalprice < 0
+        |      OR o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted:o_orderstatus{O,F}',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'referential:o_custkey->customer',
+        |    CAST(count(*) AS BIGINT)
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)) c""".stripMargin),
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
       hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity,
-      bloomFilterParity, upsertParity, abParity)
+      bloomFilterParity, upsertParity, abParity, contractParity)
 }
