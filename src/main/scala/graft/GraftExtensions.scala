@@ -16,12 +16,17 @@ import graft.functions._
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // opt-in COUNT(DISTINCT) → HLL++ rewrite, governed per session by
+    // spark.graft.approxDistinct (see the rule's scaladoc)
+    e.injectOptimizerRule(session =>
+      graft.plans.ApproxDistinctRewrite(session))
+  }
 }
 
 /** The same function surface, attachable to an already-running session
@@ -47,6 +52,7 @@ object GraftFunctions {
       JaccardOps.JaccardSortedExpr(exprs.head, exprs(1))),
     "vec_dot" -> (exprs => VectorOps.DotExpr(exprs.head, exprs(1))),
     "vec_l1" -> (exprs => VectorOps.L1Expr(exprs.head, exprs(1))),
+    "hilbert_key" -> (exprs => HilbertExpr(exprs.head, exprs(1))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

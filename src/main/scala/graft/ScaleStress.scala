@@ -68,6 +68,30 @@ object ScaleStress {
     s.read.parquet(out)
   }
 
+  /** ×N embeddings: per-shard deterministic elementwise perturbation —
+    * DISTINCT vectors with the same scale and label structure (verbatim
+    * copies would make every copy an exact dup and collapse ANN
+    * ranking into tie-breaks — a different workload).
+    */
+  private def scaledEmb(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      emb.crossJoin(shards)
+        .select(
+          (col("vec_id") + col("shard").cast("long") * 100000000L)
+            .as("vec_id"),
+          expr("""transform(embedding, (x, i) ->
+                 |  CAST(x + 0.01d * ((shard * 31 + i) % 7 - 3)
+                 |       AS FLOAT))""".stripMargin).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -131,8 +155,42 @@ object ScaleStress {
       time("fuzzy_name_join", factor) {
         operators.Extended.fuzzyNameJoin(partN).count() },
     ).toMap
-    for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join")) {
-      val r = results(s"$op@x$factor") / results(s"$op@x1")
+
+    // ---- ANN/cluster-diagnostic family over ×N embeddings ----
+    val emb1 = scaledEmb(spark, sfDir, 1, s"$scaleDir/emb_x1.parquet")
+    val embN = scaledEmb(spark, sfDir, factor,
+      s"$scaleDir/emb_x$factor.parquet")
+    // warmup (compiled plans) on the small corpus
+    val warmE = spark.read.parquet(s"$sfDir/../sf0.01/embeddings.parquet")
+    similarity.IvfPq.ivfPqTopK(warmE,
+      warmE.filter(col("vec_id") < 10), 5).count()
+    similarity.Silhouette.scores(warmE).count()
+
+    val annResults = Seq(
+      // cold = index build (IVF train/assign + PQ train/encode) + query
+      time("ivfpq_build_and_query", 1) {
+        similarity.IvfPq.ivfPqTopK(emb1,
+          emb1.filter(col("vec_id") < 10), 5).count() },
+      time("ivfpq_build_and_query", factor) {
+        similarity.IvfPq.ivfPqTopK(embN,
+          embN.filter(col("vec_id") < 10), 5).count() },
+      // served = artifacts already in the shared cache → query cost only
+      time("ivfpq_query_served", 1) {
+        similarity.IvfPq.ivfPqTopK(emb1,
+          emb1.filter(col("vec_id") < 10), 5).count() },
+      time("ivfpq_query_served", factor) {
+        similarity.IvfPq.ivfPqTopK(embN,
+          embN.filter(col("vec_id") < 10), 5).count() },
+      time("silhouette", 1) {
+        similarity.Silhouette.scores(emb1).count() },
+      time("silhouette", factor) {
+        similarity.Silhouette.scores(embN).count() },
+    ).toMap
+
+    val all = results ++ annResults
+    for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join",
+      "ivfpq_build_and_query", "ivfpq_query_served", "silhouette")) {
+      val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }
     spark.stop()

@@ -53,4 +53,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.TextSketches.fnv1a64(UTF8String.fromString("abc")))
     assert(row.getString(2) == "café")
   }
+
+  test("SQL surface: hilbert_key matches the static walk") {
+    val row = spark.sql("SELECT hilbert_key(17L, 200L) AS hk").head()
+    assert(row.getLong(0) == graft.functions.Hilbert.xy2d(17L, 200L))
+  }
 }
