@@ -55,9 +55,19 @@ object GraftFunctions {
     "hilbert_key" -> (exprs => HilbertExpr(exprs.head, exprs(1))),
   )
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // the optimizer rule for sessions built WITHOUT extensions
+    // (notebooks, shared test sessions): experimental rules run after
+    // the optimizer batches, where the single-distinct aggregate still
+    // carries its isDistinct flag; double registration is harmless —
+    // the rewritten node no longer matches
+    val rule = graft.plans.ApproxDistinctRewrite(spark)
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }

@@ -109,35 +109,38 @@ object KHop {
       .groupBy("root")
       .agg(sum(expr("1000000 div dist")).as("harmonic_units"))
 
-  // On the nation-chain graph the true distance is the rank gap, so the
-  // oracle states harmonic centrality in closed form from the rank
-  // window alone — fully independent of the BFS machinery.
+  // On the chain graph the true distance is the rank gap, so the oracle
+  // states harmonic centrality in closed form from the rank window
+  // alone — fully independent of the BFS machinery. Chains group on
+  // s_nationkey mod 4 (plain nationkey leaves every sf0.001 nation a
+  // singleton — no edges, no graph).
   private val hq = Q(
     "d19_harmonic_centrality",
     (s, d) => {
       val t = Tables(s, d)
-      val w = Window.partitionBy("s_nationkey").orderBy(asc("s_suppkey"))
+      val grp = pmod(col("s_nationkey"), lit(4)).as("grp")
+      val w = Window.partitionBy("grp").orderBy(asc("s_suppkey"))
       val ranked = t.supplier
-        .select(col("s_suppkey"), col("s_nationkey"))
+        .select(col("s_suppkey"), grp)
         .withColumn("rn", row_number().over(w))
       val edges = ranked.alias("a")
         .join(ranked.alias("b"),
-          col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.grp") === col("b.grp") &&
             col("a.rn") === col("b.rn") - 1)
         .select(col("a.s_suppkey").as("src"), col("b.s_suppkey").as("dst"))
       harmonic(edges).withColumnRenamed("root", "s_suppkey")
     },
     Some(
       s"""WITH ranked AS (
-         |  SELECT s_suppkey, s_nationkey,
-         |    row_number() OVER (PARTITION BY s_nationkey
-         |      ORDER BY s_suppkey) AS rn
+         |  SELECT s_suppkey,
+         |    row_number() OVER (PARTITION BY ((s_nationkey % 4) + 4) % 4
+         |      ORDER BY s_suppkey) AS rn,
+         |    ((s_nationkey % 4) + 4) % 4 AS grp
          |  FROM supplier),
          |pairs AS (
          |  SELECT a.s_suppkey, abs(a.rn - b.rn) AS d
          |  FROM ranked a JOIN ranked b
-         |    ON a.s_nationkey = b.s_nationkey
-         |   AND a.s_suppkey <> b.s_suppkey
+         |    ON a.grp = b.grp AND a.s_suppkey <> b.s_suppkey
          |  WHERE abs(a.rn - b.rn) <= $MaxHops)
          |SELECT s_suppkey,
          |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_units

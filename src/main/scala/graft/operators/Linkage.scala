@@ -188,5 +188,67 @@ object Linkage {
         |GROUP BY 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(linkage, audit, golden)
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * sort-based alternative to j15's hash blocking: sort records on a
+    * fuzzy key and compare each against its next `w−1` neighbors. Where
+    * fixed banding (p9 / j15's band field) misses pairs that straddle a
+    * band boundary, adjacency in the sorted order catches them — the
+    * classic ER recall lever, usually unioned with hash blocking.
+    *
+    * Scale shape: the sort is PER SEGMENT (partitioned window —
+    * segments are the natural coarse block, so no global single-task
+    * sort), and the window emits `w−1` lead pairs per record: candidate
+    * volume is exactly (w−1)·n, linear by construction. At fleet scale
+    * the segment partitioning becomes repartitionByRange on the sort
+    * key with per-partition windows — same plan, boundary pairs
+    * recovered by the standard overlap trick.
+    */
+  private val snm = Q(
+    "j19_sorted_neighborhood",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(asc("c_acctbal"), asc("c_custkey"))
+      val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+      val ranked = Tables(s, d).customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          cents.as("cents"))
+      val pairs = (1 to 2).map { i =>
+        ranked
+          .withColumn("id_b", lead(col("c_custkey"), i).over(w))
+          .withColumn("cents_b", lead(col("cents"), i).over(w))
+          .filter(col("id_b").isNotNull)
+          .select(col("c_mktsegment").as("seg"),
+            col("c_custkey").as("id_a"), col("id_b"),
+            lit(i).as("w_dist"),
+            (col("cents_b") - col("cents")).as("bal_gap_cents"))
+      }.reduce(_.unionByName(_))
+      pairs.withColumn("candidate", col("bal_gap_cents") <= 1000L)
+    },
+    Some(
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_acctbal
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_mktsegment AS seg, c_custkey AS id_a,
+        |    lead(c_custkey, 1) OVER w AS id_b,
+        |    1 AS w_dist,
+        |    lead(cents, 1) OVER w - cents AS bal_gap_cents
+        |  FROM ranked
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY c_acctbal, c_custkey)
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_custkey,
+        |    lead(c_custkey, 2) OVER w2, 2,
+        |    lead(cents, 2) OVER w2 - cents
+        |  FROM ranked
+        |  WINDOW w2 AS (PARTITION BY c_mktsegment
+        |                ORDER BY c_acctbal, c_custkey))
+        |SELECT seg, id_a, id_b, w_dist, bal_gap_cents,
+        |  bal_gap_cents <= 1000 AS candidate
+        |FROM p WHERE id_b IS NOT NULL""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(linkage, audit, golden, snm)
 }

@@ -9,13 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ApproxDistinctRewriteSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("approx-distinct-spec")
-    .withExtensions(new graft.GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = {
+    // getOrCreate may return a session another suite built WITHOUT the
+    // extensions — attach via the running-session path (which is also
+    // what this test then exercises); on a fresh session the injected
+    // rule and the experimental rule coexist idempotently
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("approx-distinct-spec")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.GraftFunctions.register(s)
+    s
+  }
 
   private def df = {
     import spark.implicits._
