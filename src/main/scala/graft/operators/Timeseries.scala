@@ -235,5 +235,50 @@ object Timeseries {
         |GROUP BY 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(holt, stl, mase)
+  // ---- time-weighted average ------------------------------------------
+
+  /** Time-weighted mean of a sampled value per series — the correct
+    * mean when observations arrive irregularly (a value holds until the
+    * next observation, so each sample weights by its holding interval;
+    * the arithmetic mean over-weights bursts). The sensor/market-data
+    * aggregation the evenly-spaced daily operators above don't cover.
+    *
+    * Exactness: values in milli-units, intervals in microseconds, the
+    * weighted sum as BIGINT (fits ≈10⁵ milli × 10¹³ µs of series span;
+    * beyond that swap the sum to DECIMAL(38,0), same plan) and ONE
+    * floor-division at the end. Per-key window + agg; series count
+    * bounds the shuffle.
+    */
+  private val twa = Q(
+    "w16_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables(s, d).events
+        .select(col("event_type"), col("event_id"), col("ts"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("span_us"),
+          sum(col("vm") * col("dt_us")).as("vw"))
+        .select(col("event_type"), col("n_intervals"), col("span_us"),
+          expr("vw div span_us").as("twa_milli"))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm,
+        |    epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS dt_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_type, count(*) AS n_intervals,
+        |  CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |  CAST(sum(vm * dt_us) // sum(dt_us) AS BIGINT) AS twa_milli
+        |FROM e WHERE dt_us IS NOT NULL
+        |GROUP BY 1""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(holt, stl, mase, twa)
 }

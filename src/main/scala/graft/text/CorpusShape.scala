@@ -101,5 +101,50 @@ object CorpusShape {
          |FROM s""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(gini, zipf)
+  /** Per-document character-level Shannon entropy — the gibberish /
+    * base64-blob / keyboard-mash detector the word-level quality rules
+    * miss (natural language sits ~3.5–4.5 bits/char; hex dumps ~4,
+    * base64 ~6, single-char spam ~0). H = log2(n) − (Σ c·log2 c)/n
+    * from exact per-char counts; the only floats are per-distinct-char
+    * log2 calls summed decimal-stably (≤ alphabet-size terms per doc)
+    * and one final rounded expression.
+    *
+    * Scale: explode + (doc, char) count + doc-keyed agg — two linear
+    * map-side-combinable shuffles whose width is bounded by the
+    * alphabet, and docs never compare to each other.
+    */
+  private val entropy = Q(
+    "t_char_entropy",
+    (s, d) => {
+      val counts = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          graft.util.Stable.dsum(
+            col("c").cast("double") * log2(col("c").cast("double")), 9)
+            .as("clogc"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          round(log2(col("n").cast("double")) -
+            col("clogc") / col("n").cast("double"), 4).as("entropy_bits"))
+    },
+    Some(
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |  FROM documents),
+         |cc AS (
+         |  SELECT doc_id, ch, count(*) AS c FROM ch
+         |  WHERE ch <> '' GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |  count(*) AS n_distinct,
+         |  round(log2(CAST(sum(c) AS DOUBLE)) -
+         |    ${graft.util.Stable.dsumSql(
+        "CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))", 9)}
+         |    / CAST(sum(c) AS DOUBLE), 4) AS entropy_bits
+         |FROM cc GROUP BY 1""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(gini, zipf, entropy)
 }

@@ -41,6 +41,26 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getLong(4) == 0L, s"mase_ppm ${r.getLong(4)}")
   }
 
+  test("time-weighted average weights each value by its holding time") {
+    val dir = java.nio.file.Files.createTempDirectory("twa").toString
+    import spark.implicits._
+    // value 10 holds 3 s, value 20 holds 1 s → TWA = 12.5; the final
+    // observation has no interval and is excluded
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 20.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 999.0),
+    ).map { case (id, ts, v) => (id, ts, 1L, "tick", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.Registry.byName("w16_time_weighted_avg")
+      .run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2L)
+    assert(r.head.getLong(2) == 4000000L)
+    assert(r.head.getLong(3) == 12500L, s"twa ${r.head.getLong(3)}")
+  }
+
   test("holt tracks a linear ramp: level ≈ y, trend ≈ slope") {
     // y_t = 100 + 5·t over 25 days: after the 10-tap window fills, the
     // truncated filter's level must sit near the series and the trend

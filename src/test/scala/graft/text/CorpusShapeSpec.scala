@@ -28,6 +28,16 @@ class CorpusShapeSpec extends SparkSpec {
       .collect().head.getLong(2) == 0L)
   }
 
+  test("char entropy: exact bits for degenerate and uniform alphabets") {
+    val d = dir(Seq(
+      (1L, "aaaa", "A"),   // one symbol → 0 bits
+      (2L, "abab", "A"),   // two equiprobable → 1 bit
+      (3L, "abcd", "A"))) // four equiprobable → 2 bits
+    val got = graft.Registry.byName("t_char_entropy").run(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0), s"got $got")
+  }
+
   test("zipf: a constructed 1/r vocabulary fits slope ≈ −1") {
     // token w_r appears max(60/r, 1) times: frequencies follow 1/rank
     val words = (1 to 30).flatMap(r =>
