@@ -185,6 +185,11 @@ object Bench {
     "a38_benford_audit",
     "t_source_gini",
     "t_zipf_slope",
+    "d20_link_prediction",
+    "sim_dim_truncation_recall",
+    "j19_sorted_neighborhood",
+    "t_char_entropy",
+    "w16_time_weighted_avg",
   )
 
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,7 @@ object Registry {
       text.TfIdfTerms.queries ++
       text.TextRank.queries ++
       text.CorpusShape.queries ++
+      text.BpeTrain.queries ++
       similarity.LabelAffinity.queries ++
       similarity.Silhouette.queries ++
       similarity.DimTruncation.queries ++
