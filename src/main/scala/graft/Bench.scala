@@ -190,6 +190,12 @@ object Bench {
     "j19_sorted_neighborhood",
     "t_char_entropy",
     "w16_time_weighted_avg",
+    // round 6: native as-of exec (custom SparkStrategy), interval-overlap
+    // join, Louvain sweep + personalized PageRank on the shared cooc graph
+    "j12b_asof_native",
+    "j20_interval_overlap_join",
+    "d21_louvain_move",
+    "d22_personalized_pagerank",
   )
 
   def main(args: Array[String]): Unit = {

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.approxDistinct (see the rule's scaladoc)
     e.injectOptimizerRule(session =>
       graft.plans.ApproxDistinctRewrite(session))
+    // whole-operator surface: the native backward as-of join
+    // (logical node + strategy + sort-merge exec, graft.plans.AsOfJoin)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -22,6 +22,7 @@ object Registry {
       operators.TimeWindows.all ++
       operators.Timeseries.all ++
       operators.Sessions.all ++
+      operators.IntervalJoin.all ++
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
@@ -36,6 +37,8 @@ object Registry {
       dedup.BottomK.queries ++
       dedup.KHop.queries ++
       dedup.LinkPrediction.queries ++
+      dedup.Louvain.queries ++
+      dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.Rouge.queries ++
@@ -70,6 +73,7 @@ object Registry {
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++
+      streaming.StreamingAsOf.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

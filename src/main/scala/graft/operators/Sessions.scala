@@ -87,11 +87,42 @@ object Sessions {
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("view_id"))
     },
-    Some(
-      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin),
+    asofOracleSql,
+  )
+
+  /** Shared by the composed (`j12`), native-exec (`j12b`) and streaming
+    * (`j12c`) as-of forms: all three must match DuckDB's ASOF JOIN
+    * exactly.
+    */
+  private[graft] def asofOracleSql = Some(
+    """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin)
+
+  /** The same as-of semantics through the engine's custom planner surface:
+    * logical [[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinStrategy]]
+    * → [[graft.plans.AsOfJoinExec]] sort-merge (see that file's scaladoc for
+    * why the physical operator beats the union+window composition). Oracle
+    * and output schema identical to `j12_asof_join`.
+    */
+  private val asofNative = Q(
+    "j12b_asof_native",
+    (s, d) => {
+      val e = Tables(s, d).events
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_event"))
+      graft.plans.AsOfJoin.backward(purchases, views,
+          leftKey = "user_id", rightKey = "v_user",
+          leftTimeCol = "ts", rightTimeCol = "v_ts",
+          rightTie = Some("v_event"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("v_event").as("view_id"))
+    },
+    asofOracleSql,
   )
 
   /** Ordered conversion funnel (view → click → purchase) with a per-step
@@ -348,6 +379,6 @@ object Sessions {
         |WHERE w.s > tot.t // 10""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(sessions, cubeQ, asof, funnel, transitions,
-    attribution, cusum)
+  def all: Seq[Q] = Seq(sessions, cubeQ, asof, asofNative, funnel,
+    transitions, attribution, cusum)
 }
