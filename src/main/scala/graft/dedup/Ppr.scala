@@ -59,15 +59,21 @@ object Ppr {
       val t = Tables(s, d)
       graft.domain.SharedCache.materialiseWith(s,
         graft.domain.SharedCache.defaultRoot, "ppr",
-        s"ppr-v1|${graft.domain.SharedCache.planKey(t.lineitem)}" +
+        // v2: seed rule = min PRESENT nation key (cache key must move
+        // with the seed definition, or a stale artifact answers)
+        s"ppr-v2|${graft.domain.SharedCache.planKey(t.lineitem)}" +
           s"|$Iterations")(
       {
         val und = CoocGraph.undirected(t)
         val edges = und.select(col("src"), col("dst"))
           .union(und.select(col("dst").as("src"), col("src").as("dst")))
-        val nodes = t.supplier.select(col("s_suppkey").as("id"),
-          when(col("s_nationkey") === 0, lit(SeedUnits)).otherwise(lit(0L))
-            .as("tp"))
+        // seeds = suppliers of the smallest nation key PRESENT (a fixed
+        // "nation 0" is empty at tiny SFs, degenerating every rank to 0)
+        val minNation = t.supplier.agg(min(col("s_nationkey")).as("mn"))
+        val nodes = t.supplier.crossJoin(broadcast(minNation))
+          .select(col("s_suppkey").as("id"),
+            when(col("s_nationkey") === col("mn"), lit(SeedUnits))
+              .otherwise(lit(0L)).as("tp"))
         run(edges, nodes).withColumnRenamed("id", "s_suppkey")
       })
     },
@@ -91,8 +97,9 @@ object Ppr {
          |      FROM edges JOIN deg ON edges.src = deg.src),
          |nodes AS (
          |  SELECT s_suppkey AS id,
-         |    CAST(CASE WHEN s_nationkey = 0 THEN $SeedUnits ELSE 0 END
-         |      AS BIGINT) AS tp
+         |    CAST(CASE WHEN s_nationkey =
+         |        (SELECT min(s_nationkey) FROM supplier)
+         |      THEN $SeedUnits ELSE 0 END AS BIGINT) AS tp
          |  FROM supplier),
          |r0 AS (SELECT id, tp AS rank FROM nodes),
          |$rounds

@@ -34,7 +34,9 @@ class PprSpec extends SparkSpec {
     val df = graft.Registry.byName("d22_personalized_pagerank")
       .run(spark, dir)
     val t = graft.Tables(spark, dir)
-    val seeds = t.supplier.filter(col("s_nationkey") === 0)
+    val minNation = t.supplier.agg(org.apache.spark.sql.functions
+      .min(col("s_nationkey"))).collect()(0).getAs[Number](0).longValue
+    val seeds = t.supplier.filter(col("s_nationkey") === minNation)
       .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
     val ranks = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(seeds.nonEmpty && ranks.nonEmpty)

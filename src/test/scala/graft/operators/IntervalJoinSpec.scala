@@ -60,8 +60,9 @@ class IntervalJoinSpec extends SparkSpec {
     val want = naive(iv).collect().map(_.toSeq).toSeq
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(got === want)
-    // the straddling pair appears exactly once despite 2 shared buckets
-    assert(got.keys.count(r => r.head == 3L) === 1)
+    // the straddling pair (3, 4) appears exactly once despite sharing
+    // 2 buckets (3 also overlaps 5's long interval — a separate pair)
+    assert(got(Seq(3L, h - 500L, 4L, h - 300L)) === 1)
     // disjoint pair absent
     assert(!got.keys.exists(r => r.head == 9L || r.head == 10L))
   }
