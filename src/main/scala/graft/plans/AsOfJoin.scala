@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.graft.PlanShim
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Native backward as-of join — the engine's whole-operator Catalyst
   * extension (SURVEY §7.3 preference (c): custom `LogicalPlan` +
@@ -203,8 +203,8 @@ object AsOfJoin {
       rightTie: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    val lPlan = PlanShim.analyzed(left)
-    val rPlan = PlanShim.analyzed(right)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(right)
     def res(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
@@ -215,6 +215,6 @@ object AsOfJoin {
       Seq(res(lPlan, leftKey)), Seq(res(rPlan, rightKey)),
       res(lPlan, leftTimeCol), res(rPlan, rightTimeCol),
       rightTie.map(res(rPlan, _)).toSeq)
-    PlanShim.ofRows(spark, node)
+    Bridge.ofRows(spark, node)
   }
 }
