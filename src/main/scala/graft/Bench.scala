@@ -196,6 +196,7 @@ object Bench {
     "j20_interval_overlap_join",
     "d21_louvain_move",
     "d22_personalized_pagerank",
+    "e_kaplan_meier",
   )
 
   def main(args: Array[String]): Unit = {

@@ -23,6 +23,7 @@ object Registry {
       operators.Timeseries.all ++
       operators.Sessions.all ++
       operators.IntervalJoin.all ++
+      operators.Survival.all ++
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
