@@ -197,6 +197,7 @@ object Bench {
     "d21_louvain_move",
     "d22_personalized_pagerank",
     "e_kaplan_meier",
+    "a39_weighted_median",
   )
 
   def main(args: Array[String]): Unit = {

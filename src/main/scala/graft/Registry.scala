@@ -24,6 +24,7 @@ object Registry {
       operators.Sessions.all ++
       operators.IntervalJoin.all ++
       operators.Survival.all ++
+      operators.WeightedMedian.all ++
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
