@@ -198,6 +198,7 @@ object Bench {
     "d22_personalized_pagerank",
     "e_kaplan_meier",
     "a39_weighted_median",
+    "j21_best_match_join",
   )
 
   def main(args: Array[String]): Unit = {
@@ -244,8 +245,19 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Between passes, give the ContextCleaner a chance to actually run:
+    // the iterative operators (CC, PageRank, PCA, spectral) localCheckpoint
+    // per round, and those RDD blocks are only released when a JVM GC
+    // collects their references. Across ~580 query executions on a large
+    // heap that almost never GCs on its own, stale blocks pile up in the
+    // block manager and later queries pay eviction churn — measured as a
+    // broad +0.3–0.8 s smear on mid-size queries in the full run that
+    // vanishes when the same queries run in isolation. An explicit GC at
+    // pass boundaries (never inside a timed region) keeps each pass's
+    // measurements independent of how many queries ran before it.
+    def sweep(): Unit = { System.gc(); Thread.sleep(500) }
     val cold = qs.map(n => n -> timeOne(n))
-    val warm = (1 to 3).map(_ => qs.map(n => n -> timeOne(n)))
+    val warm = (1 to 3).map { _ => sweep(); qs.map(n => n -> timeOne(n)) }
     val medians = qs.map { n =>
       val ts = warm.map(_.toMap.apply(n)).sorted
       n -> ts(ts.length / 2)

@@ -25,6 +25,8 @@ object Registry {
       operators.IntervalJoin.all ++
       operators.Survival.all ++
       operators.WeightedMedian.all ++
+      operators.BestMatch.all ++
+      sources.CsvRecovery.queries ++
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++

@@ -92,6 +92,33 @@ object ScaleStress {
     s.read.parquet(out)
   }
 
+  /** ×N events: shard-disjoint user populations (user/event ids offset
+    * per shard, timestamps unchanged) — per-user event structure is
+    * preserved exactly, so the as-of match count scales ×N and the
+    * per-key merge work per user stays constant: "more users", the way
+    * an event stream actually grows.
+    */
+  private def scaledEvents(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      ev.crossJoin(shards)
+        .select(
+          (col("event_id") + col("shard").cast("long") * 1000000000000L)
+            .as("event_id"),
+          col("ts"),
+          (col("user_id") + col("shard").cast("long") * 100000000L)
+            .as("user_id"),
+          col("event_type"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -187,9 +214,32 @@ object ScaleStress {
         similarity.Silhouette.scores(embN).count() },
     ).toMap
 
-    val all = results ++ annResults
+    // ---- as-of family over ×N events: composed union+window vs the
+    // native AsOfJoinExec, same result set ----
+    val ev1 = scaledEvents(spark, sfDir, 1, s"$scaleDir/events_x1.parquet")
+    val evN = scaledEvents(spark, sfDir, factor,
+      s"$scaleDir/events_x$factor.parquet")
+    val warmEv = spark.read.parquet(s"$sfDir/../sf0.01/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    operators.Sessions.asofComposed(warmEv).count()
+    operators.Sessions.asofNativeExec(warmEv).count()
+
+    val asofResults = Seq(
+      time("asof_composed", 1) {
+        operators.Sessions.asofComposed(ev1).count() },
+      time("asof_composed", factor) {
+        operators.Sessions.asofComposed(evN).count() },
+      time("asof_native", 1) {
+        operators.Sessions.asofNativeExec(ev1).count() },
+      time("asof_native", factor) {
+        operators.Sessions.asofNativeExec(evN).count() },
+    ).toMap
+
+    val all = results ++ annResults ++ asofResults
     for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join",
-      "ivfpq_build_and_query", "ivfpq_query_served", "silhouette")) {
+      "ivfpq_build_and_query", "ivfpq_query_served", "silhouette",
+      "asof_composed", "asof_native")) {
       val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }

@@ -62,31 +62,36 @@ object Sessions {
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin),
   )
 
+  /** As-of composed from built-ins (SURVEY §7.3 preference (a)): each
+    * purchase matched to the user's latest view at-or-before it.
+    * Union-tag both sides, order by (ts, kind) within user, and carry
+    * the last seen view id forward — one shuffle on user_id, no
+    * range-join explosion. kind sorts views before purchases at equal
+    * timestamps, matching ASOF's v.ts <= p.ts. Public over any events
+    * frame so the scale-stress harness can race it against the native
+    * exec.
+    */
+  def asofComposed(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("kind") === 1 && col("view_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"))
+  }
+
   private val asof = Q(
     "j12_asof_join",
-    (s, d) => {
-      // as-of join composed from built-ins (SURVEY §7.3 preference (a)):
-      // each purchase matched to the user's latest view at-or-before it.
-      // Union-tag both sides, order by (ts, kind) within user, and carry
-      // the last seen view id forward — one shuffle on user_id, no
-      // range-join explosion. kind sorts views before purchases at equal
-      // timestamps, matching ASOF's v.ts <= p.ts.
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, d).events
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
-      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("kind"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      views.unionByName(purchases)
-        .withColumn("view_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
-            .over(w))
-        .filter(col("kind") === 1 && col("view_id").isNotNull)
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("view_id"))
-    },
+    (s, d) => asofComposed(Tables(s, d).events),
     asofOracleSql,
   )
 
@@ -106,22 +111,24 @@ object Sessions {
     * why the physical operator beats the union+window composition). Oracle
     * and output schema identical to `j12_asof_join`.
     */
+  def asofNativeExec(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    graft.plans.AsOfJoin.backward(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTimeCol = "ts", rightTimeCol = "v_ts",
+        rightTie = Some("v_event"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("v_event").as("view_id"))
+  }
+
   private val asofNative = Q(
     "j12b_asof_native",
-    (s, d) => {
-      val e = Tables(s, d).events
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-          col("event_id").as("v_event"))
-      graft.plans.AsOfJoin.backward(purchases, views,
-          leftKey = "user_id", rightKey = "v_user",
-          leftTimeCol = "ts", rightTimeCol = "v_ts",
-          rightTie = Some("v_event"))
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("v_event").as("view_id"))
-    },
+    (s, d) => asofNativeExec(Tables(s, d).events),
     asofOracleSql,
   )
 
