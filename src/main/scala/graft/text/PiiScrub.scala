@@ -177,5 +177,46 @@ object PiiScrub {
         |FROM grid GROUP BY 1, 2""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, kanon, ldiv, tclose)
+  /** Joinable pseudonymization — the RELEASE side of the privacy family
+    * (p11–p13 audit what may be published; this transforms identifiers
+    * so it CAN be): every direct identifier is replaced by a keyed
+    * surrogate `md5(pepper ‖ id)` so cross-table joins still line up
+    * (referential integrity preserved) while the raw id never appears in
+    * the release. Deterministic given the pepper, rotating the pepper
+    * unlinks every release batch from the previous one. One codegen map
+    * per table + the usual equi join on the surrogate; the query PROVES
+    * joinability by aggregating events against a pseudonymized user dim
+    * on the surrogate alone.
+    */
+  private val pseud = Q(
+    "p14_pseudonymize_joinable",
+    (s, d) => {
+      val pepper = "graft-pepper-v1:"
+      def surrogate(c: org.apache.spark.sql.Column) =
+        substring(md5(concat(lit(pepper), c.cast("string"))), 1, 16)
+      val e = graft.Tables(s, d).events
+      val eventsP = e.select(surrogate(col("user_id")).as("pseud"),
+        col("event_type"))
+      val usersP = e.groupBy("user_id")
+        .agg(min(col("ts").cast("date")).as("first_day"))
+        .select(surrogate(col("user_id")).as("pseud"), col("first_day"))
+      eventsP.join(usersP, "pseud")
+        .groupBy("pseud", "first_day")
+        .agg(count(lit(1)).as("n_events"))
+    },
+    Some(
+      """WITH ep AS (
+        |  SELECT substring(md5('graft-pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+        |    AS pseud, event_type
+        |  FROM events),
+        |up AS (
+        |  SELECT substring(md5('graft-pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+        |    AS pseud, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id)
+        |SELECT ep.pseud, up.first_day, count(*) AS n_events
+        |FROM ep JOIN up USING (pseud)
+        |GROUP BY 1, 2""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(q, kanon, ldiv, tclose, pseud)
 }
