@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Native backward as-of join — the engine's whole-operator Catalyst
@@ -80,6 +81,11 @@ final case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  // report like the built-in joins so the SQL UI / metric-reading tools
+  // see the operator's output volume
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -100,6 +106,7 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -163,8 +170,10 @@ final case class AsOfJoinExec(
             if (lTime != null) {
               val lKey = lKeyProj(lRow)
               advance(lKey, lTime)
-              if (candRow != null && keyOrd.compare(candKey, lKey) == 0)
+              if (candRow != null && keyOrd.compare(candKey, lKey) == 0) {
                 out = resultProj(joined(lRow, candRow))
+                numOutputRows += 1
+              }
             }
           }
         }

@@ -58,4 +58,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val row = spark.sql("SELECT hilbert_key(17L, 200L) AS hk").head()
     assert(row.getLong(0) == graft.functions.Hilbert.xy2d(17L, 200L))
   }
+
+  test("planner surface: the as-of strategy is injected") {
+    // the extensions-built (or register()-patched) session must claim
+    // AsOfJoinPlan nodes without an explicit AsOfJoin.register call
+    graft.plans.AsOfJoin.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 200L)).toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOfJoin
+      .backward(l, r, "k", "rk", "t", "rt")
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.toSeq == Seq((100L, 200L)))
+  }
 }
