@@ -67,6 +67,35 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!got.keys.exists(r => r.head == 9L || r.head == 10L))
   }
 
+  test("property: equals the naive join on 15 random interval sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      iv <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 12L)
+        st <- Gen.choose(0L, 10L * W)       // spans ~10 buckets
+        len <- Gen.choose(0L, 3L * W)       // up to 3 buckets long
+      } yield (u, st, st + len))
+    } yield iv
+    (1 to 15).foreach { seed =>
+      val iv = sample(gen, seed.toLong)
+        // one interval per user keeps pairs well-defined w/o identity cols
+        .groupBy(_._1).map(_._2.head).toSeq
+        .toDF("user", "st", "en")
+      val got = bucketed(iv).collect().map(_.toSeq).toSet
+      val want = naive(iv).collect().map(_.toSeq).toSet
+      assert(got === want, s"mismatch at seed $seed")
+      // multiplicity check too: no pair may surface twice
+      val gotAll = bucketed(iv).collect().map(_.toSeq).toSeq
+      assert(gotAll.size === gotAll.toSet.size,
+        s"duplicate pair emitted at seed $seed")
+    }
+  }
+
   test("registered query returns rows at sf0.001") {
     val df = graft.Registry.byName("j20_interval_overlap_join")
       .run(spark, sf("sf0.001"))
