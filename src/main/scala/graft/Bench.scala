@@ -199,6 +199,7 @@ object Bench {
     "e_kaplan_meier",
     "a39_weighted_median",
     "j21_best_match_join",
+    "d_quality_exemplar",
   )
 
   def main(args: Array[String]): Unit = {

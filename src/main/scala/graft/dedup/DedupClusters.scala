@@ -216,5 +216,69 @@ object DedupClusters {
         |FROM wc""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, corpusQ, contrastiveQ, clusterSplitQ)
+  /** Quality-aware exemplar selection — FineWeb-style "keep the best
+    * copy": per near-dup cluster, the surviving document is the one
+    * with the MOST whitespace tokens (exact BIGINT, so the pick is
+    * engine-identical), ties to the smallest id; min-id exemplar (`d5`)
+    * is the arbitrary-but-stable default, this is the curation-quality
+    * upgrade. Adds one token-count map + one cluster-keyed
+    * WindowGroupLimit over the cached cluster table — the CC loop is
+    * shared, the window input is |matched docs|.
+    */
+  private val qualityExemplarQ = Q(
+    "d_quality_exemplar",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d).documents
+      val cl = clusters(docs, 0.8).select("doc_id", "cluster")
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(desc("toks"), asc("doc_id"))
+      cl.join(toks, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("exemplar_doc"),
+          col("toks").as("exemplar_tokens"), col("n_members"))
+    },
+    Some(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |                          string_split(text,' ')[i+1],
+        |                          string_split(text,' ')[i+2]))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+        |mem AS (SELECT id, min(comp) AS cluster FROM walk GROUP BY id),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |       FROM documents),
+        |r AS (
+        |  SELECT mem.cluster, mem.id, tk.toks,
+        |    row_number() OVER (PARTITION BY mem.cluster
+        |      ORDER BY tk.toks DESC, mem.id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY mem.cluster) AS n
+        |  FROM mem JOIN tk ON mem.id = tk.doc_id)
+        |SELECT cluster, id AS exemplar_doc, toks AS exemplar_tokens,
+        |  CAST(n AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin),
+  )
+
+  def queries: Seq[Q] =
+    Seq(q, corpusQ, contrastiveQ, clusterSplitQ, qualityExemplarQ)
 }
