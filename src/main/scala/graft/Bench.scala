@@ -200,6 +200,17 @@ object Bench {
     "a39_weighted_median",
     "j21_best_match_join",
     "d_quality_exemplar",
+    // round 5: zone maps, delta-join maintenance, SCD2 temporal join,
+    // removal attribution, DP release, lexical diversity, assortativity,
+    // STL anomaly gate
+    "s27_zonemap_prune",
+    "s28_incremental_join_maintenance",
+    "j22_scd2_temporal_join",
+    "e_removal_attribution",
+    "p15_dp_noisy_counts",
+    "t_lexical_diversity",
+    "d23_assortativity",
+    "e_stl_anomaly",
   )
 
   def main(args: Array[String]): Unit = {

@@ -30,6 +30,10 @@ object Registry {
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
+      operators.ZoneMaps.queries ++
+      operators.IncrementalJoin.queries ++
+      operators.TemporalJoin.queries ++
+      operators.RemovalAttribution.queries ++
       operators.Bootstrap.queries ++
       operators.Audits.queries ++
       functions.Hilbert.queries ++
@@ -42,6 +46,7 @@ object Registry {
       dedup.KHop.queries ++
       dedup.LinkPrediction.queries ++
       dedup.Louvain.queries ++
+      dedup.Assortativity.queries ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
@@ -52,6 +57,7 @@ object Registry {
       text.TfIdfTerms.queries ++
       text.TextRank.queries ++
       text.CorpusShape.queries ++
+      text.LexicalDiversity.queries ++
       text.BpeTrain.queries ++
       similarity.LabelAffinity.queries ++
       similarity.Silhouette.queries ++

@@ -129,12 +129,13 @@ object Timeseries {
     * to the engines' dow-numbering disagreements. Scale: two window
     * passes + one 35-row broadcast join; nothing global.
     */
-  private val stl = Q(
-    "e_stl_decompose",
-    (s, d) => {
+  /** Shared by `e_stl_decompose` and `e_stl_anomaly`: the decomposition
+    * frame with exact integer carriers + the derived float columns.
+    */
+  private def stlFrame(t: Tables): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(-3, 3)
-      val base = dailyCounts(Tables(s, d))
+      val base = dailyCounts(t)
         .withColumn("cnt7", count(lit(1)).over(w))
         .withColumn("t7", sum(col("n")).over(w))
         .filter(col("cnt7") === 7)
@@ -151,8 +152,12 @@ object Timeseries {
             (lit(7.0) * col("s_cnt").cast("double"))).as("seasonal"))
         .withColumn("residual",
           col("n").cast("double") - col("trend") - col("seasonal"))
-    },
-    Some(
+  }
+
+  /** The shared CTE prefix of the two STL oracles: everything up to the
+    * per-row residual.
+    */
+  private val stlOracleCtes =
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |    count(*) AS n
@@ -172,17 +177,75 @@ object Timeseries {
         |seas AS (
         |  SELECT event_type, dow, CAST(sum(detr7) AS BIGINT) AS s_num,
         |    count(*) AS s_cnt
-        |  FROM full7 GROUP BY 1, 2)
-        |SELECT f.event_type, f.day, CAST(f.n AS BIGINT) AS n, f.t7,
-        |  s.s_num, CAST(s.s_cnt AS BIGINT) AS s_cnt,
-        |  CAST(f.t7 AS DOUBLE) / 7.0 AS trend,
-        |  CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.s_cnt AS DOUBLE))
-        |    AS seasonal,
-        |  CAST(f.n AS DOUBLE) - (CAST(f.t7 AS DOUBLE) / 7.0)
-        |    - (CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.s_cnt AS DOUBLE)))
-        |    AS residual
-        |FROM full7 f JOIN seas s
-        |  ON f.event_type = s.event_type AND f.dow = s.dow""".stripMargin),
+        |  FROM full7 GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT f.event_type, f.day, CAST(f.n AS BIGINT) AS n, f.t7,
+        |    s.s_num, CAST(s.s_cnt AS BIGINT) AS s_cnt,
+        |    CAST(f.t7 AS DOUBLE) / 7.0 AS trend,
+        |    CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.s_cnt AS DOUBLE))
+        |      AS seasonal,
+        |    CAST(f.n AS DOUBLE) - (CAST(f.t7 AS DOUBLE) / 7.0)
+        |      - (CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.s_cnt AS DOUBLE)))
+        |      AS residual
+        |  FROM full7 f JOIN seas s
+        |    ON f.event_type = s.event_type AND f.dow = s.dow)""".stripMargin
+
+  private val stl = Q(
+    "e_stl_decompose",
+    (s, d) => stlFrame(Tables(s, d)),
+    Some(
+      s"""$stlOracleCtes
+         |SELECT * FROM resid""".stripMargin),
+  )
+
+  /** Anomaly gate on the STL residual — the detector the decomposition
+    * exists to feed: a day is anomalous when its residual sits more
+    * than `3` robust standard deviations from the per-series residual
+    * median, with the robust sd estimated as 1.4826·MAD (the
+    * normal-consistency constant). Median/MAD rather than mean/stddev
+    * because the statistic must not be dragged by the very outliers it
+    * is hunting — one bad deploy day would widen a stddev gate enough
+    * to hide the next one.
+    *
+    * Determinism: residuals are the fixed IEEE chain from [[stlFrame]];
+    * medians are exact (`percentile` ↔ `quantile_cont`, the `a4`
+    * parity), and the score is one subtract-abs-divide chain — no
+    * accumulation-order float anywhere. Scale: two tiny per-series
+    * aggregates (series × days rows) broadcast back; the heavy lifting
+    * was already paid by the shared daily rollup.
+    */
+  private val stlAnomaly = Q(
+    "e_stl_anomaly",
+    (s, d) => {
+      val r = stlFrame(Tables(s, d))
+        .select(col("event_type"), col("day"), col("n"), col("residual"))
+      val med = r.groupBy("event_type")
+        .agg(percentile(col("residual"), lit(0.5)).as("med"))
+      val mad = r.join(broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(percentile(abs(col("residual") - col("med")), lit(0.5))
+          .as("mad"))
+      r.join(broadcast(mad), "event_type")
+        .withColumn("score",
+          abs(col("residual") - col("med")) / (lit(1.4826) * col("mad")))
+        .withColumn("is_anomaly", col("score") > 3.0)
+        .select(col("event_type"), col("day"), col("n"), col("residual"),
+          col("med"), col("mad"), col("score"), col("is_anomaly"))
+    },
+    Some(
+      s"""$stlOracleCtes,
+         |med AS (
+         |  SELECT event_type, quantile_cont(residual, 0.5) AS med
+         |  FROM resid GROUP BY 1),
+         |mad AS (
+         |  SELECT r.event_type, m.med,
+         |    quantile_cont(abs(r.residual - m.med), 0.5) AS mad
+         |  FROM resid r JOIN med m USING (event_type)
+         |  GROUP BY 1, 2)
+         |SELECT r.event_type, r.day, r.n, r.residual, d.med, d.mad,
+         |  abs(r.residual - d.med) / (1.4826 * d.mad) AS score,
+         |  abs(r.residual - d.med) / (1.4826 * d.mad) > 3.0 AS is_anomaly
+         |FROM resid r JOIN mad d USING (event_type)""".stripMargin),
   )
 
   // ---- MASE forecast-accuracy gate ------------------------------------
@@ -280,5 +343,5 @@ object Timeseries {
         |GROUP BY 1""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(holt, stl, mase, twa)
+  def all: Seq[Q] = Seq(holt, stl, stlAnomaly, mase, twa)
 }

@@ -218,5 +218,83 @@ object PiiScrub {
         |GROUP BY 1, 2""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q, kanon, ldiv, tclose, pseud)
+  /** Differentially-private count release via the geometric mechanism
+    * (Ghosh–Roughgarden–Sundararajan): integer noise k with
+    * P(k) ∝ α^|k|, here α = 1/2 ⇒ ε = ln 2 for a sensitivity-1 count.
+    *
+    * The whole sampler is INTEGER inverse-CDF arithmetic, which is what
+    * makes a DP release reproducible across engines (and across
+    * re-runs, which an auditor will demand): with α = 1/2 the CDF
+    * values F(k)·3·2^53 are exact integers — 2^(54+k) for k<0,
+    * 3·2^53 − 2^(53−k) for k≥0 — precomputed once into a 107-row
+    * threshold table. The per-group uniform draw is the low 53 bits of
+    * the group key's FNV-1a hash (a keyed PRF stand-in; production
+    * would key it with a secret pepper like `p14`), scaled by 3, and
+    * the noise is the least k whose threshold exceeds the draw: a
+    * broadcast join + min, no floats anywhere until the published ε.
+    *
+    * The release keeps the true count alongside the noisy one ONLY so
+    * the oracle can check both; a production publisher drops `n` and
+    * `noise` and ships `noisy_n` (clipped at 0) + ε.
+    */
+  private val dpSalt = "|dp-v1"
+  // F(k)·M thresholds, M = 3·2^53: least k with draw*3 < T(k) is the
+  // geometric-mechanism inverse CDF (see scaladoc)
+  private def dpThresholds: Seq[(Int, Long)] = {
+    val M = BigInt(3) << 53
+    (-53 to 53).map { k =>
+      val t = if (k < 0) BigInt(1) << (54 + k) else M - (BigInt(1) << (53 - k))
+      k -> t.toLong
+    }
+  }
+
+  private val dp = Q(
+    "p15_dp_noisy_counts",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables(s, d).orders
+      val mask = (1L << 53) - 1
+      val groups = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          graft.functions.TextSketches.fnv1a(concat_ws("|",
+            col("o_orderpriority"), col("o_orderstatus"), lit(dpSalt)))
+            .bitwiseAND(lit(mask)) * 3L)
+      val thr = dpThresholds.toDF("tk", "tt")
+      groups
+        .join(broadcast(thr), col("u") < col("tt"))
+        .groupBy("o_orderpriority", "o_orderstatus", "n")
+        .agg(min(col("tk")).cast("long").as("noise"))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+          col("noise"),
+          greatest(lit(0L), col("n") + col("noise")).as("noisy_n"),
+          lit(0.6931471805599453d).as("epsilon"))
+    },
+    Some {
+      val values = dpThresholds
+        .map { case (k, t) => s"($k, $t)" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+         |      FROM orders GROUP BY 1, 2),
+         |items AS (SELECT o_orderpriority || '|' || o_orderstatus ||
+         |            '|$dpSalt' AS doc_id, 0 AS i,
+         |            o_orderpriority || '|' || o_orderstatus ||
+         |            '|$dpSalt' AS t
+         |          FROM g),
+         |${graft.functions.OracleSql.fnvFold("items")},
+         |u AS (SELECT doc_id,
+         |        CAST(h % 9007199254740992 AS BIGINT) * 3 AS u
+         |      FROM done),
+         |thr(tk, tt) AS (VALUES $values),
+         |nz AS (SELECT doc_id, CAST(min(tk) AS BIGINT) AS noise
+         |       FROM u JOIN thr ON u.u < thr.tt GROUP BY 1)
+         |SELECT g.o_orderpriority, g.o_orderstatus, g.n, nz.noise,
+         |  greatest(0, g.n + nz.noise) AS noisy_n,
+         |  CAST(0.6931471805599453 AS DOUBLE) AS epsilon
+         |FROM g JOIN nz ON nz.doc_id = g.o_orderpriority || '|' ||
+         |  g.o_orderstatus || '|$dpSalt'""".stripMargin
+    },
+  )
+
+  def queries: Seq[Q] = Seq(q, kanon, ldiv, tclose, pseud, dp)
 }

@@ -1,0 +1,115 @@
+package graft.text
+
+import graft.{Registry, SparkSpec}
+
+/** Geometric-mechanism properties of `p15_dp_noisy_counts`: the
+  * threshold table must be a valid inverse CDF for the α=1/2 discrete
+  * Laplace, and the release must be reproducible and correctly clipped.
+  */
+class DpNoiseSpec extends SparkSpec {
+
+  // re-derive the threshold table independently from the closed form
+  private def thresholds: Seq[(Int, BigInt)] = {
+    val M = BigInt(3) << 53
+    (-53 to 53).map { k =>
+      k -> (if (k < 0) BigInt(1) << (54 + k)
+            else M - (BigInt(1) << (53 - k)))
+    }
+  }
+
+  test("threshold table is strictly monotone and covers every draw") {
+    val t = thresholds
+    assert(t.sliding(2).forall { case Seq((_, a), (_, b)) => a < b })
+    // max draw is 3·(2^53 − 1); the last threshold must exceed it
+    assert(t.last._2 > (BigInt(3) << 53) - 3)
+    // P(noise = 0) = F(0) − F(−1) = 2/3 − 1/3 = 1/3 exactly
+    val m = t.toMap
+    assert((m(0) - m(-1)) * 3 == BigInt(3) << 53)
+    // symmetry: P(k) = P(−k) for k = 1..53
+    (1 to 53).foreach { k =>
+      assert(m(k) - m(k - 1) == m(-k) - m(-k - 1 max -53) ||
+        k == 53) // the −53 tail absorbs the open end
+    }
+  }
+
+  test("release is deterministic, integer, and clipped at zero") {
+    val a = Registry.byName("p15_dp_noisy_counts")
+      .run(spark, sf("sf0.001")).collect()
+    val b = Registry.byName("p15_dp_noisy_counts")
+      .run(spark, sf("sf0.001")).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    a.foreach { r =>
+      val n = r.getAs[Long]("n"); val noise = r.getAs[Long]("noise")
+      val noisy = r.getAs[Long]("noisy_n")
+      assert(noisy == math.max(0L, n + noise))
+      assert(math.abs(noise) <= 53)
+    }
+  }
+
+  test("empirical noise distribution matches alpha = 1/2") {
+    // the same inverse CDF over many distinct keys: P(0) → 1/3,
+    // P(±1) → 1/6 each; FNV's low 53 bits are uniform enough for a
+    // coarse band
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mask = (1L << 53) - 1
+    val thr = thresholds.map { case (k, t) => (k, t.toLong) }
+      .toDF("tk", "tt")
+    val draws = spark.range(20000)
+      .withColumn("u",
+        graft.functions.TextSketches.fnv1a(
+          concat(lit("key-"), col("id").cast("string")))
+          .bitwiseAND(lit(mask)) * 3L)
+    val dist = draws.join(broadcast(thr), col("u") < col("tt"))
+      .groupBy("id").agg(min("tk").as("noise"))
+      .groupBy("noise").count().collect()
+      .map(r => r.getAs[Int]("noise") -> r.getAs[Long]("count")).toMap
+    val p0 = dist.getOrElse(0, 0L).toDouble / 20000
+    assert(math.abs(p0 - 1.0 / 3.0) < 0.02, s"P(0)=$p0")
+    val p1 = dist.getOrElse(1, 0L).toDouble / 20000
+    val pm1 = dist.getOrElse(-1, 0L).toDouble / 20000
+    assert(math.abs(p1 - 1.0 / 6.0) < 0.02, s"P(1)=$p1")
+    assert(math.abs(pm1 - 1.0 / 6.0) < 0.02, s"P(-1)=$pm1")
+  }
+}
+
+/** Lexical diversity on hand fixtures. */
+class LexicalDiversitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(texts: Seq[String]) = {
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("lexdiv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Registry.byName("t_lexical_diversity").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("ttr extremes and msttr segmentation") {
+    val allUnique = (1 to 100).map("w" + _).mkString(" ")
+    val allSame = Seq.fill(100)("w").mkString(" ")
+    val short = "a b c"
+    val got = run(Seq(allUnique, allSame, short))
+    assert(got(0L).getAs[Double]("ttr") == 1.0)
+    assert(got(0L).getAs[Double]("msttr") == 1.0)
+    assert(got(0L).getAs[Long]("n_segments") == 2L)
+    assert(got(1L).getAs[Double]("ttr") == 0.01)
+    assert(got(1L).getAs[Double]("msttr") == 0.02) // 1 type per 50-window
+    // 3 tokens: no full 50-token segment → NULL msttr, not a biased one
+    assert(got(2L).isNullAt(got(2L).fieldIndex("msttr")))
+    assert(got(2L).getAs[Double]("ttr") == 1.0)
+  }
+
+  test("msttr is the mean of per-segment ttrs, full segments only") {
+    // 50 unique + 50 repeated + 25 trailing (dropped)
+    val text = ((1 to 50).map("u" + _) ++ Seq.fill(50)("r") ++
+      Seq.fill(25)("t")).mkString(" ")
+    val got = run(Seq(text))
+    val r = got(0L)
+    assert(r.getAs[Long]("n_segments") == 2L)
+    assert(math.abs(r.getAs[Double]("msttr") - (1.0 + 0.02) / 2) < 1e-9)
+    assert(r.getAs[Long]("n_tokens") == 125L)
+  }
+}
