@@ -146,13 +146,24 @@ object PageRank {
 object CoocGraph {
   def undirected(t: Tables): DataFrame = {
     val li = t.lineitem.select("l_orderkey", "l_suppkey")
+    // per-order array combinations instead of a self-join (see
+    // LinkPrediction.predict): one exchange on the order key, the same
+    // C(items,2) fanout, identical distinct edge set — this is the cold
+    // build all eight graph consumers share, so the saved exchanges pay
+    // once per cache fill
     graft.domain.SharedCache.materialiseWith(li.sparkSession,
       graft.domain.SharedCache.defaultRoot, "cooc_und",
       s"cooc-und-v1|${graft.domain.SharedCache.planKey(li)}")(
-      li.alias("x").join(li.alias("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+        // pinned spread before the C(n,2) fanout (SCALING.md)
+        .repartition(li.sparkSession.sparkContext.defaultParallelism)
+        .select(explode(expr(
+          """flatten(transform(ss, (p, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |            q -> struct(p AS src, q AS dst))))""".stripMargin))
+          .as("e"))
+        .select(col("e.src"), col("e.dst"))
         .distinct())
   }
 }

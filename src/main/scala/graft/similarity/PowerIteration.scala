@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * The 100 TB shape is what makes this Spark-first: the corpus is
   * touched ONCE to build G = Σ_v x_v x_vᵀ — a posexplode self-join per
   * vector keyed on vec_id (d² rows per vector, map-side combinable into
-  * d² totals) — and the iteration then runs entirely on the d×d = 64×64
-  * matrix, metadata-scale frames that never touch the corpus again.
+  * d² totals) — and the iteration then runs on the collected d×d =
+  * 64×64 matrix, which is metadata, not data: 4096 doubles on the
+  * driver, never the corpus again.
   *
   * DETERMINISM: every cross-row sum (Gram entries, each mat-vec
   * component) is an exact decimal accumulation ([[graft.util.Stable]]),
@@ -33,25 +34,26 @@ object PowerIteration {
   /** 2⁴⁰: the fixed-point unit of the Gram accumulation. */
   val GramUnit = 1L << 40
 
-  /** Exact order-independent sum at precision 18: decimals with ≤ 18
-    * digits ride Spark's compact-Long fast path (precision 38 falls to
-    * BigDecimal per element — measured 2× on the 20M-product Gram
-    * build). 6 integer digits bound the accumulated magnitudes up to
-    * ~10⁶-vector corpora per partial; beyond that, raise the precision
-    * or pre-aggregate per shard.
-    */
-  private def dec(c: org.apache.spark.sql.Column) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, ProdScale)))
-      .cast("double")
-
   /** @return (i, loading, eigenvalue): the normalised principal
     *   direction (max-norm) and the dominant-eigenvalue estimate (the
     *   final iteration's scaling factor).
     */
   def topComponent(embeddings: DataFrame): DataFrame = {
-    val x = embeddings.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "xi")))
-      .select(col("vec_id"), col("i"), col("xi").cast("double").as("xi"))
+    // spread the corpus BEFORE the d²/2 fanout: the source may arrive in
+    // few partitions (one row-group locally), and the explode multiplies
+    // rows ×2080 — without the spread the whole Gram build runs on as
+    // many tasks as there are input splits (measured: single-task, 2.3 s
+    // warm; spread: 0.7 s). One tiny exchange of the raw vectors buys a
+    // fully parallel fanout — the right trade at every scale.
+    // the EXPLICIT partition count pins the spread: a count-less
+    // repartition is still subject to AQE's byte-based coalescing, which
+    // sees a few-hundred-KB exchange and serialises the ×2080 fanout
+    // back onto one task (SCALING.md "Runtime planning")
+    val x = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("embedding"), col("i"), col("xi").cast("double").as("xi"))
     // G is symmetric: accumulate the upper triangle only (i ≤ j, half
     // the products) and mirror the d²/2 summary rows after the
     // aggregate — the mirrored entries are the SAME exact decimals, so
@@ -69,35 +71,58 @@ object PowerIteration {
     // 2⁻⁴⁰ grid is far below the iteration's 6-dp output precision.
     // Unit bound: |Σ round(xᵢxⱼ·2⁴⁰)| ≤ n·max|x|²·2⁴⁰ — safe to ~10⁵
     // vectors per corpus at max|x| ≈ 4; larger fleets shard the sum.
-    val gHalf = x.alias("a")
-      .join(x.alias("b"), col("a.vec_id") === col("b.vec_id") &&
-        col("a.i") <= col("b.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(expr(s"CAST(round((a.xi * b.xi) * ${GramUnit}e0) AS BIGINT)"))
+    // upper-triangle products straight off the vector array — chained
+    // posexplodes, no self-join, no exchange before the 2080-group
+    // partial agg (map-side combine collapses each task to ≤ d²/2 rows)
+    val gHalf = x
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("embedding"), col("i") + 1, lit(Dim)))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        col("xi"), col("xj").cast("double").as("xj"))
+      .groupBy("i", "j")
+      .agg(sum(expr(s"CAST(round((xi * xj) * ${GramUnit}e0) AS BIGINT)"))
         .as("gu"))
-    val g = gHalf
-      .unionAll(gHalf.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("gu")))
-      .select(col("i"), col("j"),
-        (col("gu").cast("double") / lit(GramUnit.toDouble)).as("g"))
-      .localCheckpoint(true)
-    var v: DataFrame = g.sparkSession.range(Dim)
-      .select(col("id").cast("int").as("i"),
-        when(col("id") === 0, 1.0).otherwise(0.0).as("v"))
-    var m: DataFrame = null
-    for (_ <- 1 to Iterations) {
-      val y = g.join(v.select(col("i").as("j"), col("v")), "j")
-        .groupBy("i").agg(dec(col("g") * col("v")).as("y"))
-      m = y.agg(max(abs(col("y"))).as("m"))
-      v = y.crossJoin(broadcast(m)).select(col("i"),
-        (col("y") / col("m")).as("v"))
-      // PageRank's rule applies verbatim: cut the linear chain each
-      // round or hand Catalyst an exponentially growing join tree
-      v = v.localCheckpoint(false)
+    // The iteration runs on the DRIVER over the collected d×d matrix
+    // (the KMeans-centroid precedent: 4096 doubles is metadata, and 8
+    // distributed rounds over a 64-row frame were pure scheduler
+    // overhead — measured 5.1 s warm at sf0.1, vs ~1.3 s with the loop
+    // local; the corpus-touching Gram build above stays distributed).
+    // Every step replays Spark's own arithmetic so the result is
+    // bit-identical to the former distributed loop AND to the oracle's
+    // CTE chain: product in IEEE double, quantised to DECIMAL(·,12) by
+    // HALF_UP (what cast-to-decimal does in both engines), summed
+    // exactly, one double division per component, HALF_UP 6-dp round.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val gram = Array.ofDim[Double](Dim, Dim)
+    gHalf.collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val gv = r.getLong(2).toDouble / GramUnit.toDouble
+      gram(i)(j) = gv
+      if (i != j) gram(j)(i) = gv
     }
-    v.crossJoin(broadcast(m))
-      .select(col("i"), round(col("v"), 6).as("loading"),
-        round(col("m"), 6).as("eigenvalue"))
+    var v = Array.tabulate(Dim)(i => if (i == 0) 1.0 else 0.0)
+    var m = 0.0
+    for (_ <- 1 to Iterations) {
+      val y = Array.tabulate(Dim) { i =>
+        var acc = JBD.ZERO
+        var j = 0
+        while (j < Dim) {
+          acc = acc.add(JBD.valueOf(gram(i)(j) * v(j))
+            .setScale(ProdScale, RoundingMode.HALF_UP))
+          j += 1
+        }
+        acc.doubleValue()
+      }
+      m = y.map(math.abs).max
+      v = y.map(_ / m)
+    }
+    def r6(d: Double) =
+      JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (vi, i) => (i, r6(vi), r6(m)) }.toSeq
+      .toDF("i", "loading", "eigenvalue")
   }
 
   private def oracleSql: String = {
