@@ -211,6 +211,10 @@ object Bench {
     "t_lexical_diversity",
     "d23_assortativity",
     "e_stl_anomaly",
+    "e_rfm_segments",
+    "a40_trimmed_mean",
+    "p16_policy_masking",
+    "s29_chunk_gc_plan",
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,6 +34,9 @@ object Registry {
       operators.IncrementalJoin.queries ++
       operators.TemporalJoin.queries ++
       operators.RemovalAttribution.queries ++
+      operators.Rfm.queries ++
+      operators.PolicyMasking.queries ++
+      operators.ChunkGc.queries ++
       operators.Bootstrap.queries ++
       operators.Audits.queries ++
       functions.Hilbert.queries ++

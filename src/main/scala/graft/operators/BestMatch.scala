@@ -23,7 +23,7 @@ object BestMatch {
   private val q = Q(
     "j21_best_match_join",
     (s, d) => {
-      val pairs = Extended.fuzzyNameJoin(Tables(s, d).part)
+      val pairs = Extended.fuzzyPairsCached(Tables(s, d).part)
       // symmetrize: each verified pair serves both endpoints as probes
       val sym = pairs.select(col("key_a").as("key"),
           col("key_b").as("match_key"), col("dist"))

@@ -752,8 +752,41 @@ object StreamingOps {
         |                    WHERE c.c_custkey = o.o_custkey)) c""".stripMargin),
   )
 
+  /** Zone-map maintenance at ingest (`s27_zonemap_prune`'s write side):
+    * count/min/max are all sum- or extremum-mergeable, so the manifest
+    * stats stay current as a Complete-mode streaming aggregate whose
+    * state is |zones| rows — the scan planner then prunes against stats
+    * that are never stale. Drained with AvailableNow, the final table
+    * must equal the batch stats build, which is what the oracle states.
+    */
+  private val zonemapParity = graft.Q(
+    "s27b_streaming_zonemap_parity",
+    (s, d) => {
+      val stream = spooledStream(s, s"$d/orders.parquet")
+        .select(col("o_orderdate").cast("timestamp").as("od"),
+          col("o_totalprice"))
+      val stats = stream
+        .groupBy((year(col("od")) * 100 + month(col("od"))).cast("long")
+          .as("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("zmin"),
+          max(col("o_totalprice")).as("zmax"))
+      val name = sinkName("zm_")
+      runToMemory(stats, name)
+      s.table(name).select(col("zone"), col("n_rows"), col("zmin"),
+        col("zmax"))
+    },
+    Some(
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |    AS BIGINT) AS zone,
+        |  count(*) AS n_rows, min(o_totalprice) AS zmin,
+        |  max(o_totalprice) AS zmax
+        |FROM orders GROUP BY 1""".stripMargin),
+  )
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
       hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity,
-      bloomFilterParity, upsertParity, abParity, contractParity)
+      bloomFilterParity, upsertParity, abParity, contractParity,
+      zonemapParity)
 }
