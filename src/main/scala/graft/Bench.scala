@@ -215,6 +215,8 @@ object Bench {
     "a40_trimmed_mean",
     "p16_policy_masking",
     "s29_chunk_gc_plan",
+    "a41_wilson_proportion_ci",
+    "s27b_streaming_zonemap_parity",
   )
 
   def main(args: Array[String]): Unit = {

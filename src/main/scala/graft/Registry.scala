@@ -37,6 +37,7 @@ object Registry {
       operators.Rfm.queries ++
       operators.PolicyMasking.queries ++
       operators.ChunkGc.queries ++
+      operators.WilsonCi.queries ++
       operators.Bootstrap.queries ++
       operators.Audits.queries ++
       functions.Hilbert.queries ++
@@ -50,6 +51,7 @@ object Registry {
       dedup.LinkPrediction.queries ++
       dedup.Louvain.queries ++
       dedup.Assortativity.queries ++
+      dedup.LshAudit.queries ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++

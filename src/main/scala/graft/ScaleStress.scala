@@ -119,6 +119,54 @@ object ScaleStress {
     s.read.parquet(out)
   }
 
+  /** ×N lineitem/orders: shard-disjoint key spaces (order, part,
+    * supplier, customer keys all offset per shard, dates unchanged) —
+    * per-order and per-customer structure is preserved exactly, so the
+    * cooc/incidence graphs become N disjoint copies (edges ×N, wedge
+    * work ×N, NOT ×N²) and the SCD2 version chains replicate per
+    * customer: "more entities", the way a fact table actually grows.
+    */
+  private def scaledLineitem(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice")
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      li.crossJoin(shards)
+        .select(
+          (col("l_orderkey") + col("shard").cast("long") * 1000000000L)
+            .as("l_orderkey"),
+          (col("l_partkey") + col("shard").cast("long") * 100000000L)
+            .as("l_partkey"),
+          (col("l_suppkey") + col("shard").cast("long") * 1000000L)
+            .as("l_suppkey"),
+          col("l_shipdate"), col("l_extendedprice"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  private def scaledOrders(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      o.crossJoin(shards)
+        .select(
+          (col("o_orderkey") + col("shard").cast("long") * 1000000000L)
+            .as("o_orderkey"),
+          (col("o_custkey") + col("shard").cast("long") * 10000000L)
+            .as("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -236,10 +284,45 @@ object ScaleStress {
         operators.Sessions.asofNativeExec(evN).count() },
     ).toMap
 
-    val all = results ++ annResults ++ asofResults
+    // ---- round-5 family: PCA gram build, SCD2 temporal join,
+    // assortativity, removal attribution ----
+    val li1 = scaledLineitem(spark, sfDir, 1, s"$scaleDir/li_x1.parquet")
+    val liN = scaledLineitem(spark, sfDir, factor,
+      s"$scaleDir/li_x$factor.parquet")
+    val or1 = scaledOrders(spark, sfDir, 1, s"$scaleDir/ord_x1.parquet")
+    val orN = scaledOrders(spark, sfDir, factor,
+      s"$scaleDir/ord_x$factor.parquet")
+    // warmups on the small corpus
+    similarity.PowerIteration.topComponent(warmE).count()
+    operators.TemporalJoin.temporalAgg(
+      spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet"),
+      spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet")).count()
+    def incidence(li: DataFrame) = li
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst")).distinct()
+    dedup.Assortativity.run(incidence(
+      spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet"))).count()
+
+    val r5Results = Seq(
+      time("pca_gram_build", 1) {
+        similarity.PowerIteration.topComponent(emb1).count() },
+      time("pca_gram_build", factor) {
+        similarity.PowerIteration.topComponent(embN).count() },
+      time("scd2_temporal_join", 1) {
+        operators.TemporalJoin.temporalAgg(or1, li1).count() },
+      time("scd2_temporal_join", factor) {
+        operators.TemporalJoin.temporalAgg(orN, liN).count() },
+      time("assortativity", 1) {
+        dedup.Assortativity.run(incidence(li1)).count() },
+      time("assortativity", factor) {
+        dedup.Assortativity.run(incidence(liN)).count() },
+    ).toMap
+
+    val all = results ++ annResults ++ asofResults ++ r5Results
     for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join",
       "ivfpq_build_and_query", "ivfpq_query_served", "silhouette",
-      "asof_composed", "asof_native")) {
+      "asof_composed", "asof_native",
+      "pca_gram_build", "scd2_temporal_join", "assortativity")) {
       val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }

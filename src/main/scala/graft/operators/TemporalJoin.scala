@@ -45,7 +45,7 @@ object TemporalJoin {
   /** The versioned dimension: per customer, priority-at-date versions
     * derived from their order history.
     */
-  private def scd2Versions(orders: DataFrame): DataFrame = {
+  def scd2Versions(orders: DataFrame): DataFrame = {
     val lastPerDay = Window.partitionBy("o_custkey", "o_orderdate")
       .orderBy(col("o_orderkey").desc)
     orders
@@ -56,22 +56,29 @@ object TemporalJoin {
         col("o_orderpriority").as("seg"))
   }
 
+  /** The full composition over any (orders, lineitem) pair — public so
+    * the scale-stress harness can race it on ×N inputs.
+    */
+  def temporalAgg(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val versions = scd2Versions(orders)
+    val facts = lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("f_custkey"),
+        col("l_shipdate").as("f_ts"), col("l_extendedprice"))
+    graft.plans.AsOfJoin.backward(facts, versions,
+        leftKey = "f_custkey", rightKey = "v_custkey",
+        leftTimeCol = "f_ts", rightTimeCol = "valid_from")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        Stable.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
   private val temporal = Q(
     "j22_scd2_temporal_join",
     (s, d) => {
       val t = Tables(s, d)
-      val versions = scd2Versions(t.orders)
-      val facts = t.lineitem
-        .join(t.orders.select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("f_custkey"),
-          col("l_shipdate").as("f_ts"), col("l_extendedprice"))
-      graft.plans.AsOfJoin.backward(facts, versions,
-          leftKey = "f_custkey", rightKey = "v_custkey",
-          leftTimeCol = "f_ts", rightTimeCol = "valid_from")
-        .groupBy("seg")
-        .agg(count(lit(1)).as("n"),
-          Stable.dsum(col("l_extendedprice")).as("sum_price"))
+      temporalAgg(t.orders, t.lineitem)
     },
     Some(
       s"""WITH v0 AS (
