@@ -217,6 +217,7 @@ object Bench {
     "s29_chunk_gc_plan",
     "a41_wilson_proportion_ci",
     "s27b_streaming_zonemap_parity",
+    "j20b_interval_native",
   )
 
   def main(args: Array[String]): Unit = {

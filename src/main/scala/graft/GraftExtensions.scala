@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator surface: the native backward as-of join
     // (logical node + strategy + sort-merge exec, graft.plans.AsOfJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // …and the native interval-overlap plane sweep
+    // (graft.plans.IntervalOverlapJoin)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

@@ -33,16 +33,18 @@ object IntervalJoin {
   /** 1-hour buckets in microseconds. */
   private val W = 3600L * 1000000L
 
+  private def sessions(t: Tables) = t.events
+    .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+    .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    .select(col("user_id"),
+      unix_micros(col("st")).as("st_us"),
+      unix_micros(col("en")).as("en_us"),
+      col("st"))
+
   private val overlap = Q(
     "j20_interval_overlap_join",
     (s, d) => {
-      val sess = Tables(s, d).events
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
-        .select(col("user_id"),
-          unix_micros(col("st")).as("st_us"),
-          unix_micros(col("en")).as("en_us"),
-          col("st"))
+      val sess = sessions(Tables(s, d))
       val a = sess.select(
         col("user_id").as("a_user"), col("st_us").as("a_st"),
         col("en_us").as("a_en"), col("st").as("session_start"),
@@ -80,5 +82,38 @@ object IntervalJoin {
         |GROUP BY 1, 2""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(overlap)
+  /** The same session-concurrency result through the native plane-sweep
+    * exec ([[graft.plans.IntervalOverlapJoin]]): buckets stay the equi
+    * key (they ARE the distribution answer for a keyless interval join),
+    * but WITHIN each bucket the sweep emits only true overlaps — the
+    * composed form materialises every co-bucketed pair and filters,
+    * paying |A_b|·|B_b| on dense buckets where the sweep pays
+    * output + concurrency. Same unique-bucket dedup rule, same oracle.
+    */
+  private val overlapNative = Q(
+    "j20b_interval_native",
+    (s, d) => {
+      val sess = sessions(Tables(s, d))
+      val a = sess.select(
+        col("user_id").as("a_user"), col("st_us").as("a_st"),
+        col("en_us").as("a_en"), col("st").as("session_start"),
+        explode(expr(s"sequence(st_us div $W, en_us div $W)"))
+          .as("a_bucket"))
+      val b = sess.select(
+        col("user_id").as("b_user"), col("st_us").as("b_st"),
+        col("en_us").as("b_en"),
+        explode(expr(s"sequence(st_us div $W, en_us div $W)"))
+          .as("b_bucket"))
+      graft.plans.IntervalOverlapJoin.overlap(a, b,
+          Seq("a_bucket"), Seq("b_bucket"),
+          "a_st", "a_en", "b_st", "b_en")
+        .filter(col("a_user") =!= col("b_user") &&
+          col("a_bucket") === expr(s"greatest(a_st, b_st) div $W"))
+        .groupBy(col("a_user").as("user_id"), col("session_start"))
+        .agg(count(lit(1)).as("n_concurrent"))
+    },
+    overlap.oracle, // identical semantics, shared oracle
+  )
+
+  def all: Seq[Q] = Seq(overlap, overlapNative)
 }
