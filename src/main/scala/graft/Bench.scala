@@ -218,6 +218,10 @@ object Bench {
     "a41_wilson_proportion_ci",
     "s27b_streaming_zonemap_parity",
     "j20b_interval_native",
+    "w17_mom_yoy_growth",
+    "a42_chisq_independence",
+    "d25_betweenness_sampled",
+    "a43_abc_pareto",
   )
 
   def main(args: Array[String]): Unit = {

@@ -38,6 +38,8 @@ object Registry {
       operators.PolicyMasking.queries ++
       operators.ChunkGc.queries ++
       operators.WilsonCi.queries ++
+      operators.Growth.queries ++
+      operators.Pareto.queries ++
       operators.Bootstrap.queries ++
       operators.Audits.queries ++
       functions.Hilbert.queries ++
@@ -52,6 +54,7 @@ object Registry {
       dedup.Louvain.queries ++
       dedup.Assortativity.queries ++
       dedup.LshAudit.queries ++
+      dedup.Betweenness.queries ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
