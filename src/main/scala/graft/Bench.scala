@@ -222,6 +222,8 @@ object Bench {
     "a42_chisq_independence",
     "d25_betweenness_sampled",
     "a43_abc_pareto",
+    "t_kn_crossentropy",
+    "s30_schema_drift",
   )
 
   def main(args: Array[String]): Unit = {

@@ -40,6 +40,7 @@ object Registry {
       operators.WilsonCi.queries ++
       operators.Growth.queries ++
       operators.Pareto.queries ++
+      operators.SchemaDrift.queries ++
       operators.Bootstrap.queries ++
       operators.Audits.queries ++
       functions.Hilbert.queries ++
@@ -66,6 +67,7 @@ object Registry {
       text.TextRank.queries ++
       text.CorpusShape.queries ++
       text.LexicalDiversity.queries ++
+      text.KnScoring.queries ++
       text.BpeTrain.queries ++
       similarity.LabelAffinity.queries ++
       similarity.Silhouette.queries ++
