@@ -224,6 +224,8 @@ object Bench {
     "a43_abc_pareto",
     "t_kn_crossentropy",
     "s30_schema_drift",
+    "j12d_asof_forward",
+    "d26_rich_club",
   )
 
   def main(args: Array[String]): Unit = {

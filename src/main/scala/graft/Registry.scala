@@ -56,6 +56,7 @@ object Registry {
       dedup.Assortativity.queries ++
       dedup.LshAudit.queries ++
       dedup.Betweenness.queries ++
+      dedup.RichClub.queries ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++

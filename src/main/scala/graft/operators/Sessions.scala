@@ -132,6 +132,43 @@ object Sessions {
     asofOracleSql,
   )
 
+  /** FORWARD as-of — each view matched to the user's NEXT purchase
+    * at-or-after it ("time to next conversion", the prospective twin of
+    * j12's retrospective read). No new physical operator: forward(t) ≡
+    * backward(−t), so the query feeds the SAME native sort-merge exec
+    * with reflected micro timestamps (and a negated id as the tie
+    * column, so the backward largest-tie rule lands on the SMALLEST
+    * event id forward — deterministic). DuckDB states the forward
+    * semantics natively (`ASOF JOIN ... ON v.ts <= p.ts`), so the
+    * reflection trick is proven, not assumed.
+    */
+  private val asofForward = Q(
+    "j12d_asof_forward",
+    (s, d) => {
+      val e = Tables(s, d).events
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (-unix_micros(col("ts"))).as("neg_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event"),
+          (-unix_micros(col("ts"))).as("p_neg_ts"),
+          (-col("event_id")).as("p_neg_id"))
+      graft.plans.AsOfJoin.backward(views, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTimeCol = "neg_ts", rightTimeCol = "p_neg_ts",
+          rightTie = Some("p_neg_id"))
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("p_event").as("purchase_id"))
+    },
+    Some(
+      """SELECT v.event_id AS view_id, v.user_id,
+        |  p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin),
+  )
+
   /** Ordered conversion funnel (view → click → purchase) with a per-step
     * conversion window: each user's first view, first click within
     * [[FunnelWindowHours]] hours AFTER that view, first purchase within
@@ -386,6 +423,6 @@ object Sessions {
         |WHERE w.s > tot.t // 10""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(sessions, cubeQ, asof, asofNative, funnel,
-    transitions, attribution, cusum)
+  def all: Seq[Q] = Seq(sessions, cubeQ, asof, asofNative, asofForward,
+    funnel, transitions, attribution, cusum)
 }
