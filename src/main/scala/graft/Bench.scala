@@ -226,6 +226,17 @@ object Bench {
     "s30_schema_drift",
     "j12d_asof_forward",
     "d26_rich_club",
+    // round 6: interval algebra, HITS, bounded SSSP, info stats,
+    // spatial grid join, hierarchy rollup
+    "w18_interval_merge",
+    "w19_interval_coverage",
+    "d27_hits",
+    "d28_sssp_bounded",
+    "w20_acf_lags",
+    "a44_mutual_info",
+    "a45_skyline",
+    "j23_geo_radius_join",
+    "j24_hierarchy_rollup",
   )
 
   def main(args: Array[String]): Unit = {

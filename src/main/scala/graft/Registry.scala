@@ -57,6 +57,12 @@ object Registry {
       dedup.LshAudit.queries ++
       dedup.Betweenness.queries ++
       dedup.RichClub.queries ++
+      dedup.Hits.queries ++
+      dedup.Sssp.queries ++
+      operators.Intervals.all ++
+      operators.InfoStats.all ++
+      operators.GeoJoin.all ++
+      operators.Hierarchy.all ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++

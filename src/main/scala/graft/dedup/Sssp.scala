@@ -1,0 +1,113 @@
+package graft.dedup
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded multi-source weighted shortest paths (Bellman–Ford, k
+  * synchronous relaxation rounds) — the WEIGHTED sibling of
+  * `d18_khop_bfs`'s hop counts: distance as accumulated edge cost, the
+  * primitive behind "how far is every record from a trusted seed set"
+  * (provenance scoring, contamination radius, influence cost). Exactly
+  * [[Rounds]] relaxations — paths of more than k edges are out of
+  * contract, which is what makes the operator safe at 100 TB: each
+  * round is one join of the frontier onto the edge list + one min-agg,
+  * the BSP shape shared with [[ConnectedComponents]] and [[PageRank]],
+  * and the oracle replays the identical recurrence as k chained
+  * MATERIALIZED CTEs.
+  *
+  * All arithmetic is exact integers (weights and distances are longs,
+  * min is order-free), so no float scaffolding is needed anywhere.
+  * NULL handling is explicit CASE (unreached = NULL), not `least` —
+  * the engines' null-skipping conventions for least/greatest differ.
+  */
+object Sssp {
+
+  val Rounds = 6
+  /** Seed set: the three lowest supplier keys. */
+  val MaxSeedKey = 3L
+
+  /** @param edges directed weighted (src, dst, w) — symmetrize upstream
+    *   for an undirected read.
+    * @param nodes one-column (id) universe.
+    * @return (id, dist) for nodes reached within [[Rounds]] edges.
+    */
+  def run(edges: DataFrame, nodes: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var dist = nodes
+      .join(seeds.withColumn("d0", lit(0L)), Seq("id"), "left")
+      .select(col("id"), col("d0").as("dist"))
+    for (_ <- 1 to Rounds) {
+      val relaxed = e
+        .join(dist.filter(col("dist").isNotNull)
+          .withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("cand"))
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .when(col("cand") < col("dist"), col("cand"))
+            .otherwise(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist.filter(col("dist").isNotNull)
+  }
+
+  /** Undirected co-occurrence graph with a deterministic synthetic
+    * toll per edge: w = 1 + (src + dst) % 7.
+    */
+  private def weighted(t: Tables): DataFrame = {
+    val und = graft.dedup.CoocGraph.undirected(t)
+      .select(col("src"), col("dst"),
+        (lit(1L) + (col("src") + col("dst")) % 7).as("w"))
+    und.union(und.select(col("dst").as("src"), col("src").as("dst"),
+      col("w")))
+  }
+
+  private def oracleSql: String = {
+    val rounds = (1 to Rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT d.id,
+         |    CASE WHEN d.dist IS NULL THEN r.cand
+         |         WHEN r.cand IS NULL THEN d.dist
+         |         WHEN r.cand < d.dist THEN r.cand
+         |         ELSE d.dist END AS dist
+         |  FROM d${k - 1} d LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(min(p.dist + e.w) AS BIGINT) AS cand
+         |    FROM e JOIN d${k - 1} p
+         |      ON e.src = p.id AND p.dist IS NOT NULL
+         |    GROUP BY 1) r ON d.id = r.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |wund AS (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM und),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM wund
+       |  UNION ALL SELECT dst, src, w FROM wund),
+       |d0 AS (
+       |  SELECT s_suppkey AS id,
+       |    CASE WHEN s_suppkey <= $MaxSeedKey
+       |      THEN CAST(0 AS BIGINT) END AS dist
+       |  FROM supplier),
+       |$rounds
+       |SELECT id AS s_suppkey, CAST(dist AS BIGINT) AS dist
+       |FROM d$Rounds WHERE dist IS NOT NULL""".stripMargin
+  }
+
+  private val q = Q(
+    "d28_sssp_bounded",
+    (s, d) => {
+      val t = Tables(s, d)
+      val nodes = t.supplier.select(col("s_suppkey").as("id"))
+      run(weighted(t), nodes, nodes.filter(col("id") <= MaxSeedKey))
+        .withColumnRenamed("id", "s_suppkey")
+    },
+    Some(oracleSql),
+  )
+
+  def queries: Seq[Q] = Seq(q)
+}
