@@ -237,6 +237,10 @@ object Bench {
     "a45_skyline",
     "j23_geo_radius_join",
     "j24_hierarchy_rollup",
+    "j25_jaro_winkler_join",
+    "w21_m4_downsample",
+    "w22_linear_interpolate",
+    "d29_maximal_matching",
   )
 
   def main(args: Array[String]): Unit = {

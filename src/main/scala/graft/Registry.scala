@@ -59,6 +59,9 @@ object Registry {
       dedup.RichClub.queries ++
       dedup.Hits.queries ++
       dedup.Sssp.queries ++
+      dedup.MaximalMatching.queries ++
+      functions.JaroWinkler.queries ++
+      operators.Resample.all ++
       operators.Intervals.all ++
       operators.InfoStats.all ++
       operators.GeoJoin.all ++
