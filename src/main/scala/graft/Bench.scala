@@ -241,6 +241,8 @@ object Bench {
     "w21_m4_downsample",
     "w22_linear_interpolate",
     "d29_maximal_matching",
+    "t_skipgram_cooc",
+    "t_inverted_index",
   )
 
   def main(args: Array[String]): Unit = {

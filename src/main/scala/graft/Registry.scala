@@ -69,6 +69,7 @@ object Registry {
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
+      text.Cooccurrence.queries ++
       text.Rouge.queries ++
       text.Novelty.queries ++
       text.QualityClassifier.queries ++

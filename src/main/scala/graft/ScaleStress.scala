@@ -318,11 +318,106 @@ object ScaleStress {
         dedup.Assortativity.run(incidence(liN)).count() },
     ).toMap
 
-    val all = results ++ annResults ++ asofResults ++ r5Results
+    // ---- round-6 family: interval merge, weighted SSSP, maximal
+    // matching, grid radius join, Jaro-Winkler blocked join ----
+    // graph inputs: shard-disjoint suppkeys → the ×N co-occurrence
+    // graph is N independent copies; per-copy structure preserved
+    def coocW(li: DataFrame) = {
+      val a = li.select("l_orderkey", "l_suppkey")
+      a.alias("x").join(a.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+    }
+    def ssspEdges(li: DataFrame) = {
+      val und = coocW(li).select(col("a").as("src"), col("b").as("dst"),
+        (lit(1L) + (col("a") + col("b")) % 7).as("w"))
+      und.union(und.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+    }
+    def ssspNodes(li: DataFrame) = li.select(col("l_suppkey").as("id"))
+      .distinct()
+    // geo: ×N adds disjoint longitude bands — constant density, growing
+    // map, the way a spatial corpus actually scales (same box would
+    // quadratically inflate the TRUE result, a different workload)
+    def geoSide(n: Long, mult1: Long, mult2: Long, f: Int, key: String) = {
+      val ids = spark.range(1, n + 1).select(col("id"))
+      val sh = spark.range(f).select(col("id").as("shard"))
+      ids.crossJoin(sh).select(
+        (col("id") + col("shard") * 100000000L).as(key),
+        ((col("id") * mult1) % 180000L).as("lat"),
+        ((col("id") * mult2) % 360000L + col("shard") * 360000L).as("lon"))
+    }
+    // jw: shard suffix on the FIRST name token replicates BLOCKS (×N
+    // block count at constant block size — the Σ|block|² sum scales ×N;
+    // the suffix rides inside the 2-token blocking key the query uses)
+    def jwParts(f: Int) = {
+      val p = spark.read.parquet(s"$sfDir/part.parquet")
+        .select("p_partkey", "p_name")
+      val sh = spark.range(f).select(col("id").as("shard"))
+      p.crossJoin(sh).select(
+        (col("p_partkey") + col("shard") * 100000000L).as("p_partkey"),
+        expr("""regexp_replace(p_name, '^(\\S+)',
+               |  concat('$1', CAST(shard AS STRING)))""".stripMargin)
+          .as("p_name"))
+    }
+    def jwJoin(p: DataFrame) = functions.JaroWinkler.blockedJoin(p)
+    def mergeIv(o: DataFrame) = operators.Intervals.mergePerKey(
+      o.select(col("o_custkey").as("k"), col("o_orderdate").as("start"),
+        date_add(col("o_orderdate"), 30).as("end"),
+        col("o_orderkey").as("oid")))
+
+    // warmups at sf0.01 so both measured scales run compiled plans
+    val wLi = spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet")
+    val wOr = spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet")
+    dedup.Sssp.run(ssspEdges(wLi), ssspNodes(wLi),
+      ssspNodes(wLi).filter(col("id") <= 3)).count()
+    // matching stress input: one long path per shard (consecutive
+    // present suppkeys), the texture the chain-graph query matches on
+    def pathEdges(li: DataFrame) = {
+      val ks = li.select(col("l_suppkey").as("a")).distinct()
+      ks.join(ks.select((col("a") - 1L).as("a"), col("a").as("b")), "a")
+    }
+    dedup.MaximalMatching.run(pathEdges(wLi)).count()
+    mergeIv(wOr).count()
+    jwJoin(jwParts(1).limit(2000)).count()
+    operators.GeoJoin.radiusJoin(
+      geoSide(1500, 48271L, 69621L, 1, "c_custkey"),
+      geoSide(100, 16807L, 39373L, 1, "s_suppkey"), 3000L).count()
+
+    val seedsOf = (li: DataFrame) =>
+      ssspNodes(li).filter(col("id") % 1000000L <= 3 && col("id") % 1000000L >= 1)
+    val r6Results = Seq(
+      time("interval_merge", 1) { mergeIv(or1).count() },
+      time("interval_merge", factor) { mergeIv(orN).count() },
+      time("sssp_bounded", 1) {
+        dedup.Sssp.run(ssspEdges(li1), ssspNodes(li1), seedsOf(li1)).count() },
+      time("sssp_bounded", factor) {
+        dedup.Sssp.run(ssspEdges(liN), ssspNodes(liN), seedsOf(liN)).count() },
+      time("maximal_matching", 1) {
+        dedup.MaximalMatching.run(pathEdges(li1)).count() },
+      time("maximal_matching", factor) {
+        dedup.MaximalMatching.run(pathEdges(liN)).count() },
+      time("geo_radius_join", 1) {
+        operators.GeoJoin.radiusJoin(
+          geoSide(15000, 48271L, 69621L, 1, "c_custkey"),
+          geoSide(1000, 16807L, 39373L, 1, "s_suppkey"), 3000L).count() },
+      time("geo_radius_join", factor) {
+        operators.GeoJoin.radiusJoin(
+          geoSide(15000, 48271L, 69621L, factor, "c_custkey"),
+          geoSide(1000, 16807L, 39373L, factor, "s_suppkey"), 3000L).count() },
+      time("jaro_winkler_join", 1) { jwJoin(jwParts(1)).count() },
+      time("jaro_winkler_join", factor) { jwJoin(jwParts(factor)).count() },
+    ).toMap
+
+    val all = results ++ annResults ++ asofResults ++ r5Results ++ r6Results
     for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join",
       "ivfpq_build_and_query", "ivfpq_query_served", "silhouette",
       "asof_composed", "asof_native",
-      "pca_gram_build", "scd2_temporal_join", "assortativity")) {
+      "pca_gram_build", "scd2_temporal_join", "assortativity",
+      "interval_merge", "sssp_bounded", "maximal_matching",
+      "geo_radius_join", "jaro_winkler_join")) {
       val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }

@@ -76,35 +76,41 @@ object MaximalMatching {
     }.mkString(",\n")
     val unions = (1 to Rounds)
       .map(r => s"SELECT * FROM m$r").mkString("\nUNION ALL ")
-    s"""WITH cooc AS (
-       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b, count(*) AS w
-       |  FROM lineitem x JOIN lineitem y
-       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
-       |  GROUP BY 1, 2),
-       |e0 AS MATERIALIZED (SELECT a, b FROM cooc WHERE w >= $MinCooc),
+    s"""WITH ranked AS (
+       |  SELECT s_suppkey, s_nationkey,
+       |    row_number() OVER (PARTITION BY s_nationkey
+       |                       ORDER BY s_suppkey) AS rn
+       |  FROM supplier),
+       |e0 AS MATERIALIZED (
+       |  SELECT x.s_suppkey AS a, y.s_suppkey AS b
+       |  FROM ranked x JOIN ranked y
+       |    ON x.s_nationkey = y.s_nationkey AND x.rn = y.rn - 1),
        |$rounds
        |SELECT a, b, CAST(round AS INT) AS round FROM (
        |$unions)""".stripMargin
   }
 
-  /** Same sparsification as d13_kcore: on the DENSE co-occurrence
-    * graph min-id proposals all converge on the few smallest ids and
-    * each round matches a couple of pairs; the ≥[[MinCooc]]-weight
-    * subgraph has the path/cluster texture matching is meant for.
+  /** The per-nation supplier chains (d11's graph): PATH texture, which
+    * min-id greedy matching is built for — each round pairs every
+    * chain's current head, so the match count is rounds×|chains| at
+    * ANY scale. (On the dense co-occurrence graph proposals all
+    * converge on the few smallest ids — measured 30 matches at sf0.01
+    * but ZERO at sf0.1 density; a density-dependent demo is the wrong
+    * fixture for a scale-graded operator.)
     */
-  val MinCooc = 33
-
   private val q = Q(
     "d29_maximal_matching",
     (s, d) => {
-      val li = Tables(s, d).lineitem.select("l_orderkey", "l_suppkey")
-      val edges = li.alias("x").join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= MinCooc)
-        .select("a", "b")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy(asc("s_suppkey"))
+      val ranked = Tables(s, d).supplier
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("rn", row_number().over(w))
+      val edges = ranked.alias("x")
+        .join(ranked.alias("y"),
+          col("x.s_nationkey") === col("y.s_nationkey") &&
+            col("x.rn") === col("y.rn") - 1)
+        .select(col("x.s_suppkey").as("a"), col("y.s_suppkey").as("b"))
       run(edges)
     },
     Some(oracleSql),

@@ -91,23 +91,31 @@ object JaroWinkler {
     * name tokens (manufacturer-style prefix), verified at ≥ 0.9 —
     * the graded-name-agreement join `j15_record_linkage`'s binary
     * field comparison cannot express. Σ|block|² candidate work, the
-    * same blocking argument as j13's fuzzy join.
+    * same blocking argument as j13's fuzzy join — and the same
+    * LOW-cardinality-block salting: unsalted, the ×10 ScaleStress
+    * measured 18× wall for ×10 candidates (hot 2-token blocks pile
+    * onto a few reducers once the dim side outgrows broadcast);
+    * salted 32-way the verify is embarrassingly parallel per block.
+    * Public so the stress harness drives it with scaled tables.
     */
+  def blockedJoin(part: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_name"),
+      substring_index(col("p_name"), " ", 2).as("blk"))
+    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      col("blk"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("blk"))
+    graft.util.SkewJoin.saltedJoin(a, b, "blk", salts = 32)
+      .filter(col("k1") < col("k2"))
+      .withColumn("jw", round(jaro_winkler(col("n1"), col("n2")), 6))
+      .filter(col("jw") >= 0.9)
+      .select(col("k1"), col("k2"), col("jw"))
+  }
+
   private val q = Q(
     "j25_jaro_winkler_join",
-    (s, d) => {
-      val p = Tables(s, d).part.select(col("p_partkey"), col("p_name"),
-        substring_index(col("p_name"), " ", 2).as("blk"))
-      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
-        col("blk"))
-      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
-        col("blk"))
-      a.join(b, "blk")
-        .filter(col("k1") < col("k2"))
-        .withColumn("jw", round(jaro_winkler(col("n1"), col("n2")), 6))
-        .filter(col("jw") >= 0.9)
-        .select(col("k1"), col("k2"), col("jw"))
-    },
+    (s, d) => blockedJoin(Tables(s, d).part),
     Some(
       """WITH p AS (
         |  SELECT p_partkey, p_name,

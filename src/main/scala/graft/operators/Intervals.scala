@@ -33,26 +33,32 @@ object Intervals {
     * openers. Ties on start always co-island regardless of intra-tie
     * order, so the output is ordering-deterministic.
     */
+  /** Core merge over (k, start, end, oid) interval rows; public so the
+    * ×10 ScaleStress can drive it with synthetic inputs.
+    */
+  def mergePerKey(iv: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("k").orderBy("start", "end", "oid")
+    val prevMax = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opener = when(prevMax.isNull || col("start") > prevMax, 1L)
+      .otherwise(0L)
+    iv.withColumn("island",
+        sum(opener).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("start")).as("merge_start"),
+        max(col("end")).as("merge_end"),
+        count(lit(1)).as("n_orders"))
+  }
+
   private val merge = Q(
     "w18_interval_merge",
-    (s, d) => {
-      val iv = Tables(s, d).orders.select(
+    (s, d) => mergePerKey(Tables(s, d).orders.select(
         col("o_custkey").as("k"),
         col("o_orderdate").as("start"),
         date_add(col("o_orderdate"), SpanDays).as("end"),
-        col("o_orderkey").as("oid"))
-      val w = Window.partitionBy("k").orderBy("start", "end", "oid")
-      val prevMax = max(col("end"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      val opener = when(prevMax.isNull || col("start") > prevMax, 1L)
-        .otherwise(0L)
-      iv.withColumn("island",
-          sum(opener).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("k").as("o_custkey"), col("island"))
-        .agg(min(col("start")).as("merge_start"),
-          max(col("end")).as("merge_end"),
-          count(lit(1)).as("n_orders"))
-    },
+        col("o_orderkey").as("oid")))
+      .withColumnRenamed("k", "o_custkey"),
     Some(
       s"""WITH iv AS (
          |  SELECT o_custkey AS k, o_orderdate AS s,
