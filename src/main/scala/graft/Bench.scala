@@ -243,6 +243,7 @@ object Bench {
     "d29_maximal_matching",
     "t_skipgram_cooc",
     "t_inverted_index",
+    "w8b_streaming_outer_join_parity",
   )
 
   def main(args: Array[String]): Unit = {

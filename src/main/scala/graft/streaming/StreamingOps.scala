@@ -784,9 +784,129 @@ object StreamingOps {
         |FROM orders GROUP BY 1""".stripMargin),
   )
 
+  /** LEFT OUTER stream-stream join — the semantics Append-mode inner
+    * (w8) cannot show: an unmatched left row is HELD IN STATE until the
+    * joint watermark proves no matching right row can still arrive,
+    * then emits with nulls. The tail of a drained stream would stay
+    * withheld forever (the watermark never passes the last events), so
+    * both spools carry one far-future sentinel row (filtered from the
+    * output) that pushes the joint watermark past every real event —
+    * after which the result must equal the batch LEFT JOIN exactly.
+    */
+  private val outerJoinParity = graft.Q(
+    "w8b_streaming_outer_join_parity",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val flush = java.sql.Timestamp.valueOf("2090-01-01 00:00:00")
+      val oSchema = StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_ts", TimestampType)))
+      val lSchema = StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_linenumber", LongType),
+        StructField("l_ts", TimestampType)))
+      val os = spooledStreamPlus(s, s"$d/orders.parquet",
+          s.createDataFrame(java.util.List.of(Row(-1L, flush)), oSchema),
+          "o_sent") { df =>
+        df.select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
+      }
+      val ls = spooledStreamPlus(s, s"$d/lineitem.parquet",
+          s.createDataFrame(java.util.List.of(Row(-1L, -1L, flush)), lSchema),
+          "l_sent") { df =>
+        df.select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate").cast("timestamp").as("l_ts"))
+      }
+      val joined = os.withWatermark("o_ts", "90 days")
+        .join(ls.withWatermark("l_ts", "90 days"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_ts") >= col("o_ts") &&
+            col("l_ts") <= col("o_ts") + expr("INTERVAL 90 days"),
+          "left_outer")
+      val name = sinkName("w8b_")
+      // the sentinel filter runs on the BATCH read of the sink, not
+      // inside the streaming query: placed pre-sink, Catalyst pushes
+      // `o_orderkey >= 0` down into the left file scan, the sentinel
+      // never reaches the EventTimeWatermark operator, the watermark
+      // stalls at the real data's max and the held outer rows never
+      // emit (measured: 977 tail nulls missing)
+      runToMemory(
+        joined.select(col("o_orderkey"), col("l_linenumber"),
+          // string day: a nullable DATE round-trips as NaT/None
+          // inconsistently across engines' dataframe bridges
+          col("l_ts").cast("date").cast("string").as("ship_day")),
+        name, OutputMode.Append())
+      s.table(name).filter(col("o_orderkey") >= 0L)
+    },
+    Some(
+      """SELECT o_orderkey, l.l_linenumber,
+        |  CAST(CAST(l.l_shipdate AS DATE) AS VARCHAR) AS ship_day
+        |FROM orders LEFT JOIN lineitem l ON o_orderkey = l.l_orderkey
+        |  AND l.l_shipdate >= o_orderdate
+        |  AND l.l_shipdate <= o_orderdate + INTERVAL 90 DAY""".stripMargin),
+  )
+
+  /** [[spooledStream]] plus one extra staged row-set (the watermark
+    * sentinel): the projected source files and the extra rows land in
+    * one spool keyed on both, read back as a single file stream.
+    */
+  private def spooledStreamPlus(s: SparkSession, path: String,
+      extra: DataFrame, tag: String)(project: DataFrame => DataFrame)
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(path)
+    val dataFiles =
+      if (Files.isDirectory(src))
+        Files.list(src).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      else Seq(src)
+    val stamp = dataFiles.map(p =>
+      s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .mkString("|") + s"|$tag"
+    val spool = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_spool", Integer.toHexString(stamp.hashCode))
+    if (!Files.exists(spool)) {
+      val tmp = Paths.get(spool.toString + ".tmp")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      Files.createDirectories(tmp)
+      // project the source rows into the sentinel's schema so every
+      // spooled file agrees
+      project(s.read.parquet(path)).coalesce(1).write
+        .mode("overwrite").parquet(tmp.resolve("data").toString)
+      // TWO sentinel files: watermark advancement is observed one batch
+      // late (eviction in batch k uses the watermark committed after
+      // batch k−1), so the first sentinel raises it and the second
+      // gives the source a final batch in which the eviction runs —
+      // a self-terminating trigger never gets a no-data batch.
+      extra.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("sentinel_a").toString)
+      extra.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("sentinel_b").toString)
+      val order = Seq("data", "sentinel_a", "sentinel_b")
+      val parts = order.flatMap { sub =>
+        Files.list(tmp.resolve(sub)).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      }
+      Files.createDirectories(spool)
+      val t0 = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dst = spool.resolve(f"part-$i%03d.parquet")
+        Files.copy(p, dst)
+        // strictly increasing mtimes: oldest-first file order must put
+        // the sentinels in their own later micro-batches
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+      }
+    }
+    val schema = project(s.read.parquet(path)).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(spool.toString)
+  }
+
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
-      hllParity, cmParity, qsketchParity, sessionParity, ivfAssignParity,
-      bloomFilterParity, upsertParity, abParity, contractParity,
-      zonemapParity)
+      outerJoinParity, hllParity, cmParity, qsketchParity, sessionParity,
+      ivfAssignParity, bloomFilterParity, upsertParity, abParity,
+      contractParity, zonemapParity)
 }
