@@ -244,6 +244,9 @@ object Bench {
     "t_skipgram_cooc",
     "t_inverted_index",
     "w8b_streaming_outer_join_parity",
+    "a46_target_encoding",
+    "a47_lift_table",
+    "s31_surrogate_keys",
   )
 
   def main(args: Array[String]): Unit = {

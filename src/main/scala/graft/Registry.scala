@@ -64,6 +64,7 @@ object Registry {
       operators.Resample.all ++
       operators.Intervals.all ++
       operators.InfoStats.all ++
+      operators.FeaturePrep.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
