@@ -247,6 +247,8 @@ object Bench {
     "a46_target_encoding",
     "a47_lift_table",
     "s31_surrogate_keys",
+    "t_readability",
+    "a48_stump_split",
   )
 
   def main(args: Array[String]): Unit = {

@@ -65,12 +65,14 @@ object Registry {
       operators.Intervals.all ++
       operators.InfoStats.all ++
       operators.FeaturePrep.all ++
+      operators.StumpSplit.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
       text.TextQueries.all ++
       text.Cooccurrence.queries ++
+      text.Readability.queries ++
       text.Rouge.queries ++
       text.Novelty.queries ++
       text.QualityClassifier.queries ++
