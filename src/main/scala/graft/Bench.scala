@@ -249,6 +249,9 @@ object Bench {
     "s31_surrogate_keys",
     "t_readability",
     "a48_stump_split",
+    "t_code_signals",
+    "t_url_domains",
+    "a49_ks_test",
   )
 
   def main(args: Array[String]): Unit = {

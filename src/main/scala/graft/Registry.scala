@@ -66,6 +66,7 @@ object Registry {
       operators.InfoStats.all ++
       operators.FeaturePrep.all ++
       operators.StumpSplit.all ++
+      operators.KsTest.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
@@ -73,6 +74,7 @@ object Registry {
       text.TextQueries.all ++
       text.Cooccurrence.queries ++
       text.Readability.queries ++
+      text.CodeSignals.queries ++
       text.Rouge.queries ++
       text.Novelty.queries ++
       text.QualityClassifier.queries ++
