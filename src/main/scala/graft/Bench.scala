@@ -252,6 +252,8 @@ object Bench {
     "t_code_signals",
     "t_url_domains",
     "a49_ks_test",
+    "j12e_asof_nearest",
+    "w24_stock_flow",
   )
 
   def main(args: Array[String]): Unit = {

@@ -67,6 +67,7 @@ object Registry {
       operators.FeaturePrep.all ++
       operators.StumpSplit.all ++
       operators.KsTest.all ++
+      operators.StockFlow.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++

@@ -169,6 +169,81 @@ object Sessions {
         |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin),
   )
 
+  /** NEAREST as-of — each view matched to the user's CLOSEST purchase in
+    * either direction, completing the as-of family (backward j12,
+    * forward j12d): compose BOTH native sort-merge passes and pick the
+    * smaller absolute gap, ties to the backward match (the "prefer the
+    * record that already existed" reading). Cost = the two passes it is
+    * built from plus one view-keyed full-outer join — no new physical
+    * operator, no window. The gap surfaces in exact epoch-micro
+    * integers, so the pick is engine-exact.
+    */
+  private val asofNearest = Q(
+    "j12e_asof_nearest",
+    (s, d) => {
+      val e = Tables(s, d).events
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("v_us"),
+          (-unix_micros(col("ts"))).as("neg_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+          unix_micros(col("ts")).as("p_us"),
+          col("ts").as("p_ts"),
+          (-unix_micros(col("ts"))).as("p_neg_ts"),
+          (-col("event_id")).as("p_neg_id"))
+      val b = graft.plans.AsOfJoin.backward(views, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTimeCol = "ts", rightTimeCol = "p_ts",
+          rightTie = Some("p_event"))
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("v_us"), col("p_event").as("pb"),
+          (col("v_us") - col("p_us")).as("gap_b"))
+      val f = graft.plans.AsOfJoin.backward(views, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTimeCol = "neg_ts", rightTimeCol = "p_neg_ts",
+          rightTie = Some("p_neg_id"))
+        .select(col("event_id").as("view_id"),
+          col("user_id").as("f_user"), col("p_event").as("pf"),
+          (col("p_us") - col("v_us")).as("gap_f"))
+      b.join(f, Seq("view_id"), "full_outer")
+        .select(col("view_id"),
+          coalesce(col("user_id"), col("f_user")).as("user_id"),
+          when(col("pf").isNull, col("pb"))
+            .when(col("pb").isNull, col("pf"))
+            .when(col("gap_f") < col("gap_b"), col("pf"))
+            .otherwise(col("pb")).as("purchase_id"),
+          when(col("pf").isNull, col("gap_b"))
+            .when(col("pb").isNull, col("gap_f"))
+            .when(col("gap_f") < col("gap_b"), col("gap_f"))
+            .otherwise(col("gap_b")).as("gap_us"))
+    },
+    Some(
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT v.event_id AS view_id, v.user_id,
+        |    p.event_id AS pb, epoch_us(v.ts) - epoch_us(p.ts) AS gap_b
+        |  FROM v ASOF JOIN p
+        |    ON v.user_id = p.user_id AND p.ts <= v.ts),
+        |f AS (
+        |  SELECT v.event_id AS view_id, v.user_id,
+        |    p.event_id AS pf, epoch_us(p.ts) - epoch_us(v.ts) AS gap_f
+        |  FROM v ASOF JOIN p
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts)
+        |SELECT coalesce(b.view_id, f.view_id) AS view_id,
+        |  coalesce(b.user_id, f.user_id) AS user_id,
+        |  CASE WHEN f.pf IS NULL THEN b.pb
+        |       WHEN b.pb IS NULL THEN f.pf
+        |       WHEN f.gap_f < b.gap_b THEN f.pf ELSE b.pb END
+        |    AS purchase_id,
+        |  CAST(CASE WHEN f.pf IS NULL THEN b.gap_b
+        |       WHEN b.pb IS NULL THEN f.gap_f
+        |       WHEN f.gap_f < b.gap_b THEN f.gap_f ELSE b.gap_b END
+        |    AS BIGINT) AS gap_us
+        |FROM b FULL OUTER JOIN f ON b.view_id = f.view_id""".stripMargin),
+  )
+
   /** Ordered conversion funnel (view → click → purchase) with a per-step
     * conversion window: each user's first view, first click within
     * [[FunnelWindowHours]] hours AFTER that view, first purchase within
@@ -424,5 +499,5 @@ object Sessions {
   )
 
   def all: Seq[Q] = Seq(sessions, cubeQ, asof, asofNative, asofForward,
-    funnel, transitions, attribution, cusum)
+    asofNearest, funnel, transitions, attribution, cusum)
 }
