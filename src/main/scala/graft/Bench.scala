@@ -243,7 +243,9 @@ object Bench {
     "d29_maximal_matching",
     "t_skipgram_cooc",
     "t_inverted_index",
-    "w8b_streaming_outer_join_parity",
+    // w8b_streaming_outer_join_parity stays CORRECTNESS-only (the
+    // sim_knn_graph precedent): 8.4 s of pure multi-batch stream drain
+    // per pass measures the harness, not an operator
     "a46_target_encoding",
     "a47_lift_table",
     "s31_surrogate_keys",

@@ -101,9 +101,13 @@ object Rfm {
     "a40_trimmed_mean",
     (s, d) => {
       val li = Tables(s, d).lineitem
-      val fences = li.groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
-          percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      // fences via the count-table order statistic (util.OrderStats),
+      // not the buffering percentile UDAF: identical interpolation,
+      // bounded memory at any group size (SCALING.md)
+      val fences = graft.util.OrderStats.percentilesByGroup(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
       li.join(broadcast(fences), Seq("l_returnflag"))
         .groupBy("l_returnflag", "p05", "p95")
         .agg(

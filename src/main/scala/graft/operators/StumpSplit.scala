@@ -25,9 +25,11 @@ object StumpSplit {
       val o = Tables(s, d).orders
         .select(col("o_totalprice").as("score"),
           (col("o_orderpriority") === "1-URGENT").cast("long").as("y"))
-      val cutCols = (1 to 9).map(i =>
-        percentile(col("score"), lit(i / 10.0)).as(s"c$i"))
-      val cuts = o.agg(cutCols.head, cutCols.tail: _*)
+      // same count-table cuts as a47 (see that comment): identical
+      // interpolation, no single-task value buffer
+      val cuts = graft.util.OrderStats.percentilesByGroup(
+        o.select(lit(1).as("__g"), col("score")), "__g", "score",
+        (1 to 9).map(i => s"c$i" -> i / 10.0)).drop("__g")
       val bin = (1 to 9).foldLeft(lit(1L)) { (acc, i) =>
         acc + when(col("score") > col(s"c$i"), 1L).otherwise(0L)
       }
