@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
 object MaximalMatching {
 
   val Rounds = 4
+  /** Path width for the registered fixture (see the query scaladoc). */
+  val PathBucket = 64L
 
   /** @param edges canonical undirected (a, b), a < b, deduplicated.
     * @return (a, b, round) matched pairs.
@@ -76,41 +78,33 @@ object MaximalMatching {
     }.mkString(",\n")
     val unions = (1 to Rounds)
       .map(r => s"SELECT * FROM m$r").mkString("\nUNION ALL ")
-    s"""WITH ranked AS (
-       |  SELECT s_suppkey, s_nationkey,
-       |    row_number() OVER (PARTITION BY s_nationkey
-       |                       ORDER BY s_suppkey) AS rn
-       |  FROM supplier),
-       |e0 AS MATERIALIZED (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT x.s_suppkey AS a, y.s_suppkey AS b
-       |  FROM ranked x JOIN ranked y
-       |    ON x.s_nationkey = y.s_nationkey AND x.rn = y.rn - 1),
+       |  FROM supplier x JOIN supplier y
+       |    ON y.s_suppkey = x.s_suppkey + 1
+       |   AND x.s_suppkey // $PathBucket = y.s_suppkey // $PathBucket),
        |$rounds
        |SELECT a, b, CAST(round AS INT) AS round FROM (
        |$unions)""".stripMargin
   }
 
-  /** The per-nation supplier chains (d11's graph): PATH texture, which
+  /** Bucketed consecutive-key supplier paths: PATH texture, which
     * min-id greedy matching is built for — each round pairs every
-    * chain's current head, so the match count is rounds×|chains| at
-    * ANY scale. (On the dense co-occurrence graph proposals all
-    * converge on the few smallest ids — measured 30 matches at sf0.01
-    * but ZERO at sf0.1 density; a density-dependent demo is the wrong
-    * fixture for a scale-graded operator.)
+    * path's current head, so the match count is rounds×|paths| at ANY
+    * scale, and the fixture is dense at ANY sf (the per-nation chains
+    * go empty at sf0.001's 10 suppliers; the dense co-occurrence graph
+    * matched 30 pairs at sf0.01 but ZERO at sf0.1 — both
+    * density-dependent demos, the wrong fixture for a scale-graded
+    * operator). Pure arithmetic: edge (k, k+1) whenever both keys
+    * exist in the same [[PathBucket]]-wide bucket.
     */
   private val q = Q(
     "d29_maximal_matching",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("s_nationkey").orderBy(asc("s_suppkey"))
-      val ranked = Tables(s, d).supplier
-        .select(col("s_suppkey"), col("s_nationkey"))
-        .withColumn("rn", row_number().over(w))
-      val edges = ranked.alias("x")
-        .join(ranked.alias("y"),
-          col("x.s_nationkey") === col("y.s_nationkey") &&
-            col("x.rn") === col("y.rn") - 1)
-        .select(col("x.s_suppkey").as("a"), col("y.s_suppkey").as("b"))
+      val ks = Tables(s, d).supplier.select(col("s_suppkey").as("a"))
+      val edges = ks
+        .join(ks.select((col("a") - 1L).as("a"), col("a").as("b")), "a")
+        .filter(expr(s"a div $PathBucket") === expr(s"b div $PathBucket"))
       run(edges)
     },
     Some(oracleSql),
