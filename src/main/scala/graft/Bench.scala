@@ -256,6 +256,9 @@ object Bench {
     "a49_ks_test",
     "j12e_asof_nearest",
     "w24_stock_flow",
+    "a50_spearman",
+    "a51_cuped",
+    "sim_rank1_als",
   )
 
   def main(args: Array[String]): Unit = {

@@ -68,10 +68,12 @@ object Registry {
       operators.StumpSplit.all ++
       operators.KsTest.all ++
       operators.StockFlow.all ++
+      operators.RankStats.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
       similarity.SimilarityQueries.queries ++
+      similarity.Rank1Als.queries ++
       text.TextQueries.all ++
       text.Cooccurrence.queries ++
       text.Readability.queries ++

@@ -55,12 +55,15 @@ object InfoStats {
           sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"),
           sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
         .select(col("lag"), col("m").cast("long").as("n_pairs"),
-          round(
-            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
-                .cast("double") *
-                (col("m") * col("syy") - col("sy") * col("sy"))
-                  .cast("double")), 6).as("acf"))
+          // constant series → zero variance → NULL, not an ANSI /0
+          when(col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+              col("m") * col("syy") - col("sy") * col("sy") > 0,
+            round(
+              (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("m") * col("syy") - col("sy") * col("sy"))
+                    .cast("double")), 6)).as("acf"))
     },
     Some {
       val lagCols = (1 to AcfMaxLag)
@@ -83,9 +86,10 @@ object InfoStats {
          |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
          |  FROM pairs WHERE y IS NOT NULL GROUP BY 1)
          |SELECT lag, CAST(m AS BIGINT) AS n_pairs,
-         |  round(CAST(m * sxy - sx * sy AS DOUBLE) /
+         |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+         |  THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
          |    sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
-         |       * CAST(m * syy - sy * sy AS DOUBLE)), 6) AS acf
+         |       * CAST(m * syy - sy * sy AS DOUBLE)), 6) END AS acf
          |FROM mom""".stripMargin
     },
   )
