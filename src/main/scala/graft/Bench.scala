@@ -259,6 +259,7 @@ object Bench {
     "a50_spearman",
     "a51_cuped",
     "sim_rank1_als",
+    "s32_dsv2_pushdown_scan",
   )
 
   def main(args: Array[String]): Unit = {

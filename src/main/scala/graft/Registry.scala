@@ -27,6 +27,7 @@ object Registry {
       operators.WeightedMedian.all ++
       operators.BestMatch.all ++
       sources.CsvRecovery.queries ++
+      sources.v2.RecV2Query.queries ++
       operators.Curation.all ++
       operators.Linkage.all ++
       operators.Bloom.queries ++
