@@ -260,6 +260,7 @@ object Bench {
     "a51_cuped",
     "sim_rank1_als",
     "s32_dsv2_pushdown_scan",
+    "s33_dsv2_roundtrip_write",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,9 +1,10 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -13,26 +14,29 @@ import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
 
-/** A full DataSource V2 connector for the `graftrec` fixed-width binary
-  * record format — the engine's custom-connector surface (every other
-  * source rides a built-in format; the xlsx reader is a driver-side
-  * dim parse). Demonstrates the three contracts a 100 TB source must
-  * honour, each visible in `.explain`:
+/** A full DataSource V2 connector for `graftrec` — a minimal clustered
+  * table format, and the engine's custom-connector surface (every
+  * other source rides a built-in format; the xlsx reader is a
+  * driver-side dim parse). A table is a DIRECTORY of fixed-width
+  * binary files, each sorted by `id` with (rowCount, minId, maxId) in
+  * its header. The connector demonstrates the contracts a 100 TB
+  * source must honour, each pinned by RecSourceSpec:
   *
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
   *    decode only requested fields from each 24-byte record;
-  *  - **filter pushdown with exact seek** (`SupportsPushDownFilters`):
-  *    records are clustered dense on `id` (writer contract), so an id
-  *    range predicate converts to a BYTE OFFSET — the scan reads
-  *    exactly the matching slice, the connector analog of parquet
-  *    row-group pruning with a perfect index;
-  *  - **split planning** (`Batch.planInputPartitions`): the surviving
-  *    row range splits into [[RecSource.TargetSplits]] independent
-  *    slices, each read by one task with its own channel.
-  *
-  * File layout: 8-byte magic "GRAFTREC", row count (LE long), min id
-  * (LE long), then rows of (id: long, value: long, tag: 8 ASCII bytes)
-  * — 24 bytes each, ids dense ascending from min id.
+  *  - **filter pushdown** (`SupportsPushDownFilters`): an id range
+  *    first prunes whole FILES on their header [min, max] (the
+  *    zone-map move), then BINARY-SEARCHES the in-file start offset on
+  *    the sorted fixed-width records — O(log n) probes, then one
+  *    contiguous read of exactly the matching slice;
+  *  - **split planning**: each surviving file slice splits into up to
+  *    [[RecSource.TargetSplits]] independent row ranges;
+  *  - **write commit protocol** (`SupportsWrite`): each task sorts its
+  *    partition by id and writes a STAGED file; the driver's
+  *    `BatchWrite.commit` renames all staged files into the table
+  *    directory only after every task reported success, `abort`
+  *    deletes them — the two-phase visibility rule distributed writers
+  *    live by.
   */
 class RecSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -51,45 +55,63 @@ object RecSource {
     StructField("value", LongType, nullable = false),
     StructField("tag", StringType, nullable = false)))
 
-  val Magic = "GRAFTREC"
-  val HeaderBytes = 24
+  val Magic = "GRAFTRC2"
+  val HeaderBytes = 32
   val RecordBytes = 24
   val TargetSplits = 8
 
-  /** Deterministic value/tag derivation the writer uses — shared with
-    * the oracle, which replays it arithmetically.
+  /** Deterministic value/tag derivation the fixture writer uses —
+    * shared with the oracle, which replays it arithmetically.
     */
   def valueOf(id: Long): Long = (id * 48271L) % 999983L
   def tagOf(id: Long): String = f"t${id % 100}%03d"
 
-  /** Write n dense records with ids [minId, minId + n). */
-  def write(path: String, minId: Long, n: Long): Unit = {
+  /** Write one sorted file of (id, value, tag) rows. */
+  def writeFile(path: String, rows: Iterator[(Long, Long, String)]): Long = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
+    val sorted = rows.toArray.sortBy(_._1)
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f), 1 << 16)
-    val buf = ByteBuffer.allocate(RecordBytes).order(ByteOrder.LITTLE_ENDIAN)
     val header = ByteBuffer.allocate(HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
-    header.put(Magic.getBytes("US-ASCII")).putLong(n).putLong(minId)
+    val minId = if (sorted.isEmpty) 0L else sorted.head._1
+    val maxId = if (sorted.isEmpty) -1L else sorted.last._1
+    header.put(Magic.getBytes("US-ASCII"))
+      .putLong(sorted.length.toLong).putLong(minId).putLong(maxId)
     out.write(header.array())
-    var i = 0L
-    while (i < n) {
-      val id = minId + i
+    val buf = ByteBuffer.allocate(RecordBytes).order(ByteOrder.LITTLE_ENDIAN)
+    sorted.foreach { case (id, v, tag) =>
       buf.clear()
-      buf.putLong(id).putLong(valueOf(id))
-      val tag = tagOf(id).getBytes("US-ASCII")
-      buf.put(tag)
-      // tag is exactly 4 chars by construction ("t" + 3 digits); pad
-      // the fixed 8-byte field with spaces
-      var p = tag.length
+      buf.putLong(id).putLong(v)
+      val t = tag.getBytes("US-ASCII")
+      require(t.length <= 8, s"tag wider than 8 bytes: $tag")
+      buf.put(t)
+      var p = t.length
       while (p < 8) { buf.put(' '.toByte); p += 1 }
       out.write(buf.array())
-      i += 1
     }
     out.close()
+    sorted.length.toLong
   }
 
-  private[v2] def readHeader(path: String): (Long, Long) = {
+  /** Dense fixture file: ids [minId, minId + n). */
+  def writeDense(path: String, minId: Long, n: Long): Unit = {
+    val it = (0L until n).iterator.map { i =>
+      val id = minId + i; (id, valueOf(id), tagOf(id))
+    }
+    writeFile(path, it)
+  }
+
+  private[v2] def listFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().toSeq.map(_.getPath)
+        .filter(_.endsWith(".rec")).sorted
+    else Seq(path)
+  }
+
+  /** (rowCount, minId, maxId). */
+  private[v2] def readHeader(path: String): (Long, Long, Long) = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val h = new Array[Byte](HeaderBytes)
@@ -97,19 +119,41 @@ object RecSource {
       val bb = ByteBuffer.wrap(h).order(ByteOrder.LITTLE_ENDIAN)
       val magic = new Array[Byte](8); bb.get(magic)
       require(new String(magic, "US-ASCII") == Magic, s"not a graftrec: $path")
-      (bb.getLong, bb.getLong) // (n, minId)
+      (bb.getLong, bb.getLong, bb.getLong)
     } finally raf.close()
+  }
+
+  /** First row index with id ≥ target, over the sorted records. */
+  private[v2] def lowerBound(raf: RandomAccessFile, n: Long,
+      target: Long): Long = {
+    var lo = 0L
+    var hi = n
+    val b = new Array[Byte](8)
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      raf.seek(HeaderBytes + mid * RecordBytes)
+      raf.readFully(b)
+      val id = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+      if (id < target) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 }
 
-private class RecTable(path: String) extends Table with SupportsRead {
+private class RecTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graftrec:$path"
   override def schema(): StructType = RecSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RecWriteBuilder(path, info.schema())
 }
+
+// ---------------------------------------------------------------- read
 
 private class RecScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -138,8 +182,8 @@ private class RecScanBuilder(path: String) extends ScanBuilder
       case _ =>
     }
     pushed = accepted
-    // accepted bounds are EXACT on the clustered id — nothing to
-    // re-evaluate above the scan
+    // accepted bounds are EXACT on the clustered sorted id — nothing
+    // to re-evaluate above the scan
     rejected
   }
   private def num(v: Any): Long = v match {
@@ -152,31 +196,41 @@ private class RecScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RecScan(path, required, lo, hi, pushed)
+  override def build(): Scan = new RecScan(path, required, lo, hi)
 }
 
 private class RecScan(path: String, required: StructType,
-    lo: Long, hi: Long, pushed: Array[Filter]) extends Scan with Batch {
+    lo: Long, hi: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftrec $path bounds=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (n, minId) = RecSource.readHeader(path)
-    // clip the pushed id range to the file's dense id span, then
-    // convert to ROW indices — the pushdown IS the seek
-    val fromId = math.max(lo, minId)
-    val toId = math.min(hi, minId + n - 1)
-    if (fromId > toId) return Array.empty
-    val fromRow = fromId - minId
-    val toRow = toId - minId
-    val total = toRow - fromRow + 1
-    val splits = math.min(RecSource.TargetSplits.toLong, total).toInt
-    (0 until splits).map { s =>
-      val a = fromRow + s * total / splits
-      val b = fromRow + (s + 1) * total / splits - 1
-      RecPartition(path, a, b, minId): InputPartition
+    RecSource.listFiles(path).flatMap { f =>
+      val (n, minId, maxId) = RecSource.readHeader(f)
+      // file-level zone prune on the header range
+      if (n == 0 || lo > maxId || hi < minId) Seq.empty
+      else {
+        // binary-search the row span inside the sorted file
+        val raf = new RandomAccessFile(f, "r")
+        val (fromRow, toRow) = try {
+          val a = if (lo <= minId) 0L else RecSource.lowerBound(raf, n, lo)
+          val b = if (hi >= maxId) n - 1
+            else RecSource.lowerBound(raf, n, hi + 1) - 1
+          (a, b)
+        } finally raf.close()
+        if (fromRow > toRow) Seq.empty
+        else {
+          val total = toRow - fromRow + 1
+          val splits = math.min(RecSource.TargetSplits.toLong, total).toInt
+          (0 until splits).map { s =>
+            val a = fromRow + s * total / splits
+            val b = fromRow + (s + 1) * total / splits - 1
+            RecPartition(f, a, b): InputPartition
+          }
+        }
+      }
     }.toArray
   }
 
@@ -184,8 +238,8 @@ private class RecScan(path: String, required: StructType,
     new RecReaderFactory(required)
 }
 
-private case class RecPartition(path: String, fromRow: Long, toRow: Long,
-    minId: Long) extends InputPartition
+private case class RecPartition(path: String, fromRow: Long, toRow: Long)
+    extends InputPartition
 
 private class RecReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -213,13 +267,11 @@ private class RecReader(p: RecPartition, required: StructType)
       off += k
     }
     val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
-    val id = bb.getLong(0)
     val vals: Array[Any] = cols.map {
-      case "id" => id
+      case "id" => bb.getLong(0)
       case "value" => bb.getLong(8)
       case "tag" =>
-        UTF8String.fromString(
-          new String(rec, 16, 8, "US-ASCII").trim)
+        UTF8String.fromString(new String(rec, 16, 8, "US-ASCII").trim)
     }
     current = InternalRow.fromSeq(vals.toIndexedSeq)
     row += 1
@@ -230,13 +282,82 @@ private class RecReader(p: RecPartition, required: StructType)
   override def close(): Unit = { in.close(); raf.close() }
 }
 
-/** Registered query: scan the graftrec file through the V2 connector
-  * with an id-range predicate and full projection — the pushdown
-  * converts the predicate to a byte seek (RecScan.description shows
-  * the bounds; RecSourceSpec pins both pruning and pushdown on the
-  * planned scan). The fixture file derives every byte arithmetically
-  * from the part table's size, which is exactly what the oracle
-  * replays.
+// --------------------------------------------------------------- write
+
+private class RecWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new RecBatchWrite(path, schema)
+  }
+}
+
+private case class RecCommit(staged: String, rows: Long)
+    extends WriterCommitMessage
+
+private class RecBatchWrite(path: String, schema: StructType)
+    extends BatchWrite {
+  require(schema.fieldNames.toSeq == Seq("id", "value", "tag"),
+    s"graftrec write needs (id, value, tag); got ${schema.sql}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new RecWriterFactory(path)
+
+  /** All-or-nothing visibility: staged files rename into the table dir
+    * only here, after EVERY task committed.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    messages.foreach { case RecCommit(staged, rows) =>
+      if (rows == 0) new java.io.File(staged).delete()
+      else {
+        val dst = new java.io.File(dir,
+          new java.io.File(staged).getName.stripSuffix(".staged"))
+        require(new java.io.File(staged).renameTo(dst),
+          s"commit rename failed: $staged")
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case RecCommit(staged, _) => new java.io.File(staged).delete()
+      case _ =>
+    }
+}
+
+private class RecWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new RecWriter(path, partitionId, taskId)
+}
+
+private class RecWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val rows = scala.collection.mutable.ArrayBuffer
+    .empty[(Long, Long, String)]
+
+  override def write(r: InternalRow): Unit =
+    rows += ((r.getLong(0), r.getLong(1), r.getUTF8String(2).toString))
+
+  override def commit(): WriterCommitMessage = {
+    val staged = new java.io.File(path,
+      f"part-$partitionId%05d-$taskId.rec.staged").getPath
+    val n = RecSource.writeFile(staged, rows.iterator)
+    RecCommit(staged, n)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+/** Registered queries over the connector. `s32` scans a dense fixture
+  * file with an id-range predicate (pushdown → file prune + in-file
+  * binary-searched seek); `s33` drives the full WRITE commit protocol
+  * — every Spark task stages one sorted file, the driver commit
+  * renames them in — then reads the multi-file table back through the
+  * same pushdown path. Both fixtures derive every byte arithmetically,
+  * which is exactly what the oracles replay.
   */
 object RecV2Query {
   import graft.{Q, Tables}
@@ -247,14 +368,15 @@ object RecV2Query {
 
   def fixture(s: org.apache.spark.sql.SparkSession, d: String): (String, Long) = {
     val n = Tables(s, d).part.count() * PerPart
-    val path = s"target/recv2/rec_$n.rec"
+    val path = s"target/recv2/rec_v3_$n.rec"
     RecSource.synchronized {
-      if (!new java.io.File(path).exists()) RecSource.write(path, MinId, n)
+      if (!new java.io.File(path).exists())
+        RecSource.writeDense(path, MinId, n)
     }
     (path, n)
   }
 
-  private val q = Q(
+  private val scanQ = Q(
     "s32_dsv2_pushdown_scan",
     (s, d) => {
       val (path, n) = fixture(s, d)
@@ -275,5 +397,27 @@ object RecV2Query {
          |  AND id <= $MinId + n.n // 2""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(q)
+  private val writeQ = Q(
+    "s33_dsv2_roundtrip_write",
+    (s, d) => {
+      val src = Tables(s, d).part.select(
+        col("p_partkey").as("id"),
+        ((col("p_partkey") * 48271L) % 999983L).as("value"),
+        concat(lit("t"), lpad((col("p_partkey") % 100).cast("string"),
+          3, "0")).as("tag"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("recv2_rt").toString
+      src.write.format(classOf[RecSource].getName)
+        .mode("append").save(dir)
+      s.read.format(classOf[RecSource].getName).load(dir)
+        .filter(col("id") % 3 === 0)
+    },
+    Some(
+      """SELECT p_partkey AS id,
+        |  (p_partkey * 48271) % 999983 AS value,
+        |  't' || lpad(CAST(p_partkey % 100 AS VARCHAR), 3, '0') AS tag
+        |FROM part WHERE p_partkey % 3 = 0""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(scanQ, writeQ)
 }

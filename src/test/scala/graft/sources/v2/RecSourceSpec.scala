@@ -9,7 +9,7 @@ class RecSourceSpec extends SparkSpec {
   private def file(n: Long): String = {
     val path = java.nio.file.Files.createTempDirectory("rec").toString +
       "/t.rec"
-    RecSource.write(path, 1000L, n)
+    RecSource.writeDense(path, 1000L, n)
     path
   }
 
@@ -31,6 +31,7 @@ class RecSourceSpec extends SparkSpec {
   test("id range predicate pushes into the scan as a byte seek") {
     val df = spark.read.format(classOf[RecSource].getName).load(file(1000))
       .filter(col("id") >= 1200 && col("id") < 1300)
+    // sorted-but-not-dense still seeks correctly via the binary search
     val scan = scanOf(df)
     assert(scan.description().contains("bounds=[1200,1299]"))
     // the pruned range splits across partitions; total rows = range
@@ -49,6 +50,37 @@ class RecSourceSpec extends SparkSpec {
     assert(scan.readSchema().fieldNames.toSeq == Seq("value"))
     assert(df.collect().map(_.getLong(0)).toSeq ==
       (1000L until 1010L).map(RecSource.valueOf))
+  }
+
+  test("multi-file tables prune whole files on header ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("recdir").toString
+    RecSource.writeDense(s"$dir/a.rec", 0L, 100)     // ids [0, 100)
+    RecSource.writeDense(s"$dir/b.rec", 5000L, 100)  // ids [5000, 5100)
+    val df = spark.read.format(classOf[RecSource].getName).load(dir)
+      .filter(col("id") >= 5010 && col("id") <= 5019)
+    assert(df.count() == 10)
+    val parts = df.rdd.partitions.length
+    assert(parts <= RecSource.TargetSplits) // file a contributed nothing
+    val all = spark.read.format(classOf[RecSource].getName).load(dir)
+    assert(all.count() == 200)
+  }
+
+  test("write path: staged files appear only after the driver commit") {
+    val dir = java.nio.file.Files.createTempDirectory("recw").toString + "/t"
+    import spark.implicits._
+    val src = (1L to 500L).map(i =>
+      (i, RecSource.valueOf(i), RecSource.tagOf(i))).toDF("id", "value", "tag")
+      .repartition(4)
+    src.write.format(classOf[RecSource].getName).mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.forall(!_.endsWith(".staged")))
+    assert(files.count(_.endsWith(".rec")) == 4)  // one per task
+    val back = spark.read.format(classOf[RecSource].getName).load(dir)
+    assert(back.count() == 500)
+    // pushdown works across the committed multi-file table
+    assert(back.filter(col("id") === 123L).collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((RecSource.valueOf(123L), RecSource.tagOf(123L))))
   }
 
   test("an unsupported predicate stays above the scan, others push") {
