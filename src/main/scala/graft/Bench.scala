@@ -261,6 +261,7 @@ object Bench {
     "sim_rank1_als",
     "s32_dsv2_pushdown_scan",
     "s33_dsv2_roundtrip_write",
+    "w7b_transformwithstate_parity",
   )
 
   def main(args: Array[String]): Unit = {

@@ -253,6 +253,75 @@ object StreamingOps {
     * (w1_streaming_parity), flatMapGroupsWithState
     * (d_streaming_exemplar_parity), mapGroupsWithState (this row).
     */
+  /** The SAME running-count state machine on Spark 4's
+    * `transformWithState` — the arbitrary-state API that replaces
+    * mapGroupsWithState (typed ValueState handles, TTL config, timer
+    * registration, RocksDB-backed). Requires the RocksDB state store
+    * provider; the session conf flips for this query and is restored
+    * after (the legacy-API rows keep the default provider).
+    */
+  case class TwsCount(n: Long, lastUs: Long)
+
+  private class CountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Timestamp), (String, Long, Timestamp)] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[TwsCount] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[TwsCount]("counts",
+        org.apache.spark.sql.Encoders.product[TwsCount],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Timestamp)] = {
+      val prev = Option(state.get()).getOrElse(TwsCount(0L, Long.MinValue))
+      val batch = rows.toSeq
+      val next = TwsCount(prev.n + batch.size,
+        math.max(prev.lastUs, batch.map(_._2.getTime).max))
+      state.update(next)
+      Iterator((key, next.n, new Timestamp(next.lastUs)))
+    }
+  }
+
+  private val twsParity = graft.Q(
+    "w7b_transformwithstate_parity",
+    (s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = spooledStream(s, s"$d/orders.parquet")
+          .select(col("o_custkey").cast("string").as("cust"),
+            col("o_orderdate").cast("timestamp").as("created"))
+          .as[(String, Timestamp)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new CountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("key", "n", "lastSeen")
+        val name = sinkName("tws_")
+        runToMemory(out, name, OutputMode.Update())
+        s.table(name)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some(
+      """SELECT CAST(o_custkey AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(o_orderdate) AS TIMESTAMP) AS lastSeen
+        |FROM orders GROUP BY 1""".stripMargin),
+  )
+
   private val countsParity = graft.Q(
     "w7_streaming_counts_parity",
     (s, d) => {
@@ -905,7 +974,8 @@ object StreamingOps {
   }
 
   def queries: Seq[graft.Q] =
-    Seq(w1Parity, exemplarParity, countsParity, joinParity, enrichParity,
+    Seq(w1Parity, exemplarParity, countsParity, twsParity, joinParity,
+      enrichParity,
       outerJoinParity, hllParity, cmParity, qsketchParity, sessionParity,
       ivfAssignParity, bloomFilterParity, upsertParity, abParity,
       contractParity, zonemapParity)
