@@ -262,6 +262,9 @@ object Bench {
     "s32_dsv2_pushdown_scan",
     "s33_dsv2_roundtrip_write",
     "w7b_transformwithstate_parity",
+    "w25_range_frame_sum",
+    "w26_rank_functions",
+    "a52_observed_metrics",
   )
 
   def main(args: Array[String]): Unit = {

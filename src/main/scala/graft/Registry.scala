@@ -70,6 +70,8 @@ object Registry {
       operators.KsTest.all ++
       operators.StockFlow.all ++
       operators.RankStats.all ++
+      operators.WindowFrames.all ++
+      operators.Observed.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
