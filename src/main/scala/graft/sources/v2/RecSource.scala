@@ -245,6 +245,69 @@ private class RecReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new RecReader(p.asInstanceOf[RecPartition], required)
+
+  // vectorized path: Spark plans the scan columnar and inserts one
+  // ColumnarToRow above it (visible in .explain — RecSourceSpec pins
+  // it), which feeds whole-stage codegen the way the parquet reader
+  // does; per batch the reader fills flat OnHeapColumnVectors instead
+  // of allocating a row object per record
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new RecColumnarReader(p.asInstanceOf[RecPartition], required)
+}
+
+private class RecColumnarReader(p: RecPartition, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchRows = 4096
+  private val raf = new RandomAccessFile(p.path, "r")
+  raf.seek(RecSource.HeaderBytes + p.fromRow * RecSource.RecordBytes)
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(raf.getFD), 1 << 16)
+  private var row = p.fromRow
+  private val rec = new Array[Byte](RecSource.RecordBytes)
+  private val cols = required.fields
+  private val vectors = cols.map(f => new OnHeapColumnVector(BatchRows, f.dataType))
+  private val batch = new ColumnarBatch(
+    vectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]))
+
+  override def next(): Boolean = {
+    if (row > p.toRow) return false
+    vectors.foreach(_.reset())
+    var i = 0
+    while (i < BatchRows && row <= p.toRow) {
+      var off = 0
+      while (off < rec.length) {
+        val k = in.read(rec, off, rec.length - off)
+        require(k >= 0, "truncated graftrec file")
+        off += k
+      }
+      val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+      var c = 0
+      while (c < cols.length) {
+        cols(c).name match {
+          case "id" => vectors(c).putLong(i, bb.getLong(0))
+          case "value" => vectors(c).putLong(i, bb.getLong(8))
+          case "tag" =>
+            var len = 8
+            while (len > 0 && rec(16 + len - 1) == ' '.toByte) len -= 1
+            vectors(c).putByteArray(i, rec, 16, len)
+        }
+        c += 1
+      }
+      i += 1
+      row += 1
+    }
+    batch.setNumRows(i)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { in.close(); raf.close() }
 }
 
 private class RecReader(p: RecPartition, required: StructType)

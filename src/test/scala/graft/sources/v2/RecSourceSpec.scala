@@ -83,6 +83,17 @@ class RecSourceSpec extends SparkSpec {
       Seq((RecSource.valueOf(123L), RecSource.tagOf(123L))))
   }
 
+  test("the scan plans COLUMNAR: ColumnarToRow sits above BatchScan") {
+    val df = spark.read.format(classOf[RecSource].getName).load(file(100))
+      .filter(col("id") < 1050)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"))
+    assert(df.count() == 50)
+    // vectorized string decode trims the fixed-width padding
+    assert(df.select("tag").collect().map(_.getString(0))
+      .forall(t => t.length == 4 && t.startsWith("t")))
+  }
+
   test("an unsupported predicate stays above the scan, others push") {
     val df = spark.read.format(classOf[RecSource].getName).load(file(200))
       .filter(col("id") >= 1050 && col("tag") === "t051")
