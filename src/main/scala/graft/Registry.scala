@@ -61,6 +61,7 @@ object Registry {
       dedup.Hits.queries ++
       dedup.Sssp.queries ++
       dedup.MaximalMatching.queries ++
+      dedup.Coloring.queries ++
       functions.JaroWinkler.queries ++
       operators.Resample.all ++
       operators.Intervals.all ++

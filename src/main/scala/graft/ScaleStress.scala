@@ -412,6 +412,34 @@ object ScaleStress {
     ).toMap
 
     val all = results ++ annResults ++ asofResults ++ r5Results ++ r6Results
+    // ---- graftrec connector: does the pushed byte-seek hold its
+    // promise that range-scan cost tracks the RANGE, not the file? ----
+    def recFile(n: Long): String = {
+      val p = s"$scaleDir/rec_stress_$n.rec"
+      if (!new java.io.File(p).exists())
+        sources.v2.RecSource.writeDense(p, 0L, n)
+      p
+    }
+    def recRead(n: Long, push: Boolean): Long = {
+      val df = spark.read
+        .format(classOf[sources.v2.RecSource].getName).load(recFile(n))
+      val q = if (push) df.filter(col("id") >= n / 2 && col("id") < n / 2 + n / 100)
+        else df
+      q.count()
+    }
+    recRead(1000000L, push = true) // warm the codegen/plan path
+    val recResults = Seq(
+      time("rec_full_scan", 1) { recRead(2000000L, push = false) },
+      time("rec_full_scan", factor) { recRead(20000000L, push = false) },
+      time("rec_pushed_1pct", 1) { recRead(2000000L, push = true) },
+      time("rec_pushed_1pct", factor) { recRead(20000000L, push = true) },
+    ).toMap
+
+    for (op <- Seq("rec_full_scan", "rec_pushed_1pct")) {
+      val r = recResults(s"$op@x$factor") / recResults(s"$op@x1")
+      println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
+    }
+
     for (op <- Seq("minhash_lsh_pairs", "dedup_clusters", "fuzzy_name_join",
       "ivfpq_build_and_query", "ivfpq_query_served", "silhouette",
       "asof_composed", "asof_native",
