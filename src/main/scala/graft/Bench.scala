@@ -265,6 +265,7 @@ object Bench {
     "w25_range_frame_sum",
     "w26_rank_functions",
     "a52_observed_metrics",
+    "d30_greedy_coloring",
   )
 
   def main(args: Array[String]): Unit = {
