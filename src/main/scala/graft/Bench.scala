@@ -266,6 +266,7 @@ object Bench {
     "w26_rank_functions",
     "a52_observed_metrics",
     "d30_greedy_coloring",
+    "s34_time_travel_read",
   )
 
   def main(args: Array[String]): Unit = {

@@ -73,6 +73,7 @@ object Registry {
       operators.RankStats.all ++
       operators.WindowFrames.all ++
       operators.Observed.all ++
+      operators.TimeTravel.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
