@@ -267,6 +267,8 @@ object Bench {
     "a52_observed_metrics",
     "d30_greedy_coloring",
     "s34_time_travel_read",
+    "t_rake_keyphrases",
+    "f18_luhn_check",
   )
 
   def main(args: Array[String]): Unit = {

@@ -82,6 +82,8 @@ object Registry {
       text.TextQueries.all ++
       text.Cooccurrence.queries ++
       text.Readability.queries ++
+      text.Rake.queries ++
+      functions.Luhn.queries ++
       text.CodeSignals.queries ++
       text.Rouge.queries ++
       text.Novelty.queries ++
