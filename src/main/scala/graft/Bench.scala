@@ -269,6 +269,7 @@ object Bench {
     "s34_time_travel_read",
     "t_rake_keyphrases",
     "f18_luhn_check",
+    "a53_calibration_ece",
   )
 
   def main(args: Array[String]): Unit = {

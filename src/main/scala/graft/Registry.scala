@@ -74,6 +74,7 @@ object Registry {
       operators.WindowFrames.all ++
       operators.Observed.all ++
       operators.TimeTravel.all ++
+      operators.Calibration.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
