@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each half-step is one join (factors onto the rating edges) +
   * one keyed agg + a 1-row max broadcast — BSP with a lineage cut per
-  * alternation. Ratings = lineitem quantities on the (supplier, part)
+  * half-step. The cut is MEASURED, not stylistic: composing all six
+  * half-steps into one lazy plan re-evaluates the upstream under every
+  * one-row max subquery (3.3 s → 12.2 s cold, 3.9 s warm at sf0.1) —
+  * the same repeated-subtree trap PageRank documented for its rank
+  * chain. Ratings = lineitem quantities on the (supplier, part)
   * bipartite graph.
   */
 object Rank1Als {
