@@ -270,6 +270,8 @@ object Bench {
     "t_rake_keyphrases",
     "f18_luhn_check",
     "a53_calibration_ece",
+    "d31_ktruss_peel",
+    "t_positional_search",
   )
 
   def main(args: Array[String]): Unit = {

@@ -62,6 +62,7 @@ object Registry {
       dedup.Sssp.queries ++
       dedup.MaximalMatching.queries ++
       dedup.Coloring.queries ++
+      dedup.KTruss.queries ++
       functions.JaroWinkler.queries ++
       operators.Resample.all ++
       operators.Intervals.all ++
@@ -84,6 +85,7 @@ object Registry {
       text.Cooccurrence.queries ++
       text.Readability.queries ++
       text.Rake.queries ++
+      text.PositionalSearch.queries ++
       functions.Luhn.queries ++
       text.CodeSignals.queries ++
       text.Rouge.queries ++
