@@ -272,6 +272,7 @@ object Bench {
     "a53_calibration_ece",
     "d31_ktruss_peel",
     "t_positional_search",
+    "w7c_tws_liststate_topk_parity",
   )
 
   def main(args: Array[String]): Unit = {

@@ -287,6 +287,76 @@ object StreamingOps {
     }
   }
 
+  /** transformWithState with LIST state — the bounded-buffer surface
+    * of the new API (the ValueState row keeps a scalar; real serving
+    * state is usually a capped collection): per-user top-3 events by
+    * (value desc, id asc), state = the sorted capped list, output =
+    * the final ranked rows. Same RocksDB provider discipline as w7b.
+    */
+  private class Top3Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Double), (Long, Int, Long, Double)] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ListState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getListState[(Long, Double)]("top3",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int, Long, Double)] = {
+      val merged = (state.get().toSeq ++ rows.map(r => (r._2, r._3)))
+        .sortBy { case (id, v) => (-v, id) }
+        .take(3)
+      state.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case ((id, v), i) =>
+        (key, i + 1, id, v)
+      }
+    }
+  }
+
+  private val twsTopkParity = graft.Q(
+    "w7c_tws_liststate_topk_parity",
+    (s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = spooledStream(s, s"$d/events.parquet")
+          .select(col("user_id").cast("long"),
+            col("event_id").cast("long"), col("value").cast("double"))
+          .as[(Long, Long, Double)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new Top3Processor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "rank", "event_id", "value")
+        val name = sinkName("tws3_")
+        runToMemory(out, name, OutputMode.Update())
+        s.table(name)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some(
+      """SELECT user_id, CAST(rn AS INT) AS rank, event_id, value
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin),
+  )
+
   private val twsParity = graft.Q(
     "w7b_transformwithstate_parity",
     (s, d) => {
@@ -974,7 +1044,8 @@ object StreamingOps {
   }
 
   def queries: Seq[graft.Q] =
-    Seq(w1Parity, exemplarParity, countsParity, twsParity, joinParity,
+    Seq(w1Parity, exemplarParity, countsParity, twsParity,
+      twsTopkParity, joinParity,
       enrichParity,
       outerJoinParity, hllParity, cmParity, qsketchParity, sessionParity,
       ivfAssignParity, bloomFilterParity, upsertParity, abParity,
