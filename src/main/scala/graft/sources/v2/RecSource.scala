@@ -55,10 +55,29 @@ object RecSource {
     StructField("value", LongType, nullable = false),
     StructField("tag", StringType, nullable = false)))
 
-  val Magic = "GRAFTRC2"
-  val HeaderBytes = 32
+  val Magic = "GRAFTRC3"
+  /** magic(8) + n(8) + minId(8) + maxId(8) + tag bloom (1 KiB). */
+  val BloomBytes = 1024
+  val BloomHashes = 3
+  val HeaderBytes = 32 + BloomBytes
   val RecordBytes = 24
   val TargetSplits = 8
+
+  /** FNV-1a over the tag bytes, salted per hash function. */
+  private[v2] def bloomBit(tag: String, salt: Int): Int = {
+    var h = 0x811c9dc5 ^ salt
+    val b = tag.getBytes("US-ASCII")
+    var i = 0
+    while (i < b.length) { h ^= b(i) & 0xff; h *= 0x01000193; i += 1 }
+    (h & 0x7fffffff) % (BloomBytes * 8)
+  }
+
+  private[v2] def bloomMightContain(bloom: Array[Byte], tag: String)
+      : Boolean =
+    (0 until BloomHashes).forall { s =>
+      val bit = bloomBit(tag, s)
+      (bloom(bit >> 3) & (1 << (bit & 7))) != 0
+    }
 
   /** Deterministic value/tag derivation the fixture writer uses —
     * shared with the oracle, which replays it arithmetically.
@@ -76,8 +95,16 @@ object RecSource {
     val header = ByteBuffer.allocate(HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
     val minId = if (sorted.isEmpty) 0L else sorted.head._1
     val maxId = if (sorted.isEmpty) -1L else sorted.last._1
+    val bloom = new Array[Byte](BloomBytes)
+    sorted.foreach { case (_, _, tag) =>
+      (0 until BloomHashes).foreach { s =>
+        val bit = bloomBit(tag, s)
+        bloom(bit >> 3) = (bloom(bit >> 3) | (1 << (bit & 7))).toByte
+      }
+    }
     header.put(Magic.getBytes("US-ASCII"))
       .putLong(sorted.length.toLong).putLong(minId).putLong(maxId)
+      .put(bloom)
     out.write(header.array())
     val buf = ByteBuffer.allocate(RecordBytes).order(ByteOrder.LITTLE_ENDIAN)
     sorted.foreach { case (id, v, tag) =>
@@ -110,8 +137,8 @@ object RecSource {
     else Seq(path)
   }
 
-  /** (rowCount, minId, maxId). */
-  private[v2] def readHeader(path: String): (Long, Long, Long) = {
+  /** (rowCount, minId, maxId, tagBloom). */
+  private[v2] def readHeader(path: String): (Long, Long, Long, Array[Byte]) = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val h = new Array[Byte](HeaderBytes)
@@ -119,7 +146,9 @@ object RecSource {
       val bb = ByteBuffer.wrap(h).order(ByteOrder.LITTLE_ENDIAN)
       val magic = new Array[Byte](8); bb.get(magic)
       require(new String(magic, "US-ASCII") == Magic, s"not a graftrec: $path")
-      (bb.getLong, bb.getLong, bb.getLong)
+      val n = bb.getLong; val mn = bb.getLong; val mx = bb.getLong
+      val bloom = new Array[Byte](BloomBytes); bb.get(bloom)
+      (n, mn, mx, bloom)
     } finally raf.close()
   }
 
@@ -161,9 +190,17 @@ private class RecScanBuilder(path: String) extends ScanBuilder
   private var required: StructType = RecSource.Schema
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
+  private var tagEq: Option[String] = None
   private var pushed = Array.empty[Filter]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // tag equality is consulted BEST-EFFORT against each file's bloom
+    // (whole-file skip); being approximate it stays in the residual
+    // list so Spark still evaluates it above the scan
+    filters.foreach {
+      case EqualTo("tag", v: String) => tagEq = Some(v)
+      case _ =>
+    }
     val (accepted, rejected) = filters.partition {
       case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
       case GreaterThan("id", _: java.lang.Long | _: java.lang.Integer) => true
@@ -196,21 +233,24 @@ private class RecScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RecScan(path, required, lo, hi)
+  override def build(): Scan = new RecScan(path, required, lo, hi, tagEq)
 }
 
 private class RecScan(path: String, required: StructType,
-    lo: Long, hi: Long) extends Scan with Batch {
+    lo: Long, hi: Long, tagEq: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftrec $path bounds=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
+    s"graftrec $path bounds=[$lo,$hi] tag=${tagEq.getOrElse("*")} " +
+      s"cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     RecSource.listFiles(path).flatMap { f =>
-      val (n, minId, maxId) = RecSource.readHeader(f)
-      // file-level zone prune on the header range
-      if (n == 0 || lo > maxId || hi < minId) Seq.empty
+      val (n, minId, maxId, bloom) = RecSource.readHeader(f)
+      // file-level zone prune on the header range + tag bloom
+      if (n == 0 || lo > maxId || hi < minId ||
+        tagEq.exists(t => !RecSource.bloomMightContain(bloom, t)))
+        Seq.empty
       else {
         // binary-search the row span inside the sorted file
         val raf = new RandomAccessFile(f, "r")
@@ -431,7 +471,7 @@ object RecV2Query {
 
   def fixture(s: org.apache.spark.sql.SparkSession, d: String): (String, Long) = {
     val n = Tables(s, d).part.count() * PerPart
-    val path = s"target/recv2/rec_v3_$n.rec"
+    val path = s"target/recv2/rec_v4_$n.rec"
     RecSource.synchronized {
       if (!new java.io.File(path).exists())
         RecSource.writeDense(path, MinId, n)

@@ -94,6 +94,28 @@ class RecSourceSpec extends SparkSpec {
       .forall(t => t.length == 4 && t.startsWith("t")))
   }
 
+  test("tag equality skips whole files via the header bloom") {
+    val dir = java.nio.file.Files.createTempDirectory("recb").toString
+    // two files with DISJOINT tag sets: ids [0,100) tags t000..t099;
+    // ids [5000,5100) tags t000..t099 too — same tags! use custom rows
+    RecSource.writeFile(s"$dir/a.rec",
+      (1L to 50L).iterator.map(i => (i, i, "aaa")))
+    RecSource.writeFile(s"$dir/b.rec",
+      (100L to 150L).iterator.map(i => (i, i, "bbb")))
+    val df = spark.read.format(classOf[RecSource].getName).load(dir)
+      .filter(col("tag") === "bbb")
+    // file a's bloom cannot contain "bbb" (deterministic hashing, and
+    // the spec would catch a false positive as an extra partition)
+    assert(df.rdd.getNumPartitions <= RecSource.TargetSplits)
+    assert(df.count() == 51)
+    assert(df.agg(org.apache.spark.sql.functions.min("id")).head()
+      .getLong(0) == 100L)
+    // the residual filter still evaluates: a bloom false positive can
+    // never leak rows
+    assert(spark.read.format(classOf[RecSource].getName).load(dir)
+      .filter(col("tag") === "zzz").count() == 0)
+  }
+
   test("an unsupported predicate stays above the scan, others push") {
     val df = spark.read.format(classOf[RecSource].getName).load(file(200))
       .filter(col("id") >= 1050 && col("tag") === "t051")
