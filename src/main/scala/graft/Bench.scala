@@ -273,6 +273,7 @@ object Bench {
     "d31_ktruss_peel",
     "t_positional_search",
     "w7c_tws_liststate_topk_parity",
+    "w6b_tws_timer_session_parity",
   )
 
   def main(args: Array[String]): Unit = {

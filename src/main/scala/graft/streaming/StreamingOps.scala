@@ -357,6 +357,123 @@ object StreamingOps {
         |WHERE rn <= 3""".stripMargin),
   )
 
+  /** transformWithState with EVENT-TIME TIMERS — the last surface of
+    * the new API: gap sessions where the CLOSE is driven by the
+    * watermark passing last-event + gap (handleExpiredTimer), not by a
+    * later arrival. In-batch gaps close inline; each batch re-arms one
+    * timer at lastEvent + gap; the far-future sentinel (the w8b
+    * machinery) pushes the global watermark so every open session
+    * flushes — after which the Append-mode output must equal the batch
+    * session_window result exactly. All session arithmetic in epoch
+    * MICROS (Timestamp.getTime would truncate to ms and break parity).
+    */
+  private class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp, Long), (Long, Long, Long)] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Timestamp, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val sorted = rows.map(_._3).toVector.sorted
+      var closed = Vector.empty[(Long, Long, Long)]
+      var cur = Option(state.get())
+      sorted.foreach { us =>
+        cur match {
+          case None => cur = Some((us, us, 1L))
+          case Some((s0, last, n)) =>
+            if (us - last > gapUs) {
+              closed :+= ((key, s0, n)); cur = Some((us, us, 1L))
+            } else cur = Some((s0, us, n + 1L))
+        }
+      }
+      cur.foreach { c =>
+        state.update(c)
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(c._2 / 1000L + gapUs / 1000L + 1L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long)] = {
+      val st = state.get()
+      if (st == null) Iterator.empty
+      else { state.clear(); Iterator((key, st._1, st._3)) }
+    }
+  }
+
+  private val twsSessionParity = graft.Q(
+    "w6b_tws_timer_session_parity",
+    (s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      try {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val flush = java.sql.Timestamp.valueOf("2090-01-01 00:00:00")
+        val schema = StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType)))
+        val stream = spooledStreamPlus(s, s"$d/events.parquet",
+            s.createDataFrame(java.util.List.of(Row(-1L, flush)), schema),
+            "sess_sent") { df =>
+          df.select(col("user_id").cast("long").as("user_id"),
+            col("ts").cast("timestamp").as("ts"))
+        }
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+          .as[(Long, Timestamp, Long)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new SessionProcessor(30L * 60 * 1000000),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF("user_id", "session_start_us", "n_events")
+        val name = sinkName("tws6_")
+        runToMemory(out, name, OutputMode.Append())
+        // sentinel filter on the BATCH read (w8b pushdown lesson)
+        s.table(name).filter(col("user_id") >= 0L)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts)) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts))
+        |        > 30 * 60 * 1000000
+        |    THEN 1 ELSE 0 END AS opener
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, us,
+        |    sum(opener) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM marked)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        |  count(*) AS n_events
+        |FROM islands GROUP BY user_id, island""".stripMargin),
+  )
+
   private val twsParity = graft.Q(
     "w7b_transformwithstate_parity",
     (s, d) => {
@@ -1045,7 +1162,7 @@ object StreamingOps {
 
   def queries: Seq[graft.Q] =
     Seq(w1Parity, exemplarParity, countsParity, twsParity,
-      twsTopkParity, joinParity,
+      twsTopkParity, twsSessionParity, joinParity,
       enrichParity,
       outerJoinParity, hllParity, cmParity, qsketchParity, sessionParity,
       ivfAssignParity, bloomFilterParity, upsertParity, abParity,
