@@ -274,6 +274,7 @@ object Bench {
     "t_positional_search",
     "w7c_tws_liststate_topk_parity",
     "w6b_tws_timer_session_parity",
+    "j27_allen_relations",
   )
 
   def main(args: Array[String]): Unit = {

@@ -76,6 +76,7 @@ object Registry {
       operators.Observed.all ++
       operators.TimeTravel.all ++
       operators.Calibration.all ++
+      operators.AllenRelations.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
