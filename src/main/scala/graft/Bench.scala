@@ -275,6 +275,7 @@ object Bench {
     "w7c_tws_liststate_topk_parity",
     "w6b_tws_timer_session_parity",
     "j27_allen_relations",
+    "t_llr_collocations",
   )
 
   def main(args: Array[String]): Unit = {

@@ -87,6 +87,7 @@ object Registry {
       text.Readability.queries ++
       text.Rake.queries ++
       text.PositionalSearch.queries ++
+      text.Llr.queries ++
       functions.Luhn.queries ++
       text.CodeSignals.queries ++
       text.Rouge.queries ++
