@@ -276,6 +276,7 @@ object Bench {
     "w6b_tws_timer_session_parity",
     "j27_allen_relations",
     "t_llr_collocations",
+    "f19_soundex_blocking",
   )
 
   def main(args: Array[String]): Unit = {

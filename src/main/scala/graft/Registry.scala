@@ -88,6 +88,7 @@ object Registry {
       text.Rake.queries ++
       text.PositionalSearch.queries ++
       text.Llr.queries ++
+      text.Soundex.queries ++
       functions.Luhn.queries ++
       text.CodeSignals.queries ++
       text.Rouge.queries ++

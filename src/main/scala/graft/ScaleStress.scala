@@ -380,6 +380,17 @@ object ScaleStress {
       ks.join(ks.select((col("a") - 1L).as("a"), col("a").as("b")), "a")
     }
     dedup.MaximalMatching.run(pathEdges(wLi)).count()
+    // +1/+2/+3 lattice over present keys (the d31 fixture texture)
+    def latticeEdges(li: DataFrame) = {
+      val ks = li.select(col("l_suppkey").as("a")).distinct()
+      (1 to 3).map { step =>
+        ks.join(ks.select((col("a") - step.toLong).as("a"),
+          col("a").as("b")), "a")
+      }.reduce(_ union _)
+    }
+    dedup.Coloring.run(pathEdges(wLi).select(col("a"), col("b")),
+      ssspNodes(wLi)).count()
+    dedup.KTruss.run(latticeEdges(wLi)).count()
     mergeIv(wOr).count()
     jwJoin(jwParts(1).limit(2000)).count()
     operators.GeoJoin.radiusJoin(
@@ -409,6 +420,16 @@ object ScaleStress {
           geoSide(1000, 16807L, 39373L, factor, "s_suppkey"), 3000L).count() },
       time("jaro_winkler_join", 1) { jwJoin(jwParts(1)).count() },
       time("jaro_winkler_join", factor) { jwJoin(jwParts(factor)).count() },
+      time("greedy_coloring", 1) {
+        dedup.Coloring.run(pathEdges(li1)
+          .select(col("a"), col("b")), ssspNodes(li1)).count() },
+      time("greedy_coloring", factor) {
+        dedup.Coloring.run(pathEdges(liN)
+          .select(col("a"), col("b")), ssspNodes(liN)).count() },
+      time("ktruss_peel", 1) {
+        dedup.KTruss.run(latticeEdges(li1)).count() },
+      time("ktruss_peel", factor) {
+        dedup.KTruss.run(latticeEdges(liN)).count() },
     ).toMap
 
     val all = results ++ annResults ++ asofResults ++ r5Results ++ r6Results
@@ -445,7 +466,8 @@ object ScaleStress {
       "asof_composed", "asof_native",
       "pca_gram_build", "scd2_temporal_join", "assortativity",
       "interval_merge", "sssp_bounded", "maximal_matching",
-      "geo_radius_join", "jaro_winkler_join")) {
+      "geo_radius_join", "jaro_winkler_join",
+      "greedy_coloring", "ktruss_peel")) {
       val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }
