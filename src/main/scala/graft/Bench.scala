@@ -277,6 +277,7 @@ object Bench {
     "j27_allen_relations",
     "t_llr_collocations",
     "f19_soundex_blocking",
+    "a54_mann_whitney",
   )
 
   def main(args: Array[String]): Unit = {

@@ -77,6 +77,7 @@ object Registry {
       operators.TimeTravel.all ++
       operators.Calibration.all ++
       operators.AllenRelations.all ++
+      operators.MannWhitney.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
