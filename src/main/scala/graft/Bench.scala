@@ -278,6 +278,7 @@ object Bench {
     "t_llr_collocations",
     "f19_soundex_blocking",
     "a54_mann_whitney",
+    "a55_kruskal_wallis",
   )
 
   def main(args: Array[String]): Unit = {

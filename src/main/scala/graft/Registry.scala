@@ -78,6 +78,7 @@ object Registry {
       operators.Calibration.all ++
       operators.AllenRelations.all ++
       operators.MannWhitney.all ++
+      operators.KruskalWallis.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
