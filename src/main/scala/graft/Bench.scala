@@ -279,6 +279,7 @@ object Bench {
     "f19_soundex_blocking",
     "a54_mann_whitney",
     "a55_kruskal_wallis",
+    "e_session_metrics",
   )
 
   def main(args: Array[String]): Unit = {

@@ -79,6 +79,7 @@ object Registry {
       operators.AllenRelations.all ++
       operators.MannWhitney.all ++
       operators.KruskalWallis.all ++
+      operators.SessionMetrics.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
