@@ -280,6 +280,9 @@ object Bench {
     "a54_mann_whitney",
     "a55_kruskal_wallis",
     "e_session_metrics",
+    "a56_location_quotient",
+    "a57_hhi_concentration",
+    "a58_shift_share",
   )
 
   def main(args: Array[String]): Unit = {

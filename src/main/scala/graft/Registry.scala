@@ -80,6 +80,7 @@ object Registry {
       operators.MannWhitney.all ++
       operators.KruskalWallis.all ++
       operators.SessionMetrics.all ++
+      operators.RegionalShare.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
