@@ -283,6 +283,7 @@ object Bench {
     "a56_location_quotient",
     "a57_hhi_concentration",
     "a58_shift_share",
+    "t_bursty_terms",
   )
 
   def main(args: Array[String]): Unit = {

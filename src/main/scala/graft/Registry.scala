@@ -92,6 +92,7 @@ object Registry {
       text.Rake.queries ++
       text.PositionalSearch.queries ++
       text.Llr.queries ++
+      text.BurstyTerms.queries ++
       text.Soundex.queries ++
       functions.Luhn.queries ++
       text.CodeSignals.queries ++
