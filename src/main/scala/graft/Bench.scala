@@ -284,6 +284,7 @@ object Bench {
     "a57_hhi_concentration",
     "a58_shift_share",
     "t_bursty_terms",
+    "a59_isotonic_calibration",
   )
 
   def main(args: Array[String]): Unit = {

@@ -81,6 +81,7 @@ object Registry {
       operators.KruskalWallis.all ++
       operators.SessionMetrics.all ++
       operators.RegionalShare.all ++
+      operators.Isotonic.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
