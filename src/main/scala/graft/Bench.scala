@@ -285,6 +285,7 @@ object Bench {
     "a58_shift_share",
     "t_bursty_terms",
     "a59_isotonic_calibration",
+    "a60_ipf_raking",
   )
 
   def main(args: Array[String]): Unit = {

@@ -82,6 +82,7 @@ object Registry {
       operators.SessionMetrics.all ++
       operators.RegionalShare.all ++
       operators.Isotonic.all ++
+      operators.Raking.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++

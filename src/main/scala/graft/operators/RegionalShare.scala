@@ -33,8 +33,10 @@ object RegionalShare {
 
   val Ppm = 1000000L
 
-  /** postings per (region, industry) with region/industry labels. */
-  private def cells(t: Tables): DataFrame = {
+  /** postings per (region, industry) with region/industry labels
+    * (shared with [[Raking]]).
+    */
+  private[operators] def cells(t: Tables): DataFrame = {
     val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
     val nat = t.nation.select(col("n_nationkey"), col("n_name"))
     val prt = t.part.select(col("p_partkey"),
