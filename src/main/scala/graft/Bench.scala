@@ -286,6 +286,7 @@ object Bench {
     "t_bursty_terms",
     "a59_isotonic_calibration",
     "a60_ipf_raking",
+    "a61_quantile_normalize",
   )
 
   def main(args: Array[String]): Unit = {

@@ -83,6 +83,7 @@ object Registry {
       operators.RegionalShare.all ++
       operators.Isotonic.all ++
       operators.Raking.all ++
+      operators.QuantileNormalize.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
