@@ -287,6 +287,7 @@ object Bench {
     "a59_isotonic_calibration",
     "a60_ipf_raking",
     "a61_quantile_normalize",
+    "a62_cmh_test",
   )
 
   def main(args: Array[String]): Unit = {

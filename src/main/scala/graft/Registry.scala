@@ -84,6 +84,7 @@ object Registry {
       operators.Isotonic.all ++
       operators.Raking.all ++
       operators.QuantileNormalize.all ++
+      operators.CmhTest.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
