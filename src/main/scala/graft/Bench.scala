@@ -288,6 +288,7 @@ object Bench {
     "a60_ipf_raking",
     "a61_quantile_normalize",
     "a62_cmh_test",
+    "a63_conformal_interval",
   )
 
   def main(args: Array[String]): Unit = {

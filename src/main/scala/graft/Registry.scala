@@ -85,6 +85,7 @@ object Registry {
       operators.Raking.all ++
       operators.QuantileNormalize.all ++
       operators.CmhTest.all ++
+      operators.Conformal.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
