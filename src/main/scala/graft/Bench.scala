@@ -289,6 +289,7 @@ object Bench {
     "a61_quantile_normalize",
     "a62_cmh_test",
     "a63_conformal_interval",
+    "sim_lof_outliers",
   )
 
   def main(args: Array[String]): Unit = {

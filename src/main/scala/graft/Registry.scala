@@ -131,6 +131,7 @@ object Registry {
       similarity.LabelPropagation.queries ++
       similarity.MmrRerank.queries ++
       similarity.MutualKnn.queries ++
+      similarity.Lof.queries ++
       similarity.PowerIteration.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
