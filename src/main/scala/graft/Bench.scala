@@ -290,6 +290,7 @@ object Bench {
     "a62_cmh_test",
     "a63_conformal_interval",
     "sim_lof_outliers",
+    "a64_stratified_ate",
   )
 
   def main(args: Array[String]): Unit = {

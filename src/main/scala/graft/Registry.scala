@@ -86,6 +86,7 @@ object Registry {
       operators.QuantileNormalize.all ++
       operators.CmhTest.all ++
       operators.Conformal.all ++
+      operators.StratifiedAte.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
