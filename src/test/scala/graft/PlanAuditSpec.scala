@@ -357,6 +357,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("regional cube family: fact table aggregated once, margins on the cube") {
+    val p = plan("a56_location_quotient")
+    // one cube agg + the window sorts over the 150-row cube; the nation
+    // dim broadcasts
+    assert(broadcasts(p) >= 1)
+    assert(shuffles(p) <= 3, s"shuffles=${shuffles(p)}")
+  }
+
+  test("quantile normalize: count-table merge, never a range join") {
+    val p = plan("a61_quantile_normalize")
+    assert(!p.contains("CartesianProduct"))
+    // the only BNL allowed is the broadcast 1-row N constant
+    assert(
+      "BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      "inverse-CDF lookup must stay a union-merge window")
+  }
+
+  test("LOF: blocked candidates equi-join, no cartesian anywhere") {
+    val p = plan("sim_lof_outliers")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 via orderBy.limit")
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
