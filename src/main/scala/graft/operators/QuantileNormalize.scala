@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * The inverse-CDF lookup is a MERGE, not a range join: probe cells
   * (position p) and pooled count-table rows (coverage end cum) union
   * onto one integer axis, one forward-looking window picks the first
-  * reference at-or-after each probe. Everything runs on COUNT TABLES
-  * (the [[graft.util.OrderStats]] discipline): memory bounds by
-  * distinct values, the single-axis window is the same count-table
-  * sort a53/a4 already carry, and applying the emitted mapping to the
-  * fact table is a plain hash join on (group, value).
+  * reference at-or-after each probe. The pooled refs REPLICATE per
+  * group (|groups| × the count table — bounded) so the merge window
+  * partitions by group and parallelises like every other per-group
+  * count-table window (the [[graft.util.OrderStats]] discipline — a
+  * global unpartitioned window would serialise the merge at scale).
+  * Applying the emitted mapping to the fact table is a plain hash
+  * join on (group, value).
   */
 object QuantileNormalize {
 
@@ -45,11 +47,11 @@ object QuantileNormalize {
       val refs = o.groupBy("v").agg(count(lit(1)).as("cp"))
         .withColumn("k",
           sum(col("cp")).over(wp.rowsBetween(Window.unboundedPreceding, 0)))
-        .select(col("k"), lit(1).as("is_ref"),
-          lit(null).cast("string").as("grp"),
+        .crossJoin(broadcast(ng.select(col("grp"))))
+        .select(col("k"), lit(1).as("is_ref"), col("grp"),
           lit(null).cast(o.schema("v").dataType).as("v"),
           lit(null).cast("long").as("c"), col("v").as("ref_v"))
-      val wm = Window.orderBy(col("k"), col("is_ref"))
+      val wm = Window.partitionBy("grp").orderBy(col("k"), col("is_ref"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       probes.unionByName(refs)
         .withColumn("target", first(col("ref_v"), ignoreNulls = true)
@@ -75,16 +77,19 @@ object QuantileNormalize {
         |  SELECT (r.r * n.n + g.n_g - 1) // g.n_g AS k, 0 AS is_ref,
         |    r.grp, r.v, r.c, NULL AS ref_v
         |  FROM ranked r JOIN ng g USING (grp) CROSS JOIN n),
-        |refs AS (
+        |refs0 AS (
         |  SELECT CAST(sum(count(*)) OVER (ORDER BY v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS k,
-        |    1 AS is_ref, NULL AS grp, NULL AS v, NULL AS c, v AS ref_v
+        |    1 AS is_ref, v AS ref_v
         |  FROM o GROUP BY v),
+        |refs AS (
+        |  SELECT r.k, r.is_ref, g.grp, NULL AS v, NULL AS c, r.ref_v
+        |  FROM refs0 r CROSS JOIN (SELECT DISTINCT grp FROM cells) g),
         |merged AS (
         |  SELECT *, first_value(CASE WHEN is_ref = 1 THEN ref_v END
         |      IGNORE NULLS)
-        |    OVER (ORDER BY k, is_ref
+        |    OVER (PARTITION BY grp ORDER BY k, is_ref
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         |      AS target
         |  FROM (SELECT * FROM probes UNION ALL SELECT * FROM refs))

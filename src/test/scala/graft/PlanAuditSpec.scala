@@ -368,10 +368,15 @@ class PlanAuditSpec extends SparkSpec {
   test("quantile normalize: count-table merge, never a range join") {
     val p = plan("a61_quantile_normalize")
     assert(!p.contains("CartesianProduct"))
-    // the only BNL allowed is the broadcast 1-row N constant
+    // allowed BNLs: the broadcast 1-row N constant and the |groups|-row
+    // ref-replication fanout; anything more means a real range join crept in
     assert(
-      "BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      "BroadcastNestedLoop".r.findAllIn(p).length <= 2,
       "inverse-CDF lookup must stay a union-merge window")
+    // the merge window itself must be per-group (a global unpartitioned
+    // window would serialise the merge)
+    assert(p.contains("windowspecdefinition(grp"),
+      "merge window must partition by grp")
   }
 
   test("LOF: blocked candidates equi-join, no cartesian anywhere") {
