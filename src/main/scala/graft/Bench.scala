@@ -291,6 +291,7 @@ object Bench {
     "a63_conformal_interval",
     "sim_lof_outliers",
     "a64_stratified_ate",
+    "t_streaming_bursty_parity",
   )
 
   def main(args: Array[String]): Unit = {

@@ -138,6 +138,7 @@ object Registry {
       streaming.StreamingOps.queries ++
       streaming.StreamingDedup.queries ++
       streaming.StreamingAsOf.queries ++
+      streaming.StreamingBursty.queries ++
       multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

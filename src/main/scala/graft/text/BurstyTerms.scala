@@ -34,6 +34,40 @@ object BurstyTerms {
   val TopN = 30
   val Ppm = 1000000L
 
+  /** Shared with the streaming twin — hash-equality against the SAME
+    * oracle is what proves batch/stream parity.
+    */
+  val oracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id // $BatchSize AS batch, term
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split(lower(text), ' ')) AS term
+       |        FROM documents)
+       |  WHERE length(term) >= 3),
+       |cells AS (
+       |  SELECT term, batch, count(*) AS c FROM tok GROUP BY 1, 2),
+       |batches AS (
+       |  SELECT batch, count(*) AS tok FROM tok GROUP BY 1),
+       |spine AS (
+       |  SELECT batch, tok,
+       |    CAST(coalesce(sum(tok) OVER (ORDER BY batch
+       |      RANGE BETWEEN $TrailBatches PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS trail_tok
+       |  FROM batches),
+       |trailed AS (
+       |  SELECT term, batch, c,
+       |    CAST(coalesce(sum(c) OVER (PARTITION BY term ORDER BY batch
+       |      RANGE BETWEEN $TrailBatches PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS trail_c
+       |  FROM cells)
+       |SELECT t.term, t.batch, t.c, t.trail_c,
+       |  CAST(($Ppm * t.c * (s.trail_tok + 1))
+       |    // (s.tok * (t.trail_c + 1)) AS BIGINT) AS burst_ppm
+       |FROM trailed t JOIN spine s USING (batch)
+       |WHERE t.c >= $MinCount
+       |ORDER BY burst_ppm DESC, t.term, t.batch
+       |LIMIT $TopN""".stripMargin
+
   private val q = Q(
     "t_bursty_terms",
     (s, d) => {
@@ -61,36 +95,7 @@ object BurstyTerms {
         .orderBy(col("burst_ppm").desc, col("term"), col("batch"))
         .limit(TopN)
     },
-    Some(
-      s"""WITH tok AS (
-         |  SELECT doc_id // $BatchSize AS batch, term
-         |  FROM (SELECT doc_id,
-         |          unnest(string_split(lower(text), ' ')) AS term
-         |        FROM documents)
-         |  WHERE length(term) >= 3),
-         |cells AS (
-         |  SELECT term, batch, count(*) AS c FROM tok GROUP BY 1, 2),
-         |batches AS (
-         |  SELECT batch, count(*) AS tok FROM tok GROUP BY 1),
-         |spine AS (
-         |  SELECT batch, tok,
-         |    CAST(coalesce(sum(tok) OVER (ORDER BY batch
-         |      RANGE BETWEEN $TrailBatches PRECEDING AND 1 PRECEDING),
-         |      0) AS BIGINT) AS trail_tok
-         |  FROM batches),
-         |trailed AS (
-         |  SELECT term, batch, c,
-         |    CAST(coalesce(sum(c) OVER (PARTITION BY term ORDER BY batch
-         |      RANGE BETWEEN $TrailBatches PRECEDING AND 1 PRECEDING),
-         |      0) AS BIGINT) AS trail_c
-         |  FROM cells)
-         |SELECT t.term, t.batch, t.c, t.trail_c,
-         |  CAST(($Ppm * t.c * (s.trail_tok + 1))
-         |    // (s.tok * (t.trail_c + 1)) AS BIGINT) AS burst_ppm
-         |FROM trailed t JOIN spine s USING (batch)
-         |WHERE t.c >= $MinCount
-         |ORDER BY burst_ppm DESC, t.term, t.batch
-         |LIMIT $TopN""".stripMargin),
+    Some(oracleSql),
   )
 
   def queries: Seq[Q] = Seq(q)
