@@ -292,6 +292,7 @@ object Bench {
     "sim_lof_outliers",
     "a64_stratified_ate",
     "t_streaming_bursty_parity",
+    "sim_davies_bouldin",
   )
 
   def main(args: Array[String]): Unit = {

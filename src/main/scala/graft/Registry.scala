@@ -133,6 +133,7 @@ object Registry {
       similarity.MmrRerank.queries ++
       similarity.MutualKnn.queries ++
       similarity.Lof.queries ++
+      similarity.DaviesBouldin.queries ++
       similarity.PowerIteration.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++

@@ -26,13 +26,13 @@ object Silhouette {
   val Dim = 64
 
   /** Fixed-order ‖v − c‖² fold, identical in Spark and the oracle. */
-  private def l2(v: String, c: String, dim: Int) =
+  private[similarity] def l2(v: String, c: String, dim: Int) =
     (1 to dim).map { i =>
       val d = expr(s"element_at($v, $i) - element_at($c, $i)")
       d * d
     }.reduceLeft(_ + _)
 
-  private def l2Sql(v: String, c: String, dim: Int): String =
+  private[similarity] def l2Sql(v: String, c: String, dim: Int): String =
     (1 to dim).map(i => s"(($v[$i]) - ($c[$i])) * (($v[$i]) - ($c[$i]))")
       .mkString(" + ")
 
