@@ -293,6 +293,7 @@ object Bench {
     "a64_stratified_ate",
     "t_streaming_bursty_parity",
     "sim_davies_bouldin",
+    "a65_sprt_monitor",
   )
 
   def main(args: Array[String]): Unit = {

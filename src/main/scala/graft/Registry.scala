@@ -87,6 +87,7 @@ object Registry {
       operators.CmhTest.all ++
       operators.Conformal.all ++
       operators.StratifiedAte.all ++
+      operators.Sprt.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
