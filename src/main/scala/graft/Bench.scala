@@ -294,6 +294,7 @@ object Bench {
     "t_streaming_bursty_parity",
     "sim_davies_bouldin",
     "a65_sprt_monitor",
+    "t_heaps_law",
   )
 
   def main(args: Array[String]): Unit = {

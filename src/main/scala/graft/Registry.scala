@@ -100,6 +100,7 @@ object Registry {
       text.PositionalSearch.queries ++
       text.Llr.queries ++
       text.BurstyTerms.queries ++
+      text.HeapsLaw.queries ++
       text.Soundex.queries ++
       functions.Luhn.queries ++
       text.CodeSignals.queries ++

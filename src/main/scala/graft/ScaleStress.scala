@@ -432,7 +432,28 @@ object ScaleStress {
         dedup.KTruss.run(latticeEdges(liN)).count() },
     ).toMap
 
-    val all = results ++ annResults ++ asofResults ++ r5Results ++ r6Results
+    // ---- round-5b family: bursty terms (token-agg-bound) and quantile
+    // normalization (count-table merge; ×N orders at ×N distinct values,
+    // the per-group merge windows absorb the growth) ----
+    text.BurstyTerms.bursty(warm).count()
+    def qnInput(o: DataFrame) = o.select(
+      col("o_orderpriority").as("grp"),
+      (col("o_orderkey") % 100000L).as("v"))
+    operators.QuantileNormalize.normalize(qnInput(
+      spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet"))).count()
+    val r5bResults = Seq(
+      time("bursty_terms", 1) {
+        text.BurstyTerms.bursty(docs1).count() },
+      time("bursty_terms", factor) {
+        text.BurstyTerms.bursty(docsN).count() },
+      time("quantile_normalize", 1) {
+        operators.QuantileNormalize.normalize(qnInput(or1)).count() },
+      time("quantile_normalize", factor) {
+        operators.QuantileNormalize.normalize(qnInput(orN)).count() },
+    ).toMap
+
+    val all = results ++ annResults ++ asofResults ++ r5Results ++
+      r6Results ++ r5bResults
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -467,7 +488,8 @@ object ScaleStress {
       "pca_gram_build", "scd2_temporal_join", "assortativity",
       "interval_merge", "sssp_bounded", "maximal_matching",
       "geo_radius_join", "jaro_winkler_join",
-      "greedy_coloring", "ktruss_peel")) {
+      "greedy_coloring", "ktruss_peel",
+      "bursty_terms", "quantile_normalize")) {
       val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }

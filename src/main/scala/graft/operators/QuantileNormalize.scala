@@ -26,12 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object QuantileNormalize {
 
-  private val q = Q(
-    "a61_quantile_normalize",
-    (s, d) => {
-      val o = Tables(s, d).orders.select(
-        col("o_orderpriority").as("grp"),
-        col("o_totalprice").as("v"))
+  /** Mapping table for a (grp, v) frame — grp's distribution onto the
+    * pooled one.
+    */
+  def normalize(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val cells = o.groupBy("grp", "v").agg(count(lit(1)).as("c"))
       val wg = Window.partitionBy("grp").orderBy("v")
       val ranked = cells.withColumn("r",
@@ -59,7 +58,13 @@ object QuantileNormalize {
         .filter(col("is_ref") === 0)
         .select(col("grp"), col("v").as("src_value"), col("c").as("n"),
           col("target"))
-    },
+  }
+
+  private val q = Q(
+    "a61_quantile_normalize",
+    (s, d) => normalize(Tables(s, d).orders.select(
+      col("o_orderpriority").as("grp"),
+      col("o_totalprice").as("v"))),
     Some(
       """WITH o AS (
         |  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),

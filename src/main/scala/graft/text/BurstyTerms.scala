@@ -68,33 +68,36 @@ object BurstyTerms {
        |ORDER BY burst_ppm DESC, t.term, t.batch
        |LIMIT $TopN""".stripMargin
 
+  def bursty(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(expr(s"doc_id div $BatchSize").as("batch"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val cells = tok.groupBy("term", "batch")
+      .agg(count(lit(1)).as("c"))
+    val batches = tok.groupBy("batch").agg(count(lit(1)).as("tok"))
+    val wB = Window.orderBy("batch")
+      .rangeBetween(-TrailBatches, -1)
+    val spine = batches.select(col("batch"), col("tok"),
+      coalesce(sum(col("tok")).over(wB), lit(0L)).as("trail_tok"))
+    val wT = Window.partitionBy("term").orderBy("batch")
+      .rangeBetween(-TrailBatches, -1)
+    cells
+      .withColumn("trail_c",
+        coalesce(sum(col("c")).over(wT), lit(0L)))
+      .join(broadcast(spine), "batch")
+      .filter(col("c") >= MinCount)
+      .select(col("term"), col("batch"), col("c"), col("trail_c"),
+        expr(s"($Ppm * c * (trail_tok + 1)) div (tok * (trail_c + 1))")
+          .as("burst_ppm"))
+      .orderBy(col("burst_ppm").desc, col("term"), col("batch"))
+      .limit(TopN)
+  }
+
   private val q = Q(
     "t_bursty_terms",
-    (s, d) => {
-      val tok = Tables(s, d).documents
-        .select(expr(s"doc_id div $BatchSize").as("batch"),
-          explode(split(lower(col("text")), " ")).as("term"))
-        .filter(length(col("term")) >= 3)
-      val cells = tok.groupBy("term", "batch")
-        .agg(count(lit(1)).as("c"))
-      val batches = tok.groupBy("batch").agg(count(lit(1)).as("tok"))
-      val wB = Window.orderBy("batch")
-        .rangeBetween(-TrailBatches, -1)
-      val spine = batches.select(col("batch"), col("tok"),
-        coalesce(sum(col("tok")).over(wB), lit(0L)).as("trail_tok"))
-      val wT = Window.partitionBy("term").orderBy("batch")
-        .rangeBetween(-TrailBatches, -1)
-      cells
-        .withColumn("trail_c",
-          coalesce(sum(col("c")).over(wT), lit(0L)))
-        .join(broadcast(spine), "batch")
-        .filter(col("c") >= MinCount)
-        .select(col("term"), col("batch"), col("c"), col("trail_c"),
-          expr(s"($Ppm * c * (trail_tok + 1)) div (tok * (trail_c + 1))")
-            .as("burst_ppm"))
-        .orderBy(col("burst_ppm").desc, col("term"), col("batch"))
-        .limit(TopN)
-    },
+    (s, d) => bursty(Tables(s, d).documents),
     Some(oracleSql),
   )
 
