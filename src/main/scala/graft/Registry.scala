@@ -88,6 +88,7 @@ object Registry {
       operators.Conformal.all ++
       operators.StratifiedAte.all ++
       operators.Sprt.all ++
+      operators.Wasserstein.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
