@@ -295,6 +295,7 @@ object Bench {
     "sim_davies_bouldin",
     "a65_sprt_monitor",
     "t_heaps_law",
+    "a66_wasserstein_1d",
   )
 
   def main(args: Array[String]): Unit = {
