@@ -296,6 +296,7 @@ object Bench {
     "a65_sprt_monitor",
     "t_heaps_law",
     "a66_wasserstein_1d",
+    "s35_dsv2_agg_pushdown",
   )
 
   def main(args: Array[String]): Unit = {

@@ -3,7 +3,9 @@ package graft.sources.v2
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -185,13 +187,43 @@ private class RecTable(path: String) extends Table
 // ---------------------------------------------------------------- read
 
 private class RecScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = RecSource.Schema
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var tagEq: Option[String] = None
   private var pushed = Array.empty[Filter]
+  private var aggFns: Option[Array[AggregateFunc]] = None
+
+  /** count(*) / min(id) / max(id) are header fields — the scan can
+    * answer them WITHOUT reading a single record, the parquet-footer
+    * trick. Only the unfiltered, ungrouped case is header-exact, so
+    * anything else is declined and Spark plans the normal scan+agg.
+    * Partial pushdown (one row per file; Spark merges) keeps the
+    * contract simple and multi-file-correct.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    if (pushed.nonEmpty || tagEq.nonEmpty ||
+      agg.groupByExpressions.nonEmpty) return false
+    val ok = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case _ => false
+      }
+    if (ok) aggFns = Some(agg.aggregateExpressions)
+    ok
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // tag equality is consulted BEST-EFFORT against each file's bloom
@@ -233,7 +265,63 @@ private class RecScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RecScan(path, required, lo, hi, tagEq)
+  override def build(): Scan = aggFns match {
+    case Some(fns) => new RecAggScan(path, fns)
+    case None => new RecScan(path, required, lo, hi, tagEq)
+  }
+}
+
+/** Header-only scan for a pushed aggregation: one partition per file,
+  * one emitted row per file carrying (count, min, max) straight from
+  * the 32-byte header — zero record bytes read. Spark's final
+  * aggregate merges the per-file partials.
+  */
+private class RecAggScan(path: String, fns: Array[AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(fns.zipWithIndex.map {
+    case (_: CountStar, i) =>
+      StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftrec $path AGG-PUSHED=[${fns.mkString(", ")}] (header-only)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    RecSource.listFiles(path)
+      .map(f => RecPartition(f, 0L, -1L): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RecAggReaderFactory(fns)
+}
+
+private class RecAggReaderFactory(fns: Array[AggregateFunc])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] =
+    new RecHeaderAggReader(p.asInstanceOf[RecPartition].path, fns)
+}
+
+private class RecHeaderAggReader(file: String, fns: Array[AggregateFunc])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done
+  override def get(): InternalRow = {
+    done = true
+    val (n, minId, maxId, _) = RecSource.readHeader(file)
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(fns.length)
+    fns.zipWithIndex.foreach {
+      case (_: CountStar, i) => row.setLong(i, n)
+      case (_: Min, i) =>
+        if (n == 0) row.setNullAt(i) else row.setLong(i, minId)
+      case (_: Max, i) =>
+        if (n == 0) row.setNullAt(i) else row.setLong(i, maxId)
+      case _ => throw new IllegalStateException("unreachable: gated at push")
+    }
+    row
+  }
+  override def close(): Unit = ()
 }
 
 private class RecScan(path: String, required: StructType,
@@ -522,5 +610,23 @@ object RecV2Query {
         |FROM part WHERE p_partkey % 3 = 0""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(scanQ, writeQ)
+  private val aggQ = Q(
+    "s35_dsv2_agg_pushdown",
+    (s, d) => {
+      val (path, _) = fixture(s, d)
+      s.read.format(classOf[RecSource].getName).load(path)
+        .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+    },
+    // the fixture is DENSE ids [MinId, MinId + |part|·PerPart), so the
+    // oracle states the three header facts arithmetically — fully
+    // independent of the connector
+    Some(
+      s"""SELECT count(*) * $PerPart AS n_rows,
+         |  CAST($MinId AS BIGINT) AS min_id,
+         |  CAST($MinId AS BIGINT) + count(*) * $PerPart - 1 AS max_id
+         |FROM part""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(scanQ, writeQ, aggQ)
 }

@@ -124,4 +124,44 @@ class RecSourceSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.map(_.getLong(0)).toSet == Set(1051L, 1151L))
   }
+
+  // with an aggregate the physical scan hides under AdaptiveSparkPlanExec
+  // until execution — read the scan off the optimized logical plan
+  private def logicalScanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }.get
+
+  test("count/min/max push to the header: no record bytes read") {
+    val df = spark.read.format(classOf[RecSource].getName).load(file(500))
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(logicalScanOf(df).description().contains("AGG-PUSHED"),
+      "unfiltered count/min/max must come from the 32-byte header")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((500L, 1000L, 1499L)))
+  }
+
+  test("agg pushdown merges per-file partials across a multi-file table") {
+    val dir = java.nio.file.Files.createTempDirectory("recagg").toString
+    RecSource.writeDense(s"$dir/a.rec", 0L, 100L)
+    RecSource.writeDense(s"$dir/b.rec", 5000L, 50L)
+    val df = spark.read.format(classOf[RecSource].getName).load(dir)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(logicalScanOf(df).description().contains("AGG-PUSHED"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((150L, 0L, 5049L)))
+  }
+
+  test("a filter declines agg pushdown: headers cannot answer filtered counts") {
+    val df = spark.read.format(classOf[RecSource].getName).load(file(500))
+      .filter(col("id") >= 1100)
+      .agg(count(lit(1)), min(col("id")))
+    assert(!logicalScanOf(df).description().contains("AGG-PUSHED"),
+      "filtered aggregates must fall back to the record scan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((400L, 1100L)))
+  }
 }
