@@ -297,6 +297,7 @@ object Bench {
     "t_heaps_law",
     "a66_wasserstein_1d",
     "s35_dsv2_agg_pushdown",
+    "s36_dsv2_topn_pushdown",
   )
 
   def main(args: Array[String]): Unit = {

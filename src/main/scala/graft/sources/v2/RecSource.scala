@@ -3,9 +3,9 @@ package graft.sources.v2
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -188,7 +188,8 @@ private class RecTable(path: String) extends Table
 
 private class RecScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = RecSource.Schema
   private var lo = Long.MinValue
@@ -224,6 +225,43 @@ private class RecScanBuilder(path: String) extends ScanBuilder
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  private var takeAsc: Option[Int] = None
+  private var takeDesc: Option[Int] = None
+
+  /** LIMIT n: any n in-range rows satisfy it, so each file truncates
+    * its span to its first n rows (PARTIAL — Spark re-limits the
+    * union). Record bytes read drop from the span to ≤ n per file.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    takeAsc = Some(takeAsc.fold(limit)(math.min(_, limit)))
+    true
+  }
+
+  /** ORDER BY id LIMIT n: the clustered sort order makes TopN a BYTE
+    * SEEK — ascending keeps each file-span's first n rows, descending
+    * its last n (partial; Spark's TakeOrderedAndProject merges across
+    * files). Any other sort key declines.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val idOrder = orders match {
+      case Array(o) => o.expression() match {
+        case r: NamedReference if r.fieldNames.sameElements(Array("id")) =>
+          Some(o.direction())
+        case _ => None
+      }
+      case _ => None
+    }
+    idOrder match {
+      case Some(SortDirection.ASCENDING) =>
+        takeAsc = Some(takeAsc.fold(limit)(math.min(_, limit))); true
+      case Some(SortDirection.DESCENDING) =>
+        takeDesc = Some(takeDesc.fold(limit)(math.min(_, limit))); true
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // tag equality is consulted BEST-EFFORT against each file's bloom
@@ -267,7 +305,8 @@ private class RecScanBuilder(path: String) extends ScanBuilder
 
   override def build(): Scan = aggFns match {
     case Some(fns) => new RecAggScan(path, fns)
-    case None => new RecScan(path, required, lo, hi, tagEq)
+    case None =>
+      new RecScan(path, required, lo, hi, tagEq, takeAsc, takeDesc)
   }
 }
 
@@ -325,12 +364,45 @@ private class RecHeaderAggReader(file: String, fns: Array[AggregateFunc])
 }
 
 private class RecScan(path: String, required: StructType,
-    lo: Long, hi: Long, tagEq: Option[String]) extends Scan with Batch {
+    lo: Long, hi: Long, tagEq: Option[String],
+    takeAsc: Option[Int] = None, takeDesc: Option[Int] = None)
+    extends Scan with Batch
+    with SupportsReportOrdering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftrec $path bounds=[$lo,$hi] tag=${tagEq.getOrElse("*")} " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"cols=${required.fieldNames.mkString(",")}" +
+      takeAsc.fold("")(n => s" take_first=$n") +
+      takeDesc.fold("")(n => s" take_last=$n")
+
+  /** Every partition is a contiguous span of a file SORTED by id, so
+    * the scan legitimately reports per-partition id-ascending order —
+    * Spark elides sorts the data already satisfies. Only reported
+    * while id survives column pruning (an ordering on a pruned column
+    * is unresolvable).
+    */
+  override def outputOrdering(): Array[V2SortOrder] =
+    if (required.fieldNames.contains("id"))
+      Array(Expressions.sort(Expressions.column("id"),
+        SortDirection.ASCENDING))
+    else Array.empty
+
+  /** Header-derived, zone-prune-aware row/byte estimates — what the
+    * cost-based side of the planner (join strategy choice) reads.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = RecSource.listFiles(path).map { f =>
+      val (n, minId, maxId, bloom) = RecSource.readHeader(f)
+      if (n == 0 || lo > maxId || hi < minId ||
+        tagEq.exists(t => !RecSource.bloomMightContain(bloom, t))) 0L
+      else n
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * RecSource.RecordBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     RecSource.listFiles(path).flatMap { f =>
@@ -348,8 +420,15 @@ private class RecScan(path: String, required: StructType,
             else RecSource.lowerBound(raf, n, hi + 1) - 1
           (a, b)
         } finally raf.close()
-        if (fromRow > toRow) Seq.empty
+        // pushed limit/TopN: keep only the span's first (ascending) or
+        // last (descending) n rows — the byte seek the sorted layout buys
+        val from2 = takeDesc.fold(fromRow)(n => math.max(fromRow, toRow - n + 1))
+        val to2 = takeAsc.fold(toRow)(n => math.min(toRow, from2 + n - 1))
+        val fromRow2 = from2
+        if (fromRow2 > to2) Seq.empty
         else {
+          val fromRow = fromRow2
+          val toRow = to2
           val total = toRow - fromRow + 1
           val splits = math.min(RecSource.TargetSplits.toLong, total).toInt
           (0 until splits).map { s =>
@@ -628,5 +707,24 @@ object RecV2Query {
          |FROM part""".stripMargin),
   )
 
-  def queries: Seq[Q] = Seq(scanQ, writeQ, aggQ)
+  private val topnQ = Q(
+    "s36_dsv2_topn_pushdown",
+    (s, d) => {
+      val (path, _) = fixture(s, d)
+      s.read.format(classOf[RecSource].getName).load(path)
+        .orderBy(col("id").desc).limit(5)
+    },
+    // dense ids again: the top-5 by id are the last five of the range,
+    // values/tags restated arithmetically
+    Some(
+      s"""WITH n AS (SELECT count(*) * $PerPart AS n FROM part),
+         |ids AS (
+         |  SELECT $MinId + n.n - 1 - j.j AS id
+         |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) j)
+         |SELECT id, (id * 48271) % 999983 AS value,
+         |  't' || lpad(CAST(id % 100 AS VARCHAR), 3, '0') AS tag
+         |FROM ids""".stripMargin),
+  )
+
+  def queries: Seq[Q] = Seq(scanQ, writeQ, aggQ, topnQ)
 }

@@ -155,6 +155,46 @@ class RecSourceSpec extends SparkSpec {
       ((150L, 0L, 5049L)))
   }
 
+  test("ORDER BY id LIMIT pushes as a byte seek, both directions") {
+    val p = file(1000)
+    val asc = spark.read.format(classOf[RecSource].getName).load(p)
+      .orderBy(col("id")).limit(3)
+    assert(logicalScanOf(asc).description().contains("take_first=3"))
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(1000L, 1001L, 1002L))
+    val desc = spark.read.format(classOf[RecSource].getName).load(p)
+      .orderBy(col("id").desc).limit(3)
+    assert(logicalScanOf(desc).description().contains("take_last=3"))
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(1999L, 1998L, 1997L))
+  }
+
+  test("TopN composes with the pushed range filter") {
+    val df = spark.read.format(classOf[RecSource].getName).load(file(1000))
+      .filter(col("id") >= 1500).orderBy(col("id")).limit(2)
+    val d = logicalScanOf(df).description()
+    assert(d.contains("bounds=[1500,") && d.contains("take_first=2"), d)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1500L, 1501L))
+  }
+
+  test("reported ordering elides a redundant per-partition sort") {
+    val df = spark.read.format(classOf[RecSource].getName).load(file(500))
+      .sortWithinPartitions("id")
+    val hasSort = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.SortExec => true
+      case _ => false
+    }
+    assert(!hasSort, "scan reports id-ascending; the sort must vanish")
+  }
+
+  test("reported statistics come from headers and honor zone pruning") {
+    val df = spark.read.format(classOf[RecSource].getName).load(file(800))
+    val st = logicalScanOf(df)
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    assert(st.numRows().getAsLong == 800L)
+    assert(st.sizeInBytes().getAsLong == 800L * 24)
+  }
+
   test("a filter declines agg pushdown: headers cannot answer filtered counts") {
     val df = spark.read.format(classOf[RecSource].getName).load(file(500))
       .filter(col("id") >= 1100)
