@@ -298,6 +298,7 @@ object Bench {
     "a66_wasserstein_1d",
     "s35_dsv2_agg_pushdown",
     "s36_dsv2_topn_pushdown",
+    "d32_temporal_reachability",
   )
 
   def main(args: Array[String]): Unit = {

@@ -60,6 +60,7 @@ object Registry {
       dedup.RichClub.queries ++
       dedup.Hits.queries ++
       dedup.Sssp.queries ++
+      dedup.TemporalReach.queries ++
       dedup.MaximalMatching.queries ++
       dedup.Coloring.queries ++
       dedup.KTruss.queries ++
