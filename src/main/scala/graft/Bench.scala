@@ -299,6 +299,7 @@ object Bench {
     "s35_dsv2_agg_pushdown",
     "s36_dsv2_topn_pushdown",
     "d32_temporal_reachability",
+    "a67_kendall_tau",
   )
 
   def main(args: Array[String]): Unit = {

@@ -90,6 +90,7 @@ object Registry {
       operators.StratifiedAte.all ++
       operators.Sprt.all ++
       operators.Wasserstein.all ++
+      operators.KendallTau.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
