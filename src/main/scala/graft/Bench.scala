@@ -300,6 +300,8 @@ object Bench {
     "s36_dsv2_topn_pushdown",
     "d32_temporal_reachability",
     "a67_kendall_tau",
+    "sim_map_at_k",
+    "a68_horvitz_thompson",
   )
 
   def main(args: Array[String]): Unit = {

@@ -91,6 +91,7 @@ object Registry {
       operators.Sprt.all ++
       operators.Wasserstein.all ++
       operators.KendallTau.all ++
+      operators.HorvitzThompson.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
@@ -139,6 +140,7 @@ object Registry {
       similarity.MutualKnn.queries ++
       similarity.Lof.queries ++
       similarity.DaviesBouldin.queries ++
+      similarity.MapAtK.queries ++
       similarity.PowerIteration.queries ++
       sources.XlsxFixture.queries ++
       streaming.StreamingOps.queries ++
