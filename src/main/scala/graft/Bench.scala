@@ -302,6 +302,7 @@ object Bench {
     "a67_kendall_tau",
     "sim_map_at_k",
     "a68_horvitz_thompson",
+    "a69_mann_kendall",
   )
 
   def main(args: Array[String]): Unit = {

@@ -92,6 +92,7 @@ object Registry {
       operators.Wasserstein.all ++
       operators.KendallTau.all ++
       operators.HorvitzThompson.all ++
+      operators.MannKendall.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
