@@ -303,6 +303,8 @@ object Bench {
     "sim_map_at_k",
     "a68_horvitz_thompson",
     "a69_mann_kendall",
+    "a70_ljung_box",
+    "a71_dickey_fuller",
   )
 
   def main(args: Array[String]): Unit = {

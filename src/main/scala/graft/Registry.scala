@@ -93,6 +93,7 @@ object Registry {
       operators.KendallTau.all ++
       operators.HorvitzThompson.all ++
       operators.MannKendall.all ++
+      operators.TsDiagnostics.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
