@@ -305,6 +305,7 @@ object Bench {
     "a69_mann_kendall",
     "a70_ljung_box",
     "a71_dickey_fuller",
+    "e_process_variants",
   )
 
   def main(args: Array[String]): Unit = {

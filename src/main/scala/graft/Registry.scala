@@ -94,6 +94,7 @@ object Registry {
       operators.HorvitzThompson.all ++
       operators.MannKendall.all ++
       operators.TsDiagnostics.all ++
+      operators.ProcessVariants.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
