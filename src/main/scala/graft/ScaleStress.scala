@@ -441,7 +441,38 @@ object ScaleStress {
       (col("o_orderkey") % 100000L).as("v"))
     operators.QuantileNormalize.normalize(qnInput(
       spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet"))).count()
+    // temporal reachability: shard-disjoint order/supp/cust keys make
+    // the ×N contact graph N independent copies; seeds = the 3 lowest
+    // custkeys of EVERY shard (custkey offset = shard·1e7) so every
+    // copy carries a live wavefront. Supplier ids offset past the
+    // sharded custkey space.
+    def reachNodes(or: DataFrame, li: DataFrame) =
+      or.select(col("o_custkey").as("id"))
+        .union(li.select((col("l_suppkey") + 1000000000000L).as("id")))
+        .distinct()
+    def reachSeeds(or: DataFrame) =
+      or.select(col("o_custkey").as("id"))
+        .filter(col("id") % 10000000L <= 3 && col("id") % 10000000L >= 1)
+        .distinct()
+    dedup.TemporalReach.run(
+      dedup.TemporalReach.contacts(
+        spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet"),
+        spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet"),
+        1000000000000L),
+      reachNodes(spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet"),
+        spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet")),
+      reachSeeds(spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet")))
+      .count()
+
     val r5bResults = Seq(
+      time("temporal_reachability", 1) {
+        dedup.TemporalReach.run(
+          dedup.TemporalReach.contacts(or1, li1, 1000000000000L),
+          reachNodes(or1, li1), reachSeeds(or1)).count() },
+      time("temporal_reachability", factor) {
+        dedup.TemporalReach.run(
+          dedup.TemporalReach.contacts(orN, liN, 1000000000000L),
+          reachNodes(orN, liN), reachSeeds(orN)).count() },
       time("bursty_terms", 1) {
         text.BurstyTerms.bursty(docs1).count() },
       time("bursty_terms", factor) {
@@ -489,7 +520,8 @@ object ScaleStress {
       "interval_merge", "sssp_bounded", "maximal_matching",
       "geo_radius_join", "jaro_winkler_join",
       "greedy_coloring", "ktruss_peel",
-      "bursty_terms", "quantile_normalize")) {
+      "bursty_terms", "quantile_normalize",
+      "temporal_reachability")) {
       val r = all(s"$op@x$factor") / all(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }

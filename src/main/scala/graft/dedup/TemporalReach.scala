@@ -57,12 +57,17 @@ object TemporalReach {
     arr.filter(col("arr").isNotNull)
   }
 
-  private def contactsOf(t: Tables): DataFrame = {
-    val c = t.orders
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+  /** @param supOffset keeps supplier ids out of the customer key
+    *   space; the stress harness passes a larger offset because its
+    *   sharded custkeys grow past the default.
+    */
+  def contacts(orders: DataFrame, lineitem: DataFrame,
+      supOffset: Long = SupOffset): DataFrame = {
+    val c = orders
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + SupOffset).as("sup"),
+        (col("l_suppkey") + supOffset).as("sup"),
         datediff(to_date(col("o_orderdate")),
           to_date(lit("1992-01-01"))).cast("long").as("t"))
       .distinct()
@@ -111,7 +116,8 @@ object TemporalReach {
       val t = Tables(s, d)
       val nodes = t.customer.select(col("c_custkey").as("id"))
         .union(t.supplier.select((col("s_suppkey") + SupOffset).as("id")))
-      run(contactsOf(t), nodes, nodes.filter(col("id") <= MaxSeedKey))
+      run(contacts(t.orders, t.lineitem), nodes,
+        nodes.filter(col("id") <= MaxSeedKey))
     },
     Some(oracleSql),
   )
