@@ -306,6 +306,7 @@ object Bench {
     "a70_ljung_box",
     "a71_dickey_fuller",
     "e_process_variants",
+    "e_dau_stickiness",
   )
 
   def main(args: Array[String]): Unit = {

@@ -95,6 +95,7 @@ object Registry {
       operators.MannKendall.all ++
       operators.TsDiagnostics.all ++
       operators.ProcessVariants.all ++
+      operators.ActiveUsers.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
