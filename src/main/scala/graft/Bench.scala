@@ -307,6 +307,7 @@ object Bench {
     "a71_dickey_fuller",
     "e_process_variants",
     "e_dau_stickiness",
+    "a72_diff_in_diff",
   )
 
   def main(args: Array[String]): Unit = {

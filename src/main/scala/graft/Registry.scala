@@ -96,6 +96,7 @@ object Registry {
       operators.TsDiagnostics.all ++
       operators.ProcessVariants.all ++
       operators.ActiveUsers.all ++
+      operators.DiffInDiff.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
