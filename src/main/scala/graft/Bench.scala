@@ -308,6 +308,7 @@ object Bench {
     "e_process_variants",
     "e_dau_stickiness",
     "a72_diff_in_diff",
+    "a73_mde_power",
   )
 
   def main(args: Array[String]): Unit = {

@@ -97,6 +97,7 @@ object Registry {
       operators.ProcessVariants.all ++
       operators.ActiveUsers.all ++
       operators.DiffInDiff.all ++
+      operators.MdePower.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
