@@ -309,6 +309,15 @@ object Bench {
     "e_dau_stickiness",
     "a72_diff_in_diff",
     "a73_mde_power",
+    "a74_friedman_test",
+    "a75_cohens_kappa",
+    "a76_cramers_v",
+    "w27_ccf_lags",
+    "a77_psi_drift",
+    "e_power_user_curve",
+    "a78_granger_f",
+    "a79_mcnemar",
+    "a80_cochran_q",
   )
 
   def main(args: Array[String]): Unit = {

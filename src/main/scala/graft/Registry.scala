@@ -98,6 +98,15 @@ object Registry {
       operators.ActiveUsers.all ++
       operators.DiffInDiff.all ++
       operators.MdePower.all ++
+      operators.Friedman.all ++
+      operators.CohensKappa.all ++
+      operators.CramersV.all ++
+      operators.CrossCorrelation.all ++
+      operators.PsiDrift.all ++
+      operators.PowerUsers.all ++
+      operators.Granger.all ++
+      operators.McNemar.all ++
+      operators.CochranQ.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
