@@ -318,6 +318,10 @@ object Bench {
     "a78_granger_f",
     "a79_mcnemar",
     "a80_cochran_q",
+    "a81_theil_index",
+    "e_conversion_lag",
+    "a82_cronbach_alpha",
+    "t_jensen_shannon",
   )
 
   def main(args: Array[String]): Unit = {

@@ -107,6 +107,10 @@ object Registry {
       operators.Granger.all ++
       operators.McNemar.all ++
       operators.CochranQ.all ++
+      operators.TheilIndex.all ++
+      operators.ConversionLag.all ++
+      operators.Cronbach.all ++
+      text.JensenShannon.queries ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
