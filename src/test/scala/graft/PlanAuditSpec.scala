@@ -385,6 +385,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 via orderBy.limit")
   }
 
+  test("single-aggregate statistics stay single-shuffle") {
+    // McNemar / Cochran Q / Cronbach α are one corpus aggregate each —
+    // a second exchange means someone added a per-document grouping
+    for (n <- Seq("a79_mcnemar", "a80_cochran_q", "a82_cronbach_alpha")) {
+      val p = plan(n)
+      assert(shuffles(p) <= 1, s"$n shuffles=${shuffles(p)}")
+      assert(!p.contains("CartesianProduct"), n)
+    }
+  }
+
+  test("granger: checkpointed spine keeps both directions at 2 shuffles") {
+    val p = plan("a78_granger_f")
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
+  }
+
+  test("jsd: one vocab-bounded token aggregate, totals broadcast") {
+    val p = plan("t_jensen_shannon")
+    assert(broadcasts(p) >= 1)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"), "token agg must stay hash")
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
   // graft.dedup.LshPlanSpec, where the candidate stage is visible)
 }
