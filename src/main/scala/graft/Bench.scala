@@ -322,6 +322,10 @@ object Bench {
     "e_conversion_lag",
     "a82_cronbach_alpha",
     "t_jensen_shannon",
+    "a83_welch_anova",
+    "a84_brown_forsythe",
+    "t_span_corruption",
+    "j28_copurchase_projection",
   )
 
   def main(args: Array[String]): Unit = {

@@ -111,6 +111,10 @@ object Registry {
       operators.ConversionLag.all ++
       operators.Cronbach.all ++
       text.JensenShannon.queries ++
+      text.SpanCorruption.queries ++
+      operators.WelchAnova.all ++
+      operators.BrownForsythe.all ++
+      operators.CoPurchase.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
