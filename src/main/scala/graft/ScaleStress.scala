@@ -208,7 +208,13 @@ object ScaleStress {
     operators.Extended.fuzzyNameJoin(
       spark.read.parquet(s"$sfDir/../sf0.01/part.parquet")).count()
 
+    // SPARK_GRAFT_STRESS_ONLY=<substring>[,…] restricts the run for a
+    // single family's measurement (skipped ops report -1 and are
+    // filtered from the ratio printout)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(',').toSeq)
+    def keepOp(name: String) = only.forall(_.exists(name.contains))
     def time(name: String, factor: Int)(thunk: => Long): (String, Double) = {
+      if (!keepOp(name)) return (s"$name@x$factor", -1.0)
       val t0 = System.nanoTime()
       val rows = thunk
       val sec = (System.nanoTime() - t0) / 1e9
@@ -483,8 +489,36 @@ object ScaleStress {
         operators.QuantileNormalize.normalize(qnInput(orN)).count() },
     ).toMap
 
+    // ---- batch-18/19/20 family: span corruption and JSD over ×N docs
+    // (token-linear; JSD's vocab rows grow sublinearly), co-purchase
+    // over ×N disjoint-shard lineitem (blocks replicate: pair work ×N),
+    // DAU/WAU/MAU over ×N events (×N users at the same calendar) ----
+    text.SpanCorruption.corrupt(warm).count()
+    text.JensenShannon.jsd(warm).count()
+    operators.CoPurchase.project(
+      spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet")).count()
+    operators.ActiveUsers.series(warmEv).count()
+    val b20Results = Seq(
+      time("span_corruption", 1) {
+        text.SpanCorruption.corrupt(docs1).count() },
+      time("span_corruption", factor) {
+        text.SpanCorruption.corrupt(docsN).count() },
+      time("jensen_shannon", 1) {
+        text.JensenShannon.jsd(docs1).count() },
+      time("jensen_shannon", factor) {
+        text.JensenShannon.jsd(docsN).count() },
+      time("copurchase_projection", 1) {
+        operators.CoPurchase.project(li1).count() },
+      time("copurchase_projection", factor) {
+        operators.CoPurchase.project(liN).count() },
+      time("dau_stickiness", 1) {
+        operators.ActiveUsers.series(ev1).count() },
+      time("dau_stickiness", factor) {
+        operators.ActiveUsers.series(evN).count() },
+    ).toMap
+
     val all = results ++ annResults ++ asofResults ++ r5Results ++
-      r6Results ++ r5bResults
+      r6Results ++ r5bResults ++ b20Results
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -508,7 +542,8 @@ object ScaleStress {
       time("rec_pushed_1pct", factor) { recRead(20000000L, push = true) },
     ).toMap
 
-    for (op <- Seq("rec_full_scan", "rec_pushed_1pct")) {
+    for (op <- Seq("rec_full_scan", "rec_pushed_1pct")
+         if recResults(s"$op@x1") >= 0) {
       val r = recResults(s"$op@x$factor") / recResults(s"$op@x1")
       println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
     }
@@ -521,9 +556,13 @@ object ScaleStress {
       "geo_radius_join", "jaro_winkler_join",
       "greedy_coloring", "ktruss_peel",
       "bursty_terms", "quantile_normalize",
-      "temporal_reachability")) {
-      val r = all(s"$op@x$factor") / all(s"$op@x1")
-      println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
+      "temporal_reachability",
+      "span_corruption", "jensen_shannon", "copurchase_projection",
+      "dau_stickiness")) {
+      if (all(s"$op@x1") >= 0) {
+        val r = all(s"$op@x$factor") / all(s"$op@x1")
+        println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
+      }
     }
     spark.stop()
   }

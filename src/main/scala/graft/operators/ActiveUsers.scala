@@ -19,10 +19,10 @@ object ActiveUsers {
 
   val Ppm = 1000000L
 
-  private val q = Q(
-    "e_dau_stickiness",
-    (s, d) => {
-      val ud = Tables(s, d).events
+  /** The full series over any (user_id, ts) frame — ScaleStress entry. */
+  def series(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val ud = events
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
       val maxDay = ud.agg(max(col("day")).as("max_day"))
@@ -40,7 +40,11 @@ object ActiveUsers {
         .select(col("day").cast("string").as("day"), col("dau"),
           col("wau"), col("mau"),
           expr(s"($Ppm * dau) div mau").as("stickiness_ppm"))
-    },
+  }
+
+  private val q = Q(
+    "e_dau_stickiness",
+    (s, d) => series(Tables(s, d).events),
     Some(
       s"""WITH ud AS (
          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -21,20 +21,24 @@ object CoPurchase {
 
   private val TopN = 20
 
+  /** Projection over any lineitem-shaped frame — ScaleStress entry. */
+  def project(lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .orderBy(desc("w"), asc("src"), asc("dst"))
+      .limit(TopN)
+  }
+
   private val q = Q(
     "j28_copurchase_projection",
-    (s, d) => {
-      val items = Tables(s, d).lineitem
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pairs = items.alias("a")
-        .join(items.alias("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .orderBy(desc("w"), asc("src"), asc("dst"))
-        .limit(TopN)
-    },
+    (s, d) => project(Tables(s, d).lineitem),
     Some(
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object JensenShannon {
 
-  private val q = Q(
-    "t_jensen_shannon",
-    (s, d) => {
-      val tok = Tables(s, d).documents
+  /** JSD over any (doc_id, text) frame — the ScaleStress entry point. */
+  def jsd(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val tok = docs
         .select((col("doc_id") % 2).as("side"),
           explode(regexp_extract_all(lower(col("text")),
             lit("[a-z]+"), lit(0))).as("tok"))
@@ -47,7 +47,11 @@ object JensenShannon {
             (p * log(p / m) + qq * log(qq / m)) / 2.0, 12).as("jsum"))
         .select(col("vocab"), col("n0"), col("n1"),
           round(col("jsum"), 6).as("jsd_nats"))
-    },
+  }
+
+  private val q = Q(
+    "t_jensen_shannon",
+    (s, d) => jsd(Tables(s, d).documents),
     Some {
       val p = "(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE))"
       val qq = "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))"

@@ -33,11 +33,12 @@ object SpanCorruption {
       md5(concat(col("doc_id").cast("string"), lit(":"),
         p.cast("string"))), 1, 1).isin("0", "1")
 
-  private val q = Q(
-    "t_span_corruption",
-    (s, d) => {
-      val base = Tables(s, d).documents
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** The full corruption over any (doc_id, text) frame — the
+    * ScaleStress entry point.
+    */
+  def corrupt(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       val tok = base
         .select(col("doc_id"), col("w"),
           explode(sequence(lit(1), size(col("w")))).as("p"))
@@ -71,7 +72,11 @@ object SpanCorruption {
         assemble("pin").as("masked_input"),
         assemble("ptg").as("target"),
         max(col("k")).as("n_spans"))
-    },
+  }
+
+  private val q = Q(
+    "t_span_corruption",
+    (s, d) => corrupt(Tables(s, d).documents),
     Some(
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
