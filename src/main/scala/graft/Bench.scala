@@ -326,6 +326,10 @@ object Bench {
     "a84_brown_forsythe",
     "t_span_corruption",
     "j28_copurchase_projection",
+    "e_markov_stationary",
+    "a85_poisson_rates",
+    "t_ql_dirichlet_topk",
+    "t_tokenizer_fertility",
   )
 
   def main(args: Array[String]): Unit = {

@@ -115,6 +115,10 @@ object Registry {
       operators.WelchAnova.all ++
       operators.BrownForsythe.all ++
       operators.CoPurchase.all ++
+      operators.MarkovStationary.all ++
+      operators.PoissonRates.all ++
+      text.QueryLikelihood.queries ++
+      text.TokenizerFertility.queries ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
