@@ -330,6 +330,9 @@ object Bench {
     "a85_poisson_rates",
     "t_ql_dirichlet_topk",
     "t_tokenizer_fertility",
+    "e_srm_check",
+    "e_feature_adoption",
+    "a86_two_way_anova",
   )
 
   def main(args: Array[String]): Unit = {

@@ -119,6 +119,9 @@ object Registry {
       operators.PoissonRates.all ++
       text.QueryLikelihood.queries ++
       text.TokenizerFertility.queries ++
+      operators.SrmCheck.all ++
+      operators.FeatureAdoption.all ++
+      operators.TwoWayAnova.all ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++

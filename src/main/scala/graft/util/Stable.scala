@@ -24,7 +24,16 @@ object Stable {
   // digits at scale 9 — exactness is unchanged either way
   private val Precision = 30
 
-  /** Order-independent sum of a double column, exact at `scale` dp. */
+  /** Order-independent sum of a double column, exact at `scale` dp.
+    *
+    * SCALE CHOICE RULE (measured, a86): the two engines convert
+    * double→decimal differently — Spark via exact-binary BigDecimal,
+    * DuckDB via a scaled multiply that itself rounds in double — so
+    * the casts only agree while |term|·10^scale < 2^53 (≈ 9·10^15).
+    * Large-magnitude terms (S²/n sums of squares, ~10^13+) must use
+    * scale 0; tiny terms (inverse-variance weights, ~10^-7) want
+    * scale 18. Pick scale ≈ 15 − log10(max |term|).
+    */
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(Precision, scale))).cast(DoubleType)
 
