@@ -333,6 +333,8 @@ object Bench {
     "e_srm_check",
     "e_feature_adoption",
     "a86_two_way_anova",
+    "a87_ratio_metric_ci",
+    "t_url_canonicalize",
   )
 
   def main(args: Array[String]): Unit = {

@@ -122,6 +122,8 @@ object Registry {
       operators.SrmCheck.all ++
       operators.FeatureAdoption.all ++
       operators.TwoWayAnova.all ++
+      operators.RatioMetricCi.all ++
+      text.UrlCanonicalize.queries ++
       operators.GeoJoin.all ++
       operators.Hierarchy.all ++
       dedup.Ppr.queries ++
