@@ -335,6 +335,10 @@ object Bench {
     "a86_two_way_anova",
     "a87_ratio_metric_ci",
     "t_url_canonicalize",
+    "a88_jarque_bera",
+    "a89_bartlett_test",
+    "w28_durbin_watson",
+    "t_good_turing",
   )
 
   def main(args: Array[String]): Unit = {
