@@ -339,6 +339,13 @@ object Bench {
     "a89_bartlett_test",
     "w28_durbin_watson",
     "t_good_turing",
+    "a90_gini_revenue",
+    "e_logrank_test",
+    "s37_parquet_bloom_roundtrip",
+    "a94_capture_recapture",
+    "a91_dispersion_index",
+    "e_price_elasticity",
+    "t_negative_sampling_table",
   )
 
   def main(args: Array[String]): Unit = {
