@@ -119,6 +119,31 @@ object ScaleStress {
     s.read.parquet(out)
   }
 
+  /** ×N events WITH the value column (the batch-23+ statistics need
+    * it); same shard-disjoint user/event key offsets as scaledEvents —
+    * separate output name so the older cached frames stay valid.
+    */
+  private def scaledEventsV(s: SparkSession, dir: String, factor: Int,
+      out: String): DataFrame = {
+    if (!new java.io.File(out).exists()) {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val shards = s.range(factor).select(col("id").cast("int").as("shard"))
+      ev.crossJoin(shards)
+        .select(
+          (col("event_id") + col("shard").cast("long") * 1000000000000L)
+            .as("event_id"),
+          col("ts"),
+          (col("user_id") + col("shard").cast("long") * 100000000L)
+            .as("user_id"),
+          col("event_type"), col("value"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   /** ×N lineitem/orders: shard-disjoint key spaces (order, part,
     * supplier, customer keys all offset per shard, dates unchanged) —
     * per-order and per-customer structure is preserved exactly, so the
@@ -498,6 +523,58 @@ object ScaleStress {
     operators.CoPurchase.project(
       spark.read.parquet(s"$sfDir/../sf0.01/lineitem.parquet")).count()
     operators.ActiveUsers.series(warmEv).count()
+    // ---- batch-23/26 family: Gini (cents-strata window; ×N disjoint
+    // customers → ×N strata), log-rank (user agg + span-bounded at-risk
+    // table; durations replicate so strata count is CONSTANT), ratio CI
+    // (one user-keyed agg), Good–Turing (vocab-bounded count-of-counts;
+    // shard tokens add ~1 stratum) ----
+    def ordersP(f: Int) = {
+      val out = s"$scaleDir/ord_p_x$f.parquet"
+      if (!new java.io.File(out).exists()) {
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val sh = spark.range(f).select(col("id").cast("int").as("shard"))
+        o.crossJoin(sh).select(
+          (col("o_orderkey") + col("shard").cast("long") * 1000000000L)
+            .as("o_orderkey"),
+          (col("o_custkey") + col("shard").cast("long") * 10000000L)
+            .as("o_custkey"),
+          col("o_totalprice"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(out)
+      }
+      spark.read.parquet(out)
+    }
+    val evv1 = scaledEventsV(spark, sfDir, 1, s"$scaleDir/events_v_x1.parquet")
+    val evvN = scaledEventsV(spark, sfDir, factor,
+      s"$scaleDir/events_v_x$factor.parquet")
+    val warmEvV = spark.read.parquet(s"$sfDir/../sf0.01/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    operators.Gini.compute(
+      spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet")).count()
+    operators.LogRank.compute(warmEvV).count()
+    operators.RatioMetricCi.compute(warmEvV).count()
+    text.GoodTuring.table(warm).count()
+    val b26Results = Seq(
+      time("gini_revenue", 1) {
+        operators.Gini.compute(ordersP(1)).count() },
+      time("gini_revenue", factor) {
+        operators.Gini.compute(ordersP(factor)).count() },
+      time("logrank_test", 1) {
+        operators.LogRank.compute(evv1).count() },
+      time("logrank_test", factor) {
+        operators.LogRank.compute(evvN).count() },
+      time("ratio_metric_ci", 1) {
+        operators.RatioMetricCi.compute(evv1).count() },
+      time("ratio_metric_ci", factor) {
+        operators.RatioMetricCi.compute(evvN).count() },
+      time("good_turing", 1) {
+        text.GoodTuring.table(docs1).count() },
+      time("good_turing", factor) {
+        text.GoodTuring.table(docsN).count() },
+    ).toMap
+
     val b20Results = Seq(
       time("span_corruption", 1) {
         text.SpanCorruption.corrupt(docs1).count() },
@@ -518,7 +595,7 @@ object ScaleStress {
     ).toMap
 
     val all = results ++ annResults ++ asofResults ++ r5Results ++
-      r6Results ++ r5bResults ++ b20Results
+      r6Results ++ r5bResults ++ b20Results ++ b26Results
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -558,7 +635,8 @@ object ScaleStress {
       "bursty_terms", "quantile_normalize",
       "temporal_reachability",
       "span_corruption", "jensen_shannon", "copurchase_projection",
-      "dau_stickiness")) {
+      "dau_stickiness",
+      "gini_revenue", "logrank_test", "ratio_metric_ci", "good_turing")) {
       if (all(s"$op@x1") >= 0) {
         val r = all(s"$op@x$factor") / all(s"$op@x1")
         println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")

@@ -32,14 +32,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Gini {
 
-  private val q = Q(
-    "a90_gini_revenue",
-    (s, d) => {
-      val strata = Tables(s, d).orders
-        .groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast(DecimalType(30, 2))).as("rev"))
-        .groupBy(col("rev"))
-        .agg(count(lit(1)).as("n_c"))
+  /** Gini over per-customer revenue; orders needs o_custkey +
+    * o_totalprice. Exposed for the scale-stress harness.
+    */
+  def compute(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val strata = orders
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 2))).as("rev"))
+      .groupBy(col("rev"))
+      .agg(count(lit(1)).as("n_c"))
       val w = Window.orderBy("rev")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ranked = strata
@@ -55,7 +57,11 @@ object Gini {
           "round(t, 2) AS total_revenue",
           "round(2.0 * srank / (CAST(n AS DOUBLE) * t) " +
             "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini")
-    },
+  }
+
+  private val q = Q(
+    "a90_gini_revenue",
+    (s, d) => compute(Tables(s, d).orders),
     Some(
       s"""WITH per_cust AS (
          |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,2))) AS rev

@@ -28,10 +28,13 @@ object LogRank {
 
   private val BigPurchase = 90.0
 
-  private val q = Q(
-    "e_logrank_test",
-    (s, d) => {
-      val e = Tables(s, d).events.select(col("user_id"),
+  /** Log-rank χ² from an events frame (user_id, ts, event_type,
+    * value). Exposed for the scale-stress harness.
+    */
+  def compute(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    {
+      val e = events.select(col("user_id"),
         col("ts").cast("date").as("day"),
         col("event_type"), col("value"))
       val users = e.groupBy("user_id")
@@ -68,7 +71,12 @@ object LogRank {
           (col("n_all").cast("double") - 1.0), 9).as("v"))
         .selectExpr("o1", "round(e1, 6) AS e1", "round(v, 6) AS v",
           "round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 6) AS chi2")
-    },
+    }
+  }
+
+  private val q = Q(
+    "e_logrank_test",
+    (s, d) => compute(Tables(s, d).events),
     Some(
       s"""WITH ev AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value

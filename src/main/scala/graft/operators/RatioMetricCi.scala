@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object RatioMetricCi {
 
-  private val q = Q(
-    "a87_ratio_metric_ci",
-    (s, d) => {
-      val perUser = Tables(s, d).events
+  /** Ratio CI from an events frame (user_id, value). Exposed for the
+    * scale-stress harness.
+    */
+  def compute(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    {
+      val perUser = events
         .groupBy("user_id")
         .agg(Stable.dsum(col("value"), 2).as("x"),
           count(lit(1)).cast("double").as("y"))
@@ -48,7 +51,12 @@ object RatioMetricCi {
         round(se, 6).as("se"),
         round(r - z * se, 6).as("ci_lo"),
         round(r + z * se, 6).as("ci_hi"))
-    },
+    }
+  }
+
+  private val q = Q(
+    "a87_ratio_metric_ci",
+    (s, d) => compute(Tables(s, d).events),
     Some {
       val z = s"CAST(${MdePower.Z975} AS DOUBLE)"
       s"""WITH per_user AS (

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object GoodTuring {
 
-  private val q = Q(
-    "t_good_turing",
-    (s, d) => {
-      val counts = Tables(s, d).documents
+  /** GT table from a documents frame (text column). Exposed for the
+    * scale-stress harness.
+    */
+  def table(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    {
+      val counts = documents
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("r"))
         .groupBy("r").agg(count(lit(1)).as("n_r"))
@@ -49,7 +52,12 @@ object GoodTuring {
             (col("r") + 1).cast("double") * col("nr2").cast("double") /
               col("n_r").cast("double")).otherwise(0.0) /
             col("nn").cast("double"), 12).as("p_gt"))
-    },
+    }
+  }
+
+  private val q = Q(
+    "t_good_turing",
+    (s, d) => table(Tables(s, d).documents),
     Some(
       """WITH counts AS (
         |  SELECT tok, count(*) AS r
