@@ -346,6 +346,9 @@ object Bench {
     "a91_dispersion_index",
     "e_price_elasticity",
     "t_negative_sampling_table",
+    "a96_lorenz_deciles",
+    "w29_gumbel_maxima",
+    "a92_eb_shrinkage",
   )
 
   def main(args: Array[String]): Unit = {

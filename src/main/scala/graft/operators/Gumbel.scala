@@ -25,6 +25,13 @@ object Gumbel {
   private val Pi = "3.141592653589793"
   private val EulerGamma = "0.5772156649015329"
 
+  // shared textual chains — identical strings run in Spark and DuckDB
+  private val MChain = "CAST(sy AS DOUBLE) / CAST(n_months AS DOUBLE)"
+  private val SChain =
+    "sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) " +
+      "/ CAST(n_months AS DOUBLE)) / (CAST(n_months AS DOUBLE) - 1.0))"
+  private def BetaChain = s"s * sqrt(6.0) / CAST($Pi AS DOUBLE)"
+  private def MuChain = s"m - CAST($EulerGamma AS DOUBLE) * beta"
   private val fin = Seq(
     "n_months",
     "round(mu, 6) AS mu",
@@ -32,11 +39,6 @@ object Gumbel {
     "mx AS observed_max",
     "round(1.0 - exp(-exp(-((CAST(mx AS DOUBLE) - mu) / beta))), 6) " +
       "AS p_exceed_max",
-  )
-
-  private def chain(prefix: String) = Seq(
-    s"CAST(sy AS DOUBLE) / CAST(n_months AS DOUBLE) AS m",
-    s"sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_months AS DOUBLE)) / (CAST(n_months AS DOUBLE) - 1.0)) AS s",
   )
 
   private val q = Q(
@@ -51,12 +53,10 @@ object Gumbel {
         .agg(count(lit(1)).as("n_months"), sum(col("ymax")).as("sy"),
           sum(col("ymax") * col("ymax")).as("syy"),
           max(col("ymax")).as("mx"))
-        .withColumn("m", expr(chain("")(0).stripSuffix(" AS m")))
-        .withColumn("s", expr(chain("")(1).stripSuffix(" AS s")))
-        .withColumn("beta",
-          expr(s"s * sqrt(6.0) / CAST($Pi AS DOUBLE)"))
-        .withColumn("mu",
-          expr(s"m - CAST($EulerGamma AS DOUBLE) * beta"))
+        .withColumn("m", expr(MChain))
+        .withColumn("s", expr(SChain))
+        .withColumn("beta", expr(BetaChain))
+        .withColumn("mu", expr(MuChain))
         .selectExpr(fin: _*)
     },
     Some(
@@ -70,13 +70,9 @@ object Gumbel {
          |  SELECT count(*) AS n_months, CAST(sum(ymax) AS BIGINT) AS sy,
          |    CAST(sum(ymax * ymax) AS BIGINT) AS syy, max(ymax) AS mx
          |  FROM maxima),
-         |mo AS (SELECT *, ${chain("")(0)}, ${chain("")(1)} FROM red),
-         |fit AS (
-         |  SELECT *, s * sqrt(6.0) / CAST($Pi AS DOUBLE) AS beta
-         |  FROM mo),
-         |fit2 AS (
-         |  SELECT *, m - CAST($EulerGamma AS DOUBLE) * beta AS mu
-         |  FROM fit)
+         |mo AS (SELECT *, $MChain AS m, $SChain AS s FROM red),
+         |fit AS (SELECT *, $BetaChain AS beta FROM mo),
+         |fit2 AS (SELECT *, $MuChain AS mu FROM fit)
          |SELECT ${fin.mkString(", ")} FROM fit2""".stripMargin),
   )
 
