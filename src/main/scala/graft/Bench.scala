@@ -349,6 +349,9 @@ object Bench {
     "a96_lorenz_deciles",
     "w29_gumbel_maxima",
     "a92_eb_shrinkage",
+    "e_quantile_treatment_effect",
+    "a93_effect_size",
+    "t_powerlaw_alpha",
   )
 
   def main(args: Array[String]): Unit = {
