@@ -352,6 +352,8 @@ object Bench {
     "e_quantile_treatment_effect",
     "a93_effect_size",
     "t_powerlaw_alpha",
+    "a95_multiple_testing_fdr",
+    "w30_dow_seasonality",
   )
 
   def main(args: Array[String]): Unit = {
