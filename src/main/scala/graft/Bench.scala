@@ -354,6 +354,8 @@ object Bench {
     "t_powerlaw_alpha",
     "a95_multiple_testing_fdr",
     "w30_dow_seasonality",
+    "e_cohort_ltv",
+    "d_streaming_dropdup_ttl_parity",
   )
 
   def main(args: Array[String]): Unit = {
