@@ -356,6 +356,9 @@ object Bench {
     "w30_dow_seasonality",
     "e_cohort_ltv",
     "d_streaming_dropdup_ttl_parity",
+    "s38_dynamic_partition_overwrite",
+    "w31_p_chart",
+    "t_script_detection",
   )
 
   def main(args: Array[String]): Unit = {
