@@ -359,6 +359,7 @@ object Bench {
     "s38_dynamic_partition_overwrite",
     "w31_p_chart",
     "t_script_detection",
+    "a97_hll_set_ops",
   )
 
   def main(args: Array[String]): Unit = {
