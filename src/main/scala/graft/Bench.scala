@@ -360,6 +360,7 @@ object Bench {
     "w31_p_chart",
     "t_script_detection",
     "a97_hll_set_ops",
+    "t_rocchio_prf",
   )
 
   def main(args: Array[String]): Unit = {
