@@ -361,6 +361,8 @@ object Bench {
     "t_script_detection",
     "a97_hll_set_ops",
     "t_rocchio_prf",
+    "a98_oaxaca_blinder",
+    "j26_null_safe_join",
   )
 
   def main(args: Array[String]): Unit = {
