@@ -363,6 +363,7 @@ object Bench {
     "t_rocchio_prf",
     "a98_oaxaca_blinder",
     "j26_null_safe_join",
+    "ann_pq_refine_topk",
   )
 
   def main(args: Array[String]): Unit = {
