@@ -364,6 +364,8 @@ object Bench {
     "a98_oaxaca_blinder",
     "j26_null_safe_join",
     "ann_pq_refine_topk",
+    "d_url_dedup_groups",
+    "w32_seasonal_indices",
   )
 
   def main(args: Array[String]): Unit = {
