@@ -366,6 +366,8 @@ object Bench {
     "ann_pq_refine_topk",
     "d_url_dedup_groups",
     "w32_seasonal_indices",
+    "e_bayes_ab_normal",
+    "f20_ip_cidr",
   )
 
   def main(args: Array[String]): Unit = {

@@ -24,9 +24,10 @@ object MultipleTesting {
 
   /** A&S 26.2.17 upper-tail Q(z) for z ≥ 0, as a SQL text chain over
     * a column named `az` (= |z|). Identical string runs in Spark and
-    * DuckDB; every constant is a shared decimal literal.
+    * DuckDB; every constant is a shared decimal literal. Shared with
+    * every row that needs a normal CDF (e_bayes_ab_normal).
     */
-  private val QTail =
+  private[operators] val QTail =
     "exp(-az * az / 2.0) * CAST(0.3989422804014327 AS DOUBLE) * " +
       "((((1.330274429 * (1.0 / (1.0 + 0.2316419 * az)) - 1.821255978) " +
       "* (1.0 / (1.0 + 0.2316419 * az)) + 1.781477937) " +
