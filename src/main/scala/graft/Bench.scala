@@ -368,6 +368,8 @@ object Bench {
     "w32_seasonal_indices",
     "e_bayes_ab_normal",
     "f20_ip_cidr",
+    "d33_conductance",
+    "a99_covariance_matrix",
   )
 
   def main(args: Array[String]): Unit = {
