@@ -370,6 +370,7 @@ object Bench {
     "f20_ip_cidr",
     "d33_conductance",
     "a99_covariance_matrix",
+    "d24b_lsh_threshold_sweep",
   )
 
   def main(args: Array[String]): Unit = {
