@@ -371,6 +371,8 @@ object Bench {
     "d33_conductance",
     "a99_covariance_matrix",
     "d24b_lsh_threshold_sweep",
+    "a100_meta_analysis",
+    "w33_deseasonalized_zscore",
   )
 
   def main(args: Array[String]): Unit = {
