@@ -370,7 +370,8 @@ object Bench {
     "f20_ip_cidr",
     "d33_conductance",
     "a99_covariance_matrix",
-    "d24b_lsh_threshold_sweep",
+    // d24b_lsh_threshold_sweep deliberately NOT a headline: its exact-pair
+    // side is the oracle-ceiling pattern (sampled at scale), same as d24
     "a100_meta_analysis",
     "w33_deseasonalized_zscore",
   )
