@@ -575,6 +575,50 @@ object ScaleStress {
         text.GoodTuring.table(docsN).count() },
     ).toMap
 
+    // ---- batch-28/33 family: QTE (arm × cents strata), cohort LTV
+    // (two corpus-keyed shuffles), Rocchio PRF (tokenize-once inverted
+    // index; shard tokens join the vocabulary) ----
+    def ordersPD(f: Int) = {
+      val out = s"$scaleDir/ord_pd_x$f.parquet"
+      if (!new java.io.File(out).exists()) {
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val sh = spark.range(f).select(col("id").cast("int").as("shard"))
+        o.crossJoin(sh).select(
+          (col("o_orderkey") + col("shard").cast("long") * 1000000000L)
+            .as("o_orderkey"),
+          (col("o_custkey") + col("shard").cast("long") * 10000000L)
+            .as("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(out)
+      }
+      spark.read.parquet(out)
+    }
+    val evq1 = scaledEventsV(spark, sfDir, 1, s"$scaleDir/events_v_x1.parquet")
+    val evqN = scaledEventsV(spark, sfDir, factor,
+      s"$scaleDir/events_v_x$factor.parquet")
+    val warmEvQ = spark.read.parquet(s"$sfDir/../sf0.01/events.parquet")
+      .select(col("user_id"), col("value"))
+    operators.QuantileTreatment.compute(spark, warmEvQ).count()
+    operators.CohortLtv.compute(
+      spark.read.parquet(s"$sfDir/../sf0.01/orders.parquet")).count()
+    text.Rocchio.prf(spark, warm).count()
+    val b33Results = Seq(
+      time("quantile_treatment", 1) {
+        operators.QuantileTreatment.compute(spark, evq1).count() },
+      time("quantile_treatment", factor) {
+        operators.QuantileTreatment.compute(spark, evqN).count() },
+      time("cohort_ltv", 1) {
+        operators.CohortLtv.compute(ordersPD(1)).count() },
+      time("cohort_ltv", factor) {
+        operators.CohortLtv.compute(ordersPD(factor)).count() },
+      time("rocchio_prf", 1) {
+        text.Rocchio.prf(spark, docs1).count() },
+      time("rocchio_prf", factor) {
+        text.Rocchio.prf(spark, docsN).count() },
+    ).toMap
+
     val b20Results = Seq(
       time("span_corruption", 1) {
         text.SpanCorruption.corrupt(docs1).count() },
@@ -595,7 +639,7 @@ object ScaleStress {
     ).toMap
 
     val all = results ++ annResults ++ asofResults ++ r5Results ++
-      r6Results ++ r5bResults ++ b20Results ++ b26Results
+      r6Results ++ r5bResults ++ b20Results ++ b26Results ++ b33Results
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -636,7 +680,8 @@ object ScaleStress {
       "temporal_reachability",
       "span_corruption", "jensen_shannon", "copurchase_projection",
       "dau_stickiness",
-      "gini_revenue", "logrank_test", "ratio_metric_ci", "good_turing")) {
+      "gini_revenue", "logrank_test", "ratio_metric_ci", "good_turing",
+      "quantile_treatment", "cohort_ltv", "rocchio_prf")) {
       if (all(s"$op@x1") >= 0) {
         val r = all(s"$op@x$factor") / all(s"$op@x1")
         println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")

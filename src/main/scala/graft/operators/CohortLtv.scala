@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CohortLtv {
 
-  private val q = Q(
-    "e_cohort_ltv",
-    (s, d) => {
-      val o = Tables(s, d).orders
+  /** Cohort LTV over an orders frame. Exposed for the scale-stress
+    * harness.
+    */
+  def compute(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    {
+      val o = orders
         // long, not int: DuckDB year() is BIGINT and the compare is typed
         .select(col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("yr"),
@@ -46,7 +49,12 @@ object CohortLtv {
         .select(col("cohort"), col("age"), col("members"), col("active"),
           round(col("cum_rev").cast("double") /
             col("members").cast("double"), 2).as("ltv_per_member"))
-    },
+    }
+  }
+
+  private val q = Q(
+    "e_cohort_ltv",
+    (s, d) => compute(Tables(s, d).orders),
     Some(
       """WITH o AS (
         |  SELECT o_custkey, year(o_orderdate) AS yr,

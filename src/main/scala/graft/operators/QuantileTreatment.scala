@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object QuantileTreatment {
 
-  private val q = Q(
-    "e_quantile_treatment_effect",
-    (s, d) => {
-      val strata = Tables(s, d).events
+  /** QTE over an events frame (user_id, value). Exposed for the
+    * scale-stress harness.
+    */
+  def compute(s: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    {
+      val strata = events
         .select((col("user_id") % 2).as("arm"),
           round(col("value") * 100).cast("long").as("cents"))
         .groupBy("arm", "cents").agg(count(lit(1)).as("n_c"))
@@ -53,7 +57,12 @@ object QuantileTreatment {
           round(col("c1").cast("double") / 100.0, 2).as("v_treatment"),
           round((col("c1") - col("c0")).cast("double") / 100.0, 2)
             .as("qte"))
-    },
+    }
+  }
+
+  private val q = Q(
+    "e_quantile_treatment_effect",
+    (s, d) => compute(s, Tables(s, d).events),
     Some(
       """WITH strata AS (
         |  SELECT user_id % 2 AS arm,

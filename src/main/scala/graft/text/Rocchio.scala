@@ -54,12 +54,15 @@ object Rocchio {
           .cast("int"))
   }
 
-  private val q = Q(
-    "t_rocchio_prf",
-    (s, d) => {
+  /** Full two-round PRF over a documents frame. Exposed for the
+    * scale-stress harness.
+    */
+  def prf(s: org.apache.spark.sql.SparkSession,
+      documents: DataFrame): DataFrame = {
+    {
       import s.implicits._
       val words = split(col("text"), " ")
-      val docs = Tables(s, d).documents
+      val docs = documents
         .select(col("doc_id"), words.as("w"),
           size(words).cast("double").as("dl"))
         .localCheckpoint(false)
@@ -87,7 +90,12 @@ object Rocchio {
       val expanded = q0.unionAll(expansion)
       bm25(tf, df, docs, stats, expanded, K)
         .select("doc_id", "score", "rank")
-    },
+    }
+  }
+
+  private val q = Q(
+    "t_rocchio_prf",
+    (s, d) => prf(s, Tables(s, d).documents),
     Some {
       val q0Rows = Q0.map(t => s"('$t')").mkString(", ")
       val q0NotIn = Q0.map(t => s"'$t'").mkString(", ")
