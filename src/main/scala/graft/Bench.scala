@@ -374,6 +374,8 @@ object Bench {
     // side is the oracle-ceiling pattern (sampled at scale), same as d24
     "a100_meta_analysis",
     "w33_deseasonalized_zscore",
+    "w34_interrupted_time_series",
+    "p17_generalization_ladder",
   )
 
   def main(args: Array[String]): Unit = {
