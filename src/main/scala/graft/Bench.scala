@@ -376,6 +376,7 @@ object Bench {
     "w33_deseasonalized_zscore",
     "w34_interrupted_time_series",
     "p17_generalization_ladder",
+    "e_growth_accounting",
   )
 
   def main(args: Array[String]): Unit = {
