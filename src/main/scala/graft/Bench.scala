@@ -377,6 +377,7 @@ object Bench {
     "w34_interrupted_time_series",
     "p17_generalization_ladder",
     "e_growth_accounting",
+    "sim_csls_rerank",
   )
 
   def main(args: Array[String]): Unit = {
