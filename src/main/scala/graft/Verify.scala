@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Column types the driver's pandas canonicaliser cannot row-sort:
+    * arrays/maps arrive as ndarrays/dicts (unhashable under lexsort) and
+    * structs as dicts. Nested occurrences inside these are covered by
+    * rejecting the top-level type.
+    */
+  def isUnhashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,8 +47,27 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) => keep(name) }
     var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Pre-flight schema lint (round-5 t_inverted_index postmortem):
+        // raw array/map/struct columns hash fine in Spark but crash the
+        // driver's pandas canonicaliser (ndarray is unhashable under
+        // lexsort), silently voiding the query's oracle coverage. Reject
+        // them at dump time for any ORACLED query so the failure is loud
+        // and attributable at build time, not a null row in the report.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val complex = df.schema.fields.collect {
+            case f if Verify.isUnhashable(f.dataType) => f.name
+          }
+          if (complex.nonEmpty)
+            throw new IllegalStateException(
+              s"oracled query emits pandas-unhashable column(s) " +
+                s"${complex.mkString(", ")} — join arrays to strings " +
+                "(array_join) or hash them (xxhash64) in BOTH the query " +
+                "and its oracle SQL")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         // A crashing query must surface as a FAILURE in the driver's
         // compare, not vanish: write a sentinel one-row result whose

@@ -96,7 +96,12 @@ object Cooccurrence {
         .filter(col("df") >= MinDf)
       postings.join(df, "term")
         .select(col("term"), col("doc_id"), col("n_occ"),
-          col("positions"), col("df"))
+          // The driver's pandas canonicaliser cannot hash raw array
+          // columns (ADVICE r5) — publish the posting list as a
+          // comma-joined string; information content is identical.
+          array_join(transform(col("positions"), _.cast("string")), ",")
+            .as("positions"),
+          col("df"))
     },
     Some(
       s"""WITH w AS (
@@ -117,7 +122,7 @@ object Cooccurrence {
          |  SELECT term, count(*) AS df FROM postings
          |  GROUP BY 1 HAVING count(*) >= $MinDf)
          |SELECT postings.term, postings.doc_id, postings.n_occ,
-         |  postings.positions, df.df
+         |  array_to_string(postings.positions, ',') AS positions, df.df
          |FROM postings JOIN df ON postings.term = df.term""".stripMargin),
   )
 

@@ -21,6 +21,20 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("oracled queries emit only canonicaliser-hashable columns") {
+    // Mirrors Verify's runtime lint: the driver's pandas compare cannot
+    // row-sort array/map/struct columns (round-5 t_inverted_index
+    // postmortem) — every oracled query must publish scalars only.
+    val offenders = Registry.all
+      .filter(q => q.oracle.isDefined)
+      .flatMap { q =>
+        val complex = q.run(spark, sf("sf0.001")).schema.fields
+          .collect { case f if Verify.isUnhashable(f.dataType) => f.name }
+        if (complex.isEmpty) None else Some(s"${q.name}(${complex.mkString(",")})")
+      }
+    assert(offenders.isEmpty, s"unhashable oracled outputs: $offenders")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     val empties = Registry.all.flatMap { q =>
       val n = q.run(spark, sf("sf0.001")).count()
