@@ -378,7 +378,24 @@ object Bench {
     "p17_generalization_ladder",
     "e_growth_accounting",
     "sim_csls_rerank",
+    // round 6: the TPC-H conformance block — an externally meaningful
+    // composite headline (multi-join, semi/anti chains, correlated
+    // subqueries) over the same tables
+    "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",
+    "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
   )
+
+  /** Streaming parity rows measure fixed micro-batch + state-store setup
+    * (~2-3 s each), not operator speed — they stay in the run (regression
+    * coverage) but are totalled as their own block so the batch headline
+    * is a clean engine-speed signal.
+    */
+  private def isStreaming(name: String): Boolean =
+    name.contains("streaming") || name.contains("_parity")
+
+  private def isTpch(name: String): Boolean = name.startsWith("tpch_")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -450,9 +467,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
+    // block totals: batch (the engine-speed signal), streaming (fixed
+    // micro-batch overhead), tpch (the externally comparable composite)
+    val batchTotal = medians.collect {
+      case (n, t) if !isStreaming(n) => t
+    }.sum
+    val streamingTotal = medians.collect {
+      case (n, t) if isStreaming(n) => t
+    }.sum
+    val tpchTotal = medians.collect { case (n, t) if isTpch(n) => t }.sum
     // full per-query warm/cold detail goes to BENCH_OUT.json …
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(medians)},"cold":${fmt(cold)},"cold_total":$coldTotal%.3f,"n_queries":${qs.length},"errors":$fmtErrs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamingTotal%.3f,"tpch_total":$tpchTotal%.3f,"queries":${fmt(medians)},"cold":${fmt(cold)},"cold_total":$coldTotal%.3f,"n_queries":${qs.length},"errors":$fmtErrs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (detail + "\n").getBytes("UTF-8"))
@@ -462,7 +488,7 @@ object Bench {
     // line (~4.4 KB) outgrew it — that is why rounds 1-3 recorded
     // "parsed": null
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${qs.length},"n_errors":${errors.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"streaming_total":$streamingTotal%.3f,"tpch_total":$tpchTotal%.3f,"cold_total":$coldTotal%.3f,"n_queries":${qs.length},"n_errors":${errors.size},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (errors.nonEmpty) {
