@@ -87,8 +87,13 @@ final case class IntervalJoinExec(
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
       "number of output rows"),
-    "maxActive" -> SQLMetrics.createMetric(sparkContext,
-      "peak active-buffer size"))
+    // a size metric, not a plain metric: the driver-side merge of plain
+    // metrics SUMS task values, which would misreport a cross-task peak.
+    // Size metrics surface min/med/max across tasks in the UI — the max
+    // column IS the true peak; the headline number remains a sum and is
+    // labelled as such.
+    "maxActive" -> SQLMetrics.createSizeMetric(sparkContext,
+      "per-task peak active-buffer rows (sum over tasks; see max)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil

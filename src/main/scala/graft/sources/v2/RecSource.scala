@@ -555,16 +555,24 @@ private class RecReader(p: RecPartition, required: StructType)
 // --------------------------------------------------------------- write
 
 private class RecWriteBuilder(path: String, schema: StructType)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // honours the TRUNCATE capability the table advertises: overwrite mode
+  // resolves to truncate(), and the old files are removed inside COMMIT
+  // (not here) so a failed job never leaves the table half-emptied
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new RecBatchWrite(path, schema)
+    override def toBatch: BatchWrite =
+      new RecBatchWrite(path, schema, truncateFirst)
   }
 }
 
 private case class RecCommit(staged: String, rows: Long)
     extends WriterCommitMessage
 
-private class RecBatchWrite(path: String, schema: StructType)
+private class RecBatchWrite(path: String, schema: StructType,
+    truncateFirst: Boolean)
     extends BatchWrite {
   require(schema.fieldNames.toSeq == Seq("id", "value", "tag"),
     s"graftrec write needs (id, value, tag); got ${schema.sql}")
@@ -573,11 +581,18 @@ private class RecBatchWrite(path: String, schema: StructType)
       : DataWriterFactory = new RecWriterFactory(path)
 
   /** All-or-nothing visibility: staged files rename into the table dir
-    * only here, after EVERY task committed.
+    * only here, after EVERY task committed. In truncate (overwrite)
+    * mode the previous generation's .rec files are deleted first, in
+    * the same commit — readers either see the old table or the new one,
+    * never a mix, and an aborted job leaves the old table untouched.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
+    if (truncateFirst)
+      Option(dir.listFiles((_, n) => n.endsWith(".rec")))
+        .getOrElse(Array.empty).foreach(f =>
+          require(f.delete(), s"truncate failed to delete: $f"))
     messages.foreach { case RecCommit(staged, rows) =>
       if (rows == 0) new java.io.File(staged).delete()
       else {

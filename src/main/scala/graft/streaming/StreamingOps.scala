@@ -392,7 +392,12 @@ object StreamingOps {
           case Some((s0, last, n)) =>
             if (us - last > gapUs) {
               closed :+= ((key, s0, n)); cur = Some((us, us, 1L))
-            } else cur = Some((s0, us, n + 1L))
+            } else
+              // out-of-order but within-watermark arrivals from a LATER
+              // micro-batch may precede the stored bounds: the session
+              // keeps its envelope (min start, max last) so the gap test
+              // and the re-armed timer always key off the latest event
+              cur = Some((math.min(s0, us), math.max(last, us), n + 1L))
         }
       }
       cur.foreach { c =>

@@ -218,26 +218,69 @@ object PiiScrub {
         |GROUP BY 1, 2""".stripMargin),
   )
 
-  /** Differentially-private count release via the geometric mechanism
+  /** Noisy count release via the geometric mechanism
     * (Ghosh–Roughgarden–Sundararajan): integer noise k with
-    * P(k) ∝ α^|k|, here α = 1/2 ⇒ ε = ln 2 for a sensitivity-1 count.
+    * P(k) ∝ α^|k|, here α = 1/2 ⇒ nominal ε = ln 2 for a
+    * sensitivity-1 count.
     *
-    * The whole sampler is INTEGER inverse-CDF arithmetic, which is what
-    * makes a DP release reproducible across engines (and across
-    * re-runs, which an auditor will demand): with α = 1/2 the CDF
-    * values F(k)·3·2^53 are exact integers — 2^(54+k) for k<0,
-    * 3·2^53 − 2^(53−k) for k≥0 — precomputed once into a 107-row
-    * threshold table. The per-group uniform draw is the low 53 bits of
-    * the group key's FNV-1a hash (a keyed PRF stand-in; production
-    * would key it with a secret pepper like `p14`), scaled by 3, and
-    * the noise is the least k whose threshold exceeds the draw: a
+    * ABOUT THE PRIVACY CLAIM — read before using. The REGISTERED query
+    * (`p15_dp_noisy_counts`) draws its randomness from an FNV-1a hash
+    * of the PUBLIC group key plus a hard-coded salt, so anyone can
+    * recompute the noise and recover the exact counts: it provides NO
+    * differential privacy. It exists to prove the MECHANISM replays
+    * bit-exactly across engines (the integer inverse-CDF below), which
+    * is why its epsilon column is named `epsilon_nominal` — the ε the
+    * mechanism WOULD provide if the draw were secret. The usable
+    * release is [[dpNoisyCounts]], which keys the same PRF with a
+    * caller-supplied secret pepper (never checked in, never published):
+    * under the standard keyed-PRF assumption the draw is then
+    * unpredictable to anyone without the pepper and the nominal ε
+    * applies. A production publisher also drops `n` and `noise` and
+    * ships only `noisy_n` + ε; the demo keeps them so the oracle can
+    * check the arithmetic.
+    *
+    * The sampler is INTEGER inverse-CDF arithmetic, which is what makes
+    * the release reproducible across engines (and across re-runs, which
+    * an auditor will demand): with α = 1/2 the CDF values F(k)·3·2^53
+    * are exact integers — 2^(54+k) for k<0, 3·2^53 − 2^(53−k) for k≥0 —
+    * precomputed once into a 107-row threshold table. The per-group
+    * uniform draw is the low 53 bits of the keyed hash, scaled by 3,
+    * and the noise is the least k whose threshold exceeds the draw: a
     * broadcast join + min, no floats anywhere until the published ε.
-    *
-    * The release keeps the true count alongside the noisy one ONLY so
-    * the oracle can check both; a production publisher drops `n` and
-    * `noise` and ships `noisy_n` (clipped at 0) + ε.
     */
   private val dpSalt = "|dp-v1"
+
+  /** The production geometric-mechanism release: ε = ln 2 noisy counts
+    * of `df` grouped by `keyCols`, with the noise draw keyed by the
+    * caller's secret `pepper` (see the privacy note above — without a
+    * secret pepper this is a replayable demo, not DP). Same broadcast
+    * threshold-table plan as the registered query; linear in groups.
+    */
+  def dpNoisyCounts(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], pepper: String)(
+      implicit s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val mask = (1L << 53) - 1
+    // xxhash64, not the demo's FNV-1a: the draw must avalanche on the
+    // pepper (FNV's multiply-only mixing perturbs the truncated low bits
+    // of a near-identical input by ~1e-4 relative — measured — so a
+    // pepper change would barely move the draw). No oracle replays this
+    // path, so the Spark-only hash is free to be the strong one.
+    val groups = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        xxhash64(lit(pepper) +: keyCols.map(col): _*)
+          .bitwiseAND(lit(mask)) * 3L)
+    val thr = dpThresholds.toDF("tk", "tt")
+    groups
+      .join(broadcast(thr), col("u") < col("tt"))
+      .groupBy(col("n") +: keyCols.map(col): _*)
+      .agg(min(col("tk")).cast("long").as("noise"))
+      .select(keyCols.map(col) :+
+        greatest(lit(0L), col("n") + col("noise")).as("noisy_n") :+
+        lit(0.6931471805599453d).as("epsilon"): _*)
+  }
   // F(k)·M thresholds, M = 3·2^53: least k with draw*3 < T(k) is the
   // geometric-mechanism inverse CDF (see scaladoc)
   private def dpThresholds: Seq[(Int, Long)] = {
@@ -268,7 +311,7 @@ object PiiScrub {
         .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
           col("noise"),
           greatest(lit(0L), col("n") + col("noise")).as("noisy_n"),
-          lit(0.6931471805599453d).as("epsilon"))
+          lit(0.6931471805599453d).as("epsilon_nominal"))
     },
     Some {
       val values = dpThresholds
@@ -290,7 +333,7 @@ object PiiScrub {
          |       FROM u JOIN thr ON u.u < thr.tt GROUP BY 1)
          |SELECT g.o_orderpriority, g.o_orderstatus, g.n, nz.noise,
          |  greatest(0, g.n + nz.noise) AS noisy_n,
-         |  CAST(0.6931471805599453 AS DOUBLE) AS epsilon
+         |  CAST(0.6931471805599453 AS DOUBLE) AS epsilon_nominal
          |FROM g JOIN nz ON nz.doc_id = g.o_orderpriority || '|' ||
          |  g.o_orderstatus || '|$dpSalt'""".stripMargin
     },

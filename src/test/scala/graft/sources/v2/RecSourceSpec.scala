@@ -83,6 +83,25 @@ class RecSourceSpec extends SparkSpec {
       Seq((RecSource.valueOf(123L), RecSource.tagOf(123L))))
   }
 
+  test("overwrite mode truncates the previous generation atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("recw").toString + "/t"
+    import spark.implicits._
+    def gen(lo: Long, hi: Long) = (lo to hi).map(i =>
+      (i, RecSource.valueOf(i), RecSource.tagOf(i))).toDF("id", "value", "tag")
+    gen(1L, 300L).repartition(3)
+      .write.format(classOf[RecSource].getName).mode("append").save(dir)
+    // the advertised TRUNCATE capability must actually resolve: overwrite
+    // replaces, not unions with, the previous files
+    gen(1000L, 1099L).repartition(2)
+      .write.format(classOf[RecSource].getName).mode("overwrite").save(dir)
+    val back = spark.read.format(classOf[RecSource].getName).load(dir)
+    assert(back.count() == 100)
+    assert(back.agg(min(col("id")), max(col("id"))).collect().head
+      .toSeq == Seq(1000L, 1099L))
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".rec")) == 2)
+  }
+
   test("the scan plans COLUMNAR: ColumnarToRow sits above BatchScan") {
     val df = spark.read.format(classOf[RecSource].getName).load(file(100))
       .filter(col("id") < 1050)

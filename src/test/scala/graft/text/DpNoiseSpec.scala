@@ -46,6 +46,22 @@ class DpNoiseSpec extends SparkSpec {
     }
   }
 
+  test("peppered production release: secret-keyed, minimal columns") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = graft.Tables(spark, sf("sf0.001")).orders
+    val keys = Seq("o_orderpriority", "o_orderstatus")
+    val a = PiiScrub.dpNoisyCounts(df, keys, "pepper-A").collect()
+    val b = PiiScrub.dpNoisyCounts(df, keys, "pepper-A").collect()
+    val c = PiiScrub.dpNoisyCounts(df, keys, "pepper-B").collect()
+    // deterministic under one pepper; a different pepper re-draws
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    assert(a.map(_.toSeq).toSet != c.map(_.toSeq).toSet)
+    // the production release never ships the true count or the noise
+    val cols = PiiScrub.dpNoisyCounts(df, keys, "p").columns.toSet
+    assert(cols == Set("o_orderpriority", "o_orderstatus", "noisy_n",
+      "epsilon"))
+  }
+
   test("empirical noise distribution matches alpha = 1/2") {
     // the same inverse CDF over many distinct keys: P(0) → 1/3,
     // P(±1) → 1/6 each; FNV's low 53 bits are uniform enough for a
