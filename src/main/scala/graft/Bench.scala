@@ -378,6 +378,7 @@ object Bench {
     "p17_generalization_ladder",
     "e_growth_accounting",
     "sim_csls_rerank",
+    "sim_csls_rerank_sampled",
     // round 6: the TPC-H conformance block — an externally meaningful
     // composite headline (multi-join, semi/anti chains, correlated
     // subqueries) over the same tables

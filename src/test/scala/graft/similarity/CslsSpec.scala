@@ -41,4 +41,25 @@ class CslsSpec extends SparkSpec {
         case Array(a, b) => a._3 >= b._3; case _ => true })
     }
   }
+
+  test("sampled fleet-scale form agrees with the exact form at top-1") {
+    // the gate the scale path must pass to replace the exact r(·): the
+    // sampled penalty may move low ranks, but the top neighbour should
+    // survive for (nearly) every query — measured 9/10 on this fixture
+    // at SampleMod = 2, gated at ≥ 0.8 so a real estimator regression
+    // (like the label-blocked variant's 0/10, measured and rejected)
+    // fails loudly without pinning RNG-free-but-fragile exactness
+    val dir = sf("sf0.001")
+    def top1(name: String): Map[Long, Long] =
+      Registry.byName(name).run(spark, dir).collect()
+        .filter(_.getAs[Int]("rn") == 1)
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .toMap
+    val exact = top1("sim_csls_rerank")
+    val sampled = top1("sim_csls_rerank_sampled")
+    assert(sampled.nonEmpty && sampled.keySet == exact.keySet)
+    val agree = sampled.count { case (q, n) => exact.get(q).contains(n) }
+    assert(agree >= 0.8 * sampled.size,
+      s"top-1 agreement only $agree/${sampled.size}")
+  }
 }
