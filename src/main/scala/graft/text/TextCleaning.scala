@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions.udf
   * cases (tests/test_text_cleaning_utils.py).
   *
   * Divergences, documented:
-  *  - `lemmatise` is a rule-based English plural reducer (exception map
-  *    + ies/es/s suffix rules over lowercase alphabetic tokens) standing
-  *    in for WordNet, which isn't available in this environment; the
-  *    behaviours the reference's tests pin down (skills→skill,
-  *    policies→policy, "skills." and "Skills" untouched) are preserved.
+  *  - `lemmatise` approximates NLTK's WordNetLemmatizer (pos='n', the
+  *    reference's only use) with the embedded irregular-form table
+  *    curated from WordNet's public morphology data plus morphy's
+  *    regular suffix rules; the behaviours the reference's tests pin
+  *    down (skills→skill, policies→policy, "skills." and "Skills"
+  *    untouched) are preserved. The one part not embeddable offline is
+  *    morphy's 117k-lemma index filter — uncommon irregulars outside
+  *    the table fall through to the suffix rules (see
+  *    [[lemmaExceptions]]).
   *  - `stopwords` is the standard NLTK English list, embedded.
   *
   * Everything is plain JVM string code: applied distributed as a
@@ -61,14 +65,87 @@ object TextCleaning {
     "shouldn't", "wasn", "wasn't", "weren", "weren't", "won", "won't",
     "wouldn", "wouldn't")
 
+  /** Irregular-form table, curated from WordNet's public morphology
+    * data (`noun.exc` + the index-membership cases the suffix rules
+    * below would otherwise mangle). The reference calls NLTK's
+    * `WordNetLemmatizer().lemmatize(term)` with the default pos='n'
+    * (text_cleaning_utils.py:51-54), so only the NOUN tables matter —
+    * verbs are never lemmatised by that pipeline. Three families:
+    *
+    *  1. classical irregulars (noun.exc): men→man, crises→crisis, …
+    *     Entries mirror NLTK's min-length tiebreak over the surviving
+    *     candidates (e.g. data→data, media→media stay put because the
+    *     plural is itself an indexed lemma and shorter).
+    *  2. -ves plurals: morphy's ("ves"→"f") rule only works with the
+    *     index filter (waves→"waf" would need rejecting), so the common
+    *     -ves nouns are pinned here instead of adding the rule.
+    *  3. index-protected words: lemmas the generic s-rules would mangle
+    *     and WordNet keeps intact because the word itself is indexed
+    *     (series, physics, gas, lens, clothes, …).
+    *
+    * Remaining divergence from WordNet, documented: morphy filters rule
+    * outputs through the full 117k-lemma noun index, which is not
+    * embeddable here; uncommon irregulars outside this table fall
+    * through to the suffix rules.
+    */
   private val lemmaExceptions = Map(
+    // 1. classical irregulars
     "men" -> "man", "women" -> "woman", "children" -> "child",
-    "people" -> "person", "teeth" -> "tooth", "feet" -> "foot",
-    "analyses" -> "analysis", "data" -> "data")
+    "people" -> "people", "teeth" -> "tooth", "feet" -> "foot",
+    "geese" -> "goose", "mice" -> "mouse", "lice" -> "louse",
+    "oxen" -> "ox", "dice" -> "die", "data" -> "data",
+    "media" -> "media", "analyses" -> "analysis", "bases" -> "basis",
+    "crises" -> "crisis", "theses" -> "thesis",
+    "hypotheses" -> "hypothesis", "diagnoses" -> "diagnosis",
+    "prognoses" -> "prognosis", "parentheses" -> "parenthesis",
+    "synopses" -> "synopsis", "emphases" -> "emphasis",
+    "oases" -> "oasis", "axes" -> "ax",
+    "indices" -> "index", "appendices" -> "appendix",
+    "matrices" -> "matrix", "vertices" -> "vertex", "apices" -> "apex",
+    "criteria" -> "criterion", "phenomena" -> "phenomenon",
+    "curricula" -> "curriculum", "memoranda" -> "memorandum",
+    "strata" -> "stratum", "errata" -> "erratum",
+    "addenda" -> "addendum", "corpora" -> "corpus",
+    "genera" -> "genus", "automata" -> "automaton",
+    "alumni" -> "alumnus", "fungi" -> "fungus", "nuclei" -> "nucleus",
+    "radii" -> "radius", "stimuli" -> "stimulus",
+    "syllabi" -> "syllabus", "cacti" -> "cactus", "foci" -> "focus",
+    "larvae" -> "larva", "antennae" -> "antenna",
+    "formulae" -> "formula", "vertebrae" -> "vertebra",
+    "nebulae" -> "nebula", "algae" -> "alga", "quizzes" -> "quiz",
+    "gentlemen" -> "gentleman", "policemen" -> "policeman",
+    "firemen" -> "fireman", "statesmen" -> "statesman",
+    "salesmen" -> "salesman", "businessmen" -> "businessman",
+    "chairmen" -> "chairman", "craftsmen" -> "craftsman",
+    "fishermen" -> "fisherman", "freshmen" -> "freshman",
+    "spokesmen" -> "spokesman", "workmen" -> "workman",
+    "seamen" -> "seaman", "foremen" -> "foreman", "gunmen" -> "gunman",
+    "clergymen" -> "clergyman", "congressmen" -> "congressman",
+    "countrymen" -> "countryman", "horsemen" -> "horseman",
+    "madmen" -> "madman", "middlemen" -> "middleman",
+    "noblemen" -> "nobleman", "servicemen" -> "serviceman",
+    "sportsmen" -> "sportsman", "tradesmen" -> "tradesman",
+    "batsmen" -> "batsman",
+    // 2. -ves plurals (the ves→f rule needs the index filter; pin them)
+    "wolves" -> "wolf", "calves" -> "calf", "halves" -> "half",
+    "knives" -> "knife", "leaves" -> "leaf", "loaves" -> "loaf",
+    "scarves" -> "scarf", "shelves" -> "shelf", "thieves" -> "thief",
+    "wives" -> "wife", "elves" -> "elf", "hooves" -> "hoof",
+    "selves" -> "self", "lives" -> "life", "sheaves" -> "sheaf",
+    "wharves" -> "wharf",
+    // 3. index-protected lemmas the suffix rules would mangle
+    "series" -> "series", "species" -> "species", "news" -> "news",
+    "physics" -> "physics", "politics" -> "politics",
+    "mathematics" -> "mathematics", "economics" -> "economics",
+    "linguistics" -> "linguistics", "gas" -> "gas", "bias" -> "bias",
+    "alias" -> "alias", "atlas" -> "atlas", "canvas" -> "canvas",
+    "lens" -> "lens", "chaos" -> "chaos", "cosmos" -> "cosmos",
+    "clothes" -> "clothes", "yes" -> "yes", "christmas" -> "christmas",
+    "was" -> "was", "has" -> "has")
 
-  /** Rule-based lemmatiser (WordNet stand-in): lowercase alphabetic
-    * tokens only — anything carrying punctuation or capitals passes
-    * through untouched, like WordNet misses.
+  /** Rule-based lemmatiser (WordNet morphy approximation): lowercase
+    * alphabetic tokens only — anything carrying punctuation or capitals
+    * passes through untouched, like WordNet misses.
     */
   def lemmatise(term: String): String =
     if (!term.forall(c => c >= 'a' && c <= 'z')) term

@@ -14,6 +14,24 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(lemmatise("skills") == "skill")
     assert(lemmatise("skills.") == "skills.") // punctuation blocks it
     assert(lemmatise("Skills") == "Skills") // capitals block it
+    // WordNet irregular-form table (noun pos, the reference's only use)
+    assert(lemmatise("women") == "woman")
+    assert(lemmatise("criteria") == "criterion")
+    assert(lemmatise("matrices") == "matrix")
+    assert(lemmatise("wolves") == "wolf")
+    assert(lemmatise("businessmen") == "businessman")
+    // plural-is-a-lemma cases stay put, like WordNet's min-length pick
+    assert(lemmatise("data") == "data")
+    assert(lemmatise("media") == "media")
+    // index-protected words the suffix rules would mangle
+    assert(lemmatise("series") == "series")
+    assert(lemmatise("physics") == "physics")
+    assert(lemmatise("gas") == "gas")
+    assert(lemmatise("lens") == "lens")
+    // regular suffix ladder still applies outside the table
+    assert(lemmatise("boxes") == "box")
+    assert(lemmatise("classes") == "class")
+    assert(lemmatise("sizes") == "size")
   }
 
   test("clean_punctuation golden cases") {
