@@ -638,8 +638,90 @@ object ScaleStress {
         operators.ActiveUsers.series(evN).count() },
     ).toMap
 
+    // ---- batch-37..43 statistics family: the registered queries run
+    // VERBATIM against a scaled sf-shaped directory (shard-disjoint
+    // custkeys on the same calendar, so months replicate membership ×N
+    // while the month COUNT stays constant — growth accounting's window
+    // and anti-join, interrupted-TS's daily agg, meta-analysis's
+    // event_type agg and the generalization histogram all grow linearly
+    // in INPUT at constant output) ----
+    def qdir(f: Int): String = {
+      val dir = s"$scaleDir/qdir_x$f"
+      if (!new java.io.File(s"$dir/_done").exists()) {
+        val sh = spark.range(f).select(col("id").cast("int").as("shard"))
+        spark.read.parquet(s"$sfDir/orders.parquet").crossJoin(sh).select(
+          (col("o_orderkey") + col("shard").cast("long") * 1000000000L)
+            .as("o_orderkey"),
+          (col("o_custkey") + col("shard").cast("long") * 10000000L)
+            .as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+        spark.read.parquet(s"$sfDir/customer.parquet").crossJoin(sh).select(
+          (col("c_custkey") + col("shard").cast("long") * 10000000L)
+            .as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+        new java.io.File(s"$dir/_done").createNewFile()
+      }
+      dir
+    }
+    // events for a100: reuse the value-carrying scaled events under the
+    // sf-shaped dir name the registered query reads
+    def qdirEvents(f: Int): String = {
+      val dir = s"$scaleDir/qdir_ev_x$f"
+      if (!new java.io.File(s"$dir/_done").exists()) {
+        scaledEventsV(spark, sfDir, f, s"$dir/events.parquet")
+        new java.io.File(s"$dir/_done").createNewFile()
+      }
+      dir
+    }
+    // CSLS corpus: sf0.01 base (500 vecs) so the ×10 r-pass stays a
+    // 12.5M-pair stress, not a 1.25G-pair brute marathon — the measured
+    // shape (quadratic in corpus, halved by the sample) is the claim
+    // under test, not a surprise
+    val cslsBase = s"$sfDir/../sf0.01"
+    val cemb1 = scaledEmb(spark, cslsBase, 1, s"$scaleDir/cemb_x1.parquet")
+    val cembN = scaledEmb(spark, cslsBase, factor,
+      s"$scaleDir/cemb_x$factor.parquet")
+    def statsWarm(name: String): Unit = {
+      Registry.byName(name).run(spark, s"$sfDir/../sf0.01").count(); ()
+    }
+    statsWarm("e_growth_accounting"); statsWarm("w34_interrupted_time_series")
+    statsWarm("a100_meta_analysis"); statsWarm("p17_generalization_ladder")
+    similarity.Csls.rerankSampled(
+      spark.read.parquet(s"$cslsBase/embeddings.parquet")).count()
+    def statsRun(name: String, dir: String): Long =
+      Registry.byName(name).run(spark, dir).count()
+    val statsResults = Seq(
+      time("growth_accounting", 1) {
+        statsRun("e_growth_accounting", qdir(1)) },
+      time("growth_accounting", factor) {
+        statsRun("e_growth_accounting", qdir(factor)) },
+      time("interrupted_ts", 1) {
+        statsRun("w34_interrupted_time_series", qdir(1)) },
+      time("interrupted_ts", factor) {
+        statsRun("w34_interrupted_time_series", qdir(factor)) },
+      time("generalization_ladder", 1) {
+        statsRun("p17_generalization_ladder", qdir(1)) },
+      time("generalization_ladder", factor) {
+        statsRun("p17_generalization_ladder", qdir(factor)) },
+      time("meta_analysis", 1) {
+        statsRun("a100_meta_analysis", qdirEvents(1)) },
+      time("meta_analysis", factor) {
+        statsRun("a100_meta_analysis", qdirEvents(factor)) },
+      time("csls_rerank_sampled", 1) {
+        similarity.Csls.rerankSampled(cemb1).count() },
+      time("csls_rerank_sampled", factor) {
+        similarity.Csls.rerankSampled(cembN).count() },
+    ).toMap
+
     val all = results ++ annResults ++ asofResults ++ r5Results ++
-      r6Results ++ r5bResults ++ b20Results ++ b26Results ++ b33Results
+      r6Results ++ r5bResults ++ b20Results ++ b26Results ++ b33Results ++
+      statsResults
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -681,7 +763,9 @@ object ScaleStress {
       "span_corruption", "jensen_shannon", "copurchase_projection",
       "dau_stickiness",
       "gini_revenue", "logrank_test", "ratio_metric_ci", "good_turing",
-      "quantile_treatment", "cohort_ltv", "rocchio_prf")) {
+      "quantile_treatment", "cohort_ltv", "rocchio_prf",
+      "growth_accounting", "interrupted_ts", "generalization_ladder",
+      "meta_analysis", "csls_rerank_sampled")) {
       if (all(s"$op@x1") >= 0) {
         val r = all(s"$op@x$factor") / all(s"$op@x1")
         println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")

@@ -107,10 +107,13 @@ object Csls {
     * r(·) breaks the correction outright, while the 1-in-2 sample keeps
     * 9/10 top-1 agreement with the exact form (CslsSpec gates ≥ 0.8).
     */
-  private val qSampled = Q(
-    "sim_csls_rerank_sampled",
-    (s, d) => {
-      val e = SimilarityQueries.withNorm(Tables(s, d).embeddings)
+  /** The sampled re-ranking on an arbitrary embeddings frame (the
+    * registered query below over `Tables.embeddings`; ScaleStress runs
+    * it on the ×N corpus).
+    */
+  def rerankSampled(embeddings: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val e = SimilarityQueries.withNorm(embeddings)
       val pairCos = round(
         graft.functions.VectorOps.dot(col("a.embedding"),
           col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4)
@@ -142,7 +145,11 @@ object Csls {
         .orderBy(desc("csls"), asc("neighbor_id"))
       scored.withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= TopK)
-    },
+  }
+
+  private val qSampled = Q(
+    "sim_csls_rerank_sampled",
+    (s, d) => rerankSampled(Tables(s, d).embeddings),
     Some(
       s"""WITH en AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
