@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   *  - candidate generation: preferred label, flattened alternate labels
   *    (newline-joined, flatten_skills_labels:74-103), and description
-  *    word-bigrams standing in for spaCy noun chunks (chunk_forms:
-  *    122-138 — the NLP model is unavailable here; bigrams are the
-  *    documented stub, the pipeline shape is identical);
+  *    noun chunks via the POS-pattern-lite chunker ([[NounChunks]],
+  *    standing in for spaCy's model-based `doc.noun_chunks`,
+  *    chunk_forms:122-138 — closed-class boundary words are the
+  *    model-free part of POS tagging; the chunker's over-capture of
+  *    open-class verbs is absorbed by the same tf-idf representativity
+  *    mask the reference uses to absorb spaCy's over-capture);
   *  - one-to-one dedup by type priority (deduplicate_surface_forms:
   *    208-249): within an entity keep the most reliable type, across
   *    entities keep the first (type rank, entity) — entity tiebreak
@@ -54,16 +57,13 @@ object SurfaceForms {
       .select(col("entity"), explode(split(col("alt_labels"), "\n")).as("al"))
       .select(col("entity"), lit("label_alt").as("surface_form_type"),
         cleanForm(col("al")).as("surface_form"))
-    val words = split(cleanForm(col("description")), " ")
-    val bigrams = skills
+    val chunks = skills
       .select(col("entity"),
-        explode(when(size(words) >= 2,
-          transform(sequence(lit(1), size(words) - 1), i =>
-            concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
-          .otherwise(array())).as("surface_form"))
+        explode(NounChunks.chunks(cleanForm(col("description"))))
+          .as("surface_form"))
       .select(col("entity"), lit("chunk_descr").as("surface_form_type"),
         col("surface_form"))
-    pref.union(alt).union(bigrams)
+    pref.union(alt).union(chunks)
       .filter(length(col("surface_form")) >= MinLength)
   }
 
@@ -282,13 +282,11 @@ object SurfaceForms {
        |  FROM (SELECT entity, unnest(string_split(alt_labels, chr(10))) AS al
        |        FROM skills)
        |  UNION ALL
-       |  SELECT entity, 'chunk_descr', bg
+       |  SELECT entity, 'chunk_descr', ch
        |  FROM (SELECT entity,
-       |          unnest(list_transform(range(1, len(w)), i ->
-       |            w[i] || ' ' || w[i+1])) AS bg
-       |        FROM (SELECT entity,
-       |                string_split(${clean("description")}, ' ') AS w
-       |              FROM skills)))
+       |          unnest(${NounChunks.chunksSql(clean("description"))
+             .linesIterator.mkString(" ")}) AS ch
+       |        FROM skills))
        |WHERE length(surface_form) >= 3""".stripMargin
 
   private val dedupedSql =
