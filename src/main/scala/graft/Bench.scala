@@ -386,6 +386,13 @@ object Bench {
     "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    // round 6 (cont.): composite quality gate + noun chunker
+    "t_gopher_rules",
+    "t_noun_chunks",
+    // round 6 (cont.): the SSB star-flight conformance block
+    "ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
+    "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_1", "ssb_q4_2",
+    "ssb_q4_3",
   )
 
   /** Streaming parity rows measure fixed micro-batch + state-store setup
