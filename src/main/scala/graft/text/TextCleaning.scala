@@ -133,6 +133,17 @@ object TextCleaning {
     "wives" -> "wife", "elves" -> "elf", "hooves" -> "hoof",
     "selves" -> "self", "lives" -> "life", "sheaves" -> "sheaf",
     "wharves" -> "wharf",
+    // 1b. -ses plurals of s-final nouns: morphy's ("ses"→"s") rule only
+    // separates these from -se nouns (houses→house) via the index, so
+    // the common cases are pinned; likewise -oes plurals, where WordNet
+    // itself returns the input unchanged (no rule produces the singular
+    // and the plural is unindexed)
+    "gases" -> "gas", "buses" -> "bus", "viruses" -> "virus",
+    "bonuses" -> "bonus", "statuses" -> "status", "campuses" -> "campus",
+    "censuses" -> "census", "choruses" -> "chorus",
+    "surpluses" -> "surplus", "lenses" -> "lens",
+    "heroes" -> "heroes", "potatoes" -> "potatoes",
+    "tomatoes" -> "tomatoes", "echoes" -> "echoes",
     // 3. index-protected lemmas the suffix rules would mangle
     "series" -> "series", "species" -> "species", "news" -> "news",
     "physics" -> "physics", "politics" -> "politics",

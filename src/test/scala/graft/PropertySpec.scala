@@ -192,4 +192,84 @@ class PropertySpec extends SparkSpec {
       assert(out(id) == text, s"doc $id not reassembled losslessly")
     }
   }
+  // ---- round-6 text operators ----
+
+  test("lemmatise is idempotent: every output is a fixed point") {
+    // WordNet's lemmatizer returns lemmas, and lemmas must survive a
+    // second pass — a non-fixed-point output means a rule fires on what
+    // the table claims is a base form
+    val wordGen = Gen.oneOf(
+      Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString),
+      Gen.oneOf("skills", "policies", "classes", "boxes", "gases",
+        "women", "criteria", "wolves", "heroes", "buses", "lenses",
+        "series", "data", "axes", "businessmen", "sizes", "houses",
+        "uses", "viruses", "analyses"))
+    (1L to 500L).foreach { seed =>
+      val w = sample(wordGen, seed)
+      val once = graft.text.TextCleaning.lemmatise(w)
+      val twice = graft.text.TextCleaning.lemmatise(once)
+      assert(twice == once, s"'$w' -> '$once' -> '$twice'")
+    }
+  }
+
+  test("noun chunks never contain a boundary word and cover only input tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val boundary = graft.text.NounChunks.BoundaryWords.toSet
+    val vocabGen = Gen.oneOf(
+      Gen.oneOf(graft.text.NounChunks.BoundaryWords),
+      Gen.oneOf("data", "pipeline", "quality", "model", "spark",
+        "catalyst", "training", "engineer", "large", "corpus"))
+    val textGen = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, vocabGen).map(_.mkString(" ")))
+    val texts = (1L to 60L).map(seed => sample(textGen, seed))
+    val got = texts.toDF("t")
+      .select(col("t"), graft.text.NounChunks.chunks(col("t")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val input = r.getString(0).split(" ").filter(_.nonEmpty).toSeq
+      r.getSeq[String](1).foreach { chunk =>
+        val toks = chunk.split(" ").toSeq
+        assert(toks.forall(t => !boundary.contains(t)),
+          s"boundary word inside chunk '$chunk' of '${r.getString(0)}'")
+        assert(toks.size <= graft.text.NounChunks.MaxTokens)
+        // chunk tokens appear consecutively in the input
+        assert(input.sliding(toks.size).contains(toks),
+          s"chunk '$chunk' not a contiguous run of '${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("gopher flags agree with a direct single-machine evaluation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wordGen = Gen.oneOf("the", "of", "and", "model", "data", "##",
+      "...", "12345", "a", "verylongtokenindeedxx", "spark")
+    val textGen = Gen.choose(0, 120).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = (1L to 50L).map(seed => sample(textGen, seed))
+    val fs = graft.text.GopherRules.flags(col("t"))
+    val got = texts.toDF("t")
+      .select(col("t") +: fs.map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    got.foreach { r =>
+      val words = r.getString(0).split(" ", -1).toSeq
+      val n = words.size
+      val totalLen = words.map(_.length).sum
+      val alpha = words.count(_.exists(_.isLetter))
+      val hashes = r.getString(0).split("#", -1).length - 1
+      val ell = r.getString(0).split("\\.\\.\\.", -1).length - 1
+      val stops = graft.text.GopherRules.RequiredStopwords
+        .count(words.contains)
+      assert(r.getAs[Boolean]("ok_word_count") ==
+        (n >= 50 && n <= 100000), s"wc '${r.getString(0).take(40)}'")
+      assert(r.getAs[Boolean]("ok_mean_word_len") ==
+        (totalLen >= n * 3 && totalLen <= n * 10))
+      assert(r.getAs[Boolean]("ok_symbol_ratio") ==
+        ((hashes + ell) * 10 <= n))
+      assert(r.getAs[Boolean]("ok_alpha_words") == (alpha * 5 >= n * 4))
+      assert(r.getAs[Boolean]("ok_stopwords") == (stops >= 2))
+    }
+  }
+
 }
