@@ -665,6 +665,37 @@ object ScaleStress {
           col("c_mktsegment"))
           .repartition(32)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+        // fact + remaining dims with MATCHING shard offsets, so the join
+        // structure replicates per shard (×f fact, ×f dims, same join
+        // selectivities); nation/region stay fixed — they are true dims
+        spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(sh).select(
+          (col("l_orderkey") + col("shard").cast("long") * 1000000000L)
+            .as("l_orderkey"),
+          (col("l_partkey") + col("shard").cast("long") * 100000000L)
+            .as("l_partkey"),
+          (col("l_suppkey") + col("shard").cast("long") * 1000000L)
+            .as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+        spark.read.parquet(s"$sfDir/part.parquet").crossJoin(sh).select(
+          (col("p_partkey") + col("shard").cast("long") * 100000000L)
+            .as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
+        spark.read.parquet(s"$sfDir/supplier.parquet").crossJoin(sh).select(
+          (col("s_suppkey") + col("shard").cast("long") * 1000000L)
+            .as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
+        for (t <- Seq("nation", "region"))
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
         new java.io.File(s"$dir/_done").createNewFile()
       }
       dir
@@ -692,36 +723,64 @@ object ScaleStress {
     }
     statsWarm("e_growth_accounting"); statsWarm("w34_interrupted_time_series")
     statsWarm("a100_meta_analysis"); statsWarm("p17_generalization_ladder")
+    // pre-build the scaled dirs so generation never lands in a timing
+    val sdir1 = qdir(1); val sdirN = qdir(factor)
+    val edir1 = qdirEvents(1); val edirN = qdirEvents(factor)
     similarity.Csls.rerankSampled(
       spark.read.parquet(s"$cslsBase/embeddings.parquet")).count()
     def statsRun(name: String, dir: String): Long =
       Registry.byName(name).run(spark, dir).count()
     val statsResults = Seq(
       time("growth_accounting", 1) {
-        statsRun("e_growth_accounting", qdir(1)) },
+        statsRun("e_growth_accounting", sdir1) },
       time("growth_accounting", factor) {
-        statsRun("e_growth_accounting", qdir(factor)) },
+        statsRun("e_growth_accounting", sdirN) },
       time("interrupted_ts", 1) {
-        statsRun("w34_interrupted_time_series", qdir(1)) },
+        statsRun("w34_interrupted_time_series", sdir1) },
       time("interrupted_ts", factor) {
-        statsRun("w34_interrupted_time_series", qdir(factor)) },
+        statsRun("w34_interrupted_time_series", sdirN) },
       time("generalization_ladder", 1) {
-        statsRun("p17_generalization_ladder", qdir(1)) },
+        statsRun("p17_generalization_ladder", sdir1) },
       time("generalization_ladder", factor) {
-        statsRun("p17_generalization_ladder", qdir(factor)) },
+        statsRun("p17_generalization_ladder", sdirN) },
       time("meta_analysis", 1) {
-        statsRun("a100_meta_analysis", qdirEvents(1)) },
+        statsRun("a100_meta_analysis", edir1) },
       time("meta_analysis", factor) {
-        statsRun("a100_meta_analysis", qdirEvents(factor)) },
+        statsRun("a100_meta_analysis", edirN) },
       time("csls_rerank_sampled", 1) {
         similarity.Csls.rerankSampled(cemb1).count() },
       time("csls_rerank_sampled", factor) {
         similarity.Csls.rerankSampled(cembN).count() },
     ).toMap
 
+    // ---- conformance blocks ×10: the star/semi-anti compositions on a
+    // shard-replicated warehouse (matching key offsets, fixed
+    // nation/region dims) — grouped outputs stay constant-row while the
+    // fact side grows ×f ----
+    Seq("tpch_q01", "tpch_q05", "tpch_q19", "tpch_q21", "ssb_q2_1")
+      .foreach(n => statsWarm(n))
+    // generation is NOT part of any measurement: build both dirs first
+    val qdir1 = qdir(1)
+    val qdirN = qdir(factor)
+    val tpchResults = Seq(
+      time("tpch_q01_scan_agg", 1) { statsRun("tpch_q01", qdir1) },
+      time("tpch_q01_scan_agg", factor) {
+        statsRun("tpch_q01", qdirN) },
+      time("tpch_q05_star6", 1) { statsRun("tpch_q05", qdir1) },
+      time("tpch_q05_star6", factor) { statsRun("tpch_q05", qdirN) },
+      time("tpch_q19_disjunctive", 1) { statsRun("tpch_q19", qdir1) },
+      time("tpch_q19_disjunctive", factor) {
+        statsRun("tpch_q19", qdirN) },
+      time("tpch_q21_semi_anti", 1) { statsRun("tpch_q21", qdir1) },
+      time("tpch_q21_semi_anti", factor) {
+        statsRun("tpch_q21", qdirN) },
+      time("ssb_q2_1_star", 1) { statsRun("ssb_q2_1", qdir1) },
+      time("ssb_q2_1_star", factor) { statsRun("ssb_q2_1", qdirN) },
+    ).toMap
+
     val all = results ++ annResults ++ asofResults ++ r5Results ++
       r6Results ++ r5bResults ++ b20Results ++ b26Results ++ b33Results ++
-      statsResults
+      statsResults ++ tpchResults
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -765,7 +824,9 @@ object ScaleStress {
       "gini_revenue", "logrank_test", "ratio_metric_ci", "good_turing",
       "quantile_treatment", "cohort_ltv", "rocchio_prf",
       "growth_accounting", "interrupted_ts", "generalization_ladder",
-      "meta_analysis", "csls_rerank_sampled")) {
+      "meta_analysis", "csls_rerank_sampled",
+      "tpch_q01_scan_agg", "tpch_q05_star6", "tpch_q19_disjunctive",
+      "tpch_q21_semi_anti", "ssb_q2_1_star")) {
       if (all(s"$op@x1") >= 0) {
         val r = all(s"$op@x$factor") / all(s"$op@x1")
         println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
