@@ -389,6 +389,8 @@ object Bench {
     // round 6 (cont.): composite quality gate + noun chunker
     "t_gopher_rules",
     "t_noun_chunks",
+    "d34_hyperball",
+    "a101_tukey_hsd",
     // round 6 (cont.): the SSB star-flight conformance block
     "ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
     "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_1", "ssb_q4_2",

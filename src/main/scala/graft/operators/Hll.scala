@@ -60,6 +60,20 @@ object Hll {
         (expr(s"cast('$AlphaNumer' as decimal(38,0)) div s_total")
           .cast("double") / lit(10000.0)).as("approx"): _*)
 
+  /** [[estimate2]] plus the Flajolet small-range correction (linear
+    * counting below 2.5·m with empty registers left) — the estimator the
+    * windowed rollup and HyperBall share; one ln over an exact integer
+    * ratio, rounded to 4 dp, deterministic in both engines.
+    */
+  def estimateCorrected(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val raw = estimate2(regs, keys)
+    val v = lit(M.toLong) - col("seen")
+    raw.select(keys.map(col) :+
+      when(col("approx") <= lit(2.5 * M) && v > 0,
+        round(lit(M) * log(lit(M.toDouble) / v.cast("double")), 4))
+        .otherwise(col("approx")).as("approx"): _*)
+  }
+
   /** The full DuckDB replay over `lineitem`, shared by the batch row and
     * the streaming parity row (same registers ⇒ same oracle).
     */
@@ -121,14 +135,7 @@ object WindowedHll {
     * far above the threshold, so its raw-only formula stands.)
     */
   private def estimateCorrected(regs: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    val raw = Hll.estimate2(regs, keys)
-    val v = lit(Hll.M.toLong) - col("seen")
-    raw.select(keys.map(col) :+
-      when(col("approx") <= lit(2.5 * Hll.M) && v > 0,
-        round(lit(Hll.M) * log(lit(Hll.M.toDouble) / v.cast("double")), 4))
-        .otherwise(col("approx")).as("approx"): _*)
-  }
+      keys: Seq[String]): DataFrame = Hll.estimateCorrected(regs, keys)
 
   private val q = Q(
     "w13_windowed_hll",
