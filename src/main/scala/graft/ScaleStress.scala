@@ -762,6 +762,29 @@ object ScaleStress {
     // generation is NOT part of any measurement: build both dirs first
     val qdir1 = qdir(1)
     val qdirN = qdir(factor)
+    // embeddings under an sf-shaped dir for the registered-query runs
+    def qdirEmb(f: Int): String = {
+      val dir = s"$scaleDir/qdir_emb_x$f"
+      if (!new java.io.File(s"$dir/_done").exists()) {
+        scaledEmb(spark, sfDir, f, s"$dir/embeddings.parquet")
+        new java.io.File(s"$dir/_done").createNewFile()
+      }
+      dir
+    }
+    val qe1 = qdirEmb(1); val qeN = qdirEmb(factor)
+    statsWarm("d34_hyperball"); statsWarm("d_semantic_decontaminate")
+    val r6bResults = Seq(
+      // hyperball on the ×f cooc graph: shard-disjoint supplier keys →
+      // N independent components; register table ×f, round count fixed
+      time("hyperball_nf", 1) { statsRun("d34_hyperball", qdir1) },
+      time("hyperball_nf", factor) { statsRun("d34_hyperball", qdirN) },
+      // benchmark side stays fixed (vec_id < 20 exists only in shard 0),
+      // corpus grows ×f: the broadcast-and-scan-once promise
+      time("semantic_decon", 1) { statsRun("d_semantic_decontaminate", qe1) },
+      time("semantic_decon", factor) {
+        statsRun("d_semantic_decontaminate", qeN) },
+    ).toMap
+
     val tpchResults = Seq(
       time("tpch_q01_scan_agg", 1) { statsRun("tpch_q01", qdir1) },
       time("tpch_q01_scan_agg", factor) {
@@ -780,7 +803,7 @@ object ScaleStress {
 
     val all = results ++ annResults ++ asofResults ++ r5Results ++
       r6Results ++ r5bResults ++ b20Results ++ b26Results ++ b33Results ++
-      statsResults ++ tpchResults
+      statsResults ++ tpchResults ++ r6bResults
     // ---- graftrec connector: does the pushed byte-seek hold its
     // promise that range-scan cost tracks the RANGE, not the file? ----
     def recFile(n: Long): String = {
@@ -826,7 +849,8 @@ object ScaleStress {
       "growth_accounting", "interrupted_ts", "generalization_ladder",
       "meta_analysis", "csls_rerank_sampled",
       "tpch_q01_scan_agg", "tpch_q05_star6", "tpch_q19_disjunctive",
-      "tpch_q21_semi_anti", "ssb_q2_1_star")) {
+      "tpch_q21_semi_anti", "ssb_q2_1_star",
+      "hyperball_nf", "semantic_decon")) {
       if (all(s"$op@x1") >= 0) {
         val r = all(s"$op@x$factor") / all(s"$op@x1")
         println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")

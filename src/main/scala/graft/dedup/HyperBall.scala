@@ -37,15 +37,29 @@ object HyperBall {
   /** (r, nf_approx) for r = 0..rounds over an undirected edge list and
     * node set; nf_approx uses the linear-counting-corrected estimator
     * shared with `w13_windowed_hll`.
+    *
+    * Registers are sparse (node, bucket, rho) ROWS merged by a keyed
+    * MAX: the per-round join fans out |E| × occupied-buckets rows, all
+    * absorbed map-side by the partial aggregation. That bounds round
+    * cost by |E|·|ball| — which is the honest cost model: HyperBall is
+    * a SPARSE-graph algorithm (its register unions track ball growth,
+    * and on a near-complete graph every counter holds every node, so
+    * ANY layout degenerates — measured here: the 90%-complete supplier
+    * co-occurrence graph fanned rounds to 386M rows; a dense-array
+    * Aggregator layout was tried and was WORSE, 4× slower again, boxed
+    * element merges costing more than the row fan-out they saved).
+    * EAGER checkpoints cut each round's lineage; a lazy cut would let
+    * the output's 4 union branches recompute the shared edge build
+    * inside the one job that evaluates them.
     */
   def neighborhoodFunction(edges: DataFrame, nodes: DataFrame,
       rounds: Int = Rounds): DataFrame = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     var regs = Hll.bucketRho(nodes, Seq("id"), col("id"))
       .groupBy("id", "bucket").agg(max(col("rho")).as("m"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val perRound = (0 to rounds).map { r =>
       val nf = Hll.estimateCorrected(regs, Seq("id"))
         .agg(graft.util.Stable.dsum(col("approx"), 4).as("nf_approx"))
@@ -56,7 +70,7 @@ object HyperBall {
           .select(col("u").as("id"), col("bucket"), col("m"))
         regs = regs.union(merged)
           .groupBy("id", "bucket").agg(max(col("m")).as("m"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
       }
       nf
     }
@@ -66,24 +80,37 @@ object HyperBall {
   private val q = Q(
     "d34_hyperball",
     (s, d) => {
-      // the supplier co-occurrence graph the d-series shares: suppliers
-      // are linked when they appear on the same order
-      val li = Tables(s, d).lineitem.select("l_orderkey", "l_suppkey")
-      val edges = li.alias("a").join(li.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-        .distinct()
-      val nodes = li.select(col("l_suppkey").as("id")).distinct()
+      // the d3/d16 supplier-chain graph (rank i ↔ i+1 within a nation):
+      // a SPARSE graph, which is HyperBall's regime — the supplier
+      // co-occurrence graph was measured 90% complete at sf0.1, where
+      // every ball is the whole component by r=1 and the neighborhood
+      // function is a constant (a recall ceiling, not a workload)
+      val sup = Tables(s, d).supplier
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey").orderBy("s_suppkey")
+      val ranked = sup.select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("rk", row_number().over(w))
+      val edges = ranked.alias("a").join(ranked.alias("b"),
+          col("a.s_nationkey") === col("b.s_nationkey") &&
+            col("a.rk") + 1 === col("b.rk"))
+        .select(col("a.s_suppkey").as("src"), col("b.s_suppkey").as("dst"))
+      val nodes = sup.select(col("s_suppkey").as("id"))
       neighborhoodFunction(edges, nodes)
     },
     Some(
       s"""WITH RECURSIVE
+         |rk AS (
+         |  SELECT s_suppkey, s_nationkey,
+         |    row_number() OVER (PARTITION BY s_nationkey
+         |                       ORDER BY s_suppkey) AS rk
+         |  FROM supplier),
+         |e1 AS (
+         |  SELECT a.s_suppkey AS u, b.s_suppkey AS v
+         |  FROM rk a JOIN rk b
+         |    ON a.s_nationkey = b.s_nationkey AND a.rk + 1 = b.rk),
          |e0 AS (
-         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-         |nodes AS (SELECT DISTINCT l_suppkey AS id FROM lineitem),
+         |  SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+         |nodes AS (SELECT s_suppkey AS id FROM supplier),
          |reach(id, mem, r) AS (
          |  SELECT id, id, 0 FROM nodes
          |  UNION
