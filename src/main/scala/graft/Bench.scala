@@ -391,6 +391,10 @@ object Bench {
     "t_noun_chunks",
     "d34_hyperball",
     "a101_tukey_hsd",
+    "a102_qini_uplift",
+    "d_semantic_decontaminate",
+    "f21_fncatalog_hamming",
+    "t_wordpiece_fertility",
     // round 6 (cont.): the SSB star-flight conformance block
     "ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
     "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_1", "ssb_q4_2",
