@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   * The curve against the x-axis of cumulative population is what a
   * targeting model is judged by (area under it = the Qini coefficient).
   *
-  * Determinism: deciles come from a rank over (score DESC, user id) —
-  * an explicit total order, not ntile on an ambiguous sort — and the
-  * decile boundary is rank·10 ≤ N·(d+1) in integer form. The per-decile
-  * sums are integral counts, so the only division is the final scaled
-  * subtraction, rounded to 6 dp. Shape: one user-level aggregate, one
-  * rank window over the user frame (not the events), one 10-row rollup.
+  * Determinism AND scale: deciles come from score THRESHOLDS (the
+  * exact 10..90% quantiles of the score, computed by the `percentile`
+  * aggregate and broadcast), not from a global rank window — a
+  * row_number over all users is a single-partition sort at fleet
+  * scale, while the quantile aggregate combines map-side and the
+  * assignment is a broadcast comparison. Ties AT a threshold all land
+  * in the higher decile (>= comparison), so decile sizes may be
+  * uneven under heavy ties — reported in the output, and replayed
+  * identically by the oracle (scores round to 6 dp first, and Spark's
+  * `percentile` matches DuckDB's `quantile_cont` — the a4 parity).
+  * The per-decile sums are integral counts, so the only division is
+  * the final scaled subtraction, rounded to 6 dp. Shape: one
+  * user-level aggregate, one quantile aggregate, one broadcast
+  * comparison, one 10-row rollup.
   */
 object Uplift {
 
@@ -41,14 +49,18 @@ object Uplift {
             .as("converted"))
         .select(col("user_id"), (col("user_id") % 2 === 0).as("treated"),
           round(col("score"), 6).as("score"), col("converted"))
-      val n = users.agg(count(lit(1)).as("n_users"))
-      val w = Window.orderBy(desc("score"), asc("user_id"))
-      val ranked = users.withColumn("rk", row_number().over(w))
-        .crossJoin(broadcast(n))
-        // decile d = smallest d with rk*10 <= n*(d+1): integer form
+      // decile thresholds: exact score quantiles at 0.9 .. 0.1 —
+      // decile 0 is the TOP tenth, so the boundary for decile d is the
+      // (1 - (d+1)/10) quantile; a score >= t(d) joins decile <= d
+      val thresholds = users.agg(
+        percentile(col("score"),
+          array((1 until Deciles).map(d =>
+            lit(1.0 - d.toDouble / Deciles)): _*)).as("ts"))
+      val assigned = users.crossJoin(broadcast(thresholds))
+        // decile = number of thresholds strictly above the score
         .withColumn("decile",
-          ceil(col("rk") * Deciles / col("n_users")).cast("int") - 1)
-      val byDecile = ranked.groupBy("decile")
+          size(filter(col("ts"), t => t > col("score"))).cast("int"))
+      val byDecile = assigned.groupBy("decile")
         .agg(
           sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
           sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
@@ -76,16 +88,17 @@ object Uplift {
          |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
          |      AS BIGINT) AS converted
          |  FROM events GROUP BY user_id),
-         |ranked AS (
-         |  SELECT *,
-         |    row_number() OVER (ORDER BY score DESC, user_id) AS rk,
-         |    (SELECT count(*) FROM users) AS n_users
+         |ts AS (
+         |  SELECT ${(1 until 10).map(d =>
+             s"quantile_cont(score, ${1.0 - d / 10.0}) AS t$d")
+             .mkString(", ")}
          |  FROM users),
          |dec AS (
-         |  SELECT CAST(ceil(rk * $Deciles / CAST(n_users AS DOUBLE))
-         |           AS INT) - 1 AS decile,
+         |  SELECT CAST(${(1 until 10).map(d =>
+             s"(CASE WHEN ts.t$d > score THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS INT) AS decile,
          |    treated, converted
-         |  FROM ranked),
+         |  FROM users CROSS JOIN ts),
          |byd AS (
          |  SELECT decile,
          |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
