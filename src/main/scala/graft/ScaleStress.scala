@@ -773,7 +773,23 @@ object ScaleStress {
     }
     val qe1 = qdirEmb(1); val qeN = qdirEmb(factor)
     statsWarm("d34_hyperball"); statsWarm("d_semantic_decontaminate")
+    def qdirDocs(f: Int): String = {
+      val dir = s"$scaleDir/qdir_docs_x$f"
+      if (!new java.io.File(s"$dir/_done").exists()) {
+        scaledDocs(spark, sfDir, f, s"$dir/documents.parquet")
+        new java.io.File(s"$dir/_done").createNewFile()
+      }
+      dir
+    }
+    val qd1 = qdirDocs(1); val qdN = qdirDocs(factor)
+    statsWarm("t_wordpiece_fertility")
     val r6bResults = Seq(
+      // ×10 tokens but distinct words grow only by the shard markers:
+      // the encode-∝-distinct-words claim under test
+      time("wordpiece_fertility", 1) {
+        statsRun("t_wordpiece_fertility", qd1) },
+      time("wordpiece_fertility", factor) {
+        statsRun("t_wordpiece_fertility", qdN) },
       // hyperball on the ×f cooc graph: shard-disjoint supplier keys →
       // N independent components; register table ×f, round count fixed
       time("hyperball_nf", 1) { statsRun("d34_hyperball", qdir1) },
@@ -850,7 +866,7 @@ object ScaleStress {
       "meta_analysis", "csls_rerank_sampled",
       "tpch_q01_scan_agg", "tpch_q05_star6", "tpch_q19_disjunctive",
       "tpch_q21_semi_anti", "ssb_q2_1_star",
-      "hyperball_nf", "semantic_decon")) {
+      "hyperball_nf", "semantic_decon", "wordpiece_fertility")) {
       if (all(s"$op@x1") >= 0) {
         val r = all(s"$op@x$factor") / all(s"$op@x1")
         println(f"""{"op":"$op","time_ratio_x$factor%d":$r%.2f}""")
