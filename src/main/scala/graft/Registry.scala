@@ -6,11 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
   * tables. Column names/aliases MUST match between the two — the driver
   * sorts columns by name before hashing values.
+  *
+  * `specOnly = true` keeps the query runnable (Registry/Bench/specs) but
+  * withdraws it from the driver's correctness dump: the row is
+  * approximate BY DESIGN (engine-native sketch layout, engine-specific
+  * seeded RNG) and has a hash-green replayable twin registered beside
+  * it, so a perpetual `no_oracle` row in the report would only document
+  * what the twin + ScalaTest spec already prove. Every specOnly query
+  * MUST have both: a named twin in the registry and a spec asserting
+  * its own contract (accuracy bound / reproducibility).
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
+    specOnly: Boolean = false,
 )
 
 object Registry {

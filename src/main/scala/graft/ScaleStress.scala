@@ -723,6 +723,7 @@ object ScaleStress {
     }
     statsWarm("e_growth_accounting"); statsWarm("w34_interrupted_time_series")
     statsWarm("a100_meta_analysis"); statsWarm("p17_generalization_ladder")
+    statsWarm("a101_tukey_hsd"); statsWarm("a102_qini_uplift")
     // pre-build the scaled dirs so generation never lands in a timing
     val sdir1 = qdir(1); val sdirN = qdir(factor)
     val edir1 = qdirEvents(1); val edirN = qdirEvents(factor)
@@ -747,6 +748,14 @@ object ScaleStress {
         statsRun("a100_meta_analysis", edir1) },
       time("meta_analysis", factor) {
         statsRun("a100_meta_analysis", edirN) },
+      // Tukey HSD: ×N orders into a CONSTANT number of priority groups —
+      // one combinable moments aggregate + a constant k(k−1)/2 unpivot
+      time("tukey_hsd", 1) { statsRun("a101_tukey_hsd", sdir1) },
+      time("tukey_hsd", factor) { statsRun("a101_tukey_hsd", sdirN) },
+      // Qini: ×N users; deciles via quantile THRESHOLDS broadcast back
+      // (no global rank sort) — the r6 rework whose scaling is the claim
+      time("qini_uplift", 1) { statsRun("a102_qini_uplift", edir1) },
+      time("qini_uplift", factor) { statsRun("a102_qini_uplift", edirN) },
       time("csls_rerank_sampled", 1) {
         similarity.Csls.rerankSampled(cemb1).count() },
       time("csls_rerank_sampled", factor) {
@@ -863,7 +872,7 @@ object ScaleStress {
       "gini_revenue", "logrank_test", "ratio_metric_ci", "good_turing",
       "quantile_treatment", "cohort_ltv", "rocchio_prf",
       "growth_accounting", "interrupted_ts", "generalization_ladder",
-      "meta_analysis", "csls_rerank_sampled",
+      "meta_analysis", "tukey_hsd", "qini_uplift", "csls_rerank_sampled",
       "tpch_q01_scan_agg", "tpch_q05_star6", "tpch_q19_disjunctive",
       "tpch_q21_semi_anti", "ssb_q2_1_star",
       "hyperball_nf", "semantic_decon", "wordpiece_fertility")) {

@@ -243,7 +243,9 @@ object Extended {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders")),
-    None, // Spark's HLL++ register layout is engine-specific — spec-verified
+    None, // Spark's HLL++ register layout is engine-specific —
+    // spec-verified (HeavyHittersSpec error bound), twin = a16b
+    specOnly = true,
   )
 
   /** HyperLogLog with a CROSS-ENGINE-REPLAYABLE register layout: value

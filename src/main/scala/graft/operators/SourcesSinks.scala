@@ -76,7 +76,8 @@ object SourcesSinks {
       // it reproducible run-to-run
       Tables(s, d).orders.sample(withReplacement = false, 0.1, seed = 42)
         .select("o_orderkey"),
-    None,
+    None, // engine-specific seeded RNG: spec-verified, twin = p7b
+    specOnly = true,
   )
 
   /** Upsert/merge (MERGE INTO semantics without a table format): apply a

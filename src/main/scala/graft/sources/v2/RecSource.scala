@@ -131,10 +131,32 @@ object RecSource {
     writeFile(path, it)
   }
 
+  /** Name of the generation manifest a truncate-commit publishes. When
+    * present in a table directory it names the sub-directory holding the
+    * live generation's files; tables never overwritten (fixture writers,
+    * plain appends) have no manifest and list the directory flat.
+    */
+  private[v2] val CurrentMarker = "CURRENT"
+
+  /** The directory whose `*.rec` files are the table's LIVE contents:
+    * the manifest's generation dir when a manifest exists (and still
+    * resolves — a missing target means a half-GC'd legacy state, fall
+    * back to flat), else the table dir itself.
+    */
+  private[v2] def liveDir(table: java.io.File): java.io.File = {
+    val cur = new java.io.File(table, CurrentMarker)
+    if (cur.isFile) {
+      val name = new String(
+        java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim
+      val gen = new java.io.File(table, name)
+      if (gen.isDirectory) gen else table
+    } else table
+  }
+
   private[v2] def listFiles(path: String): Seq[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory)
-      f.listFiles().toSeq.map(_.getPath)
+      liveDir(f).listFiles().toSeq.map(_.getPath)
         .filter(_.endsWith(".rec")).sorted
     else Seq(path)
   }
@@ -580,26 +602,59 @@ private class RecBatchWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new RecWriterFactory(path)
 
-  /** All-or-nothing visibility: staged files rename into the table dir
-    * only here, after EVERY task committed. In truncate (overwrite)
-    * mode the previous generation's .rec files are deleted first, in
-    * the same commit — readers either see the old table or the new one,
-    * never a mix, and an aborted job leaves the old table untouched.
+  /** All-or-nothing visibility: staged files rename into the live dir
+    * only here, after EVERY task committed.
+    *
+    * Truncate (overwrite) mode is a GENERATION SWAP, not delete-then-
+    * rename: the new files rename into a fresh `gen-*` sub-directory
+    * (invisible to readers), and the single atomic publish is the
+    * manifest move onto [[RecSource.CurrentMarker]]. A crash anywhere
+    * before the move leaves the old table fully intact (the earlier
+    * delete-old-files-first order left it EMPTY if the job died between
+    * the deletes and the renames); a crash after the move leaves the new
+    * table fully visible. Old generations and legacy flat files are
+    * garbage-collected only AFTER the publish, so the failure mode of a
+    * crashed cleanup is leaked disk, never lost or mixed data.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
-    if (truncateFirst)
-      Option(dir.listFiles((_, n) => n.endsWith(".rec")))
-        .getOrElse(Array.empty).foreach(f =>
-          require(f.delete(), s"truncate failed to delete: $f"))
+    val dest =
+      if (!truncateFirst) RecSource.liveDir(dir)
+      else {
+        val gen = new java.io.File(dir,
+          s"gen-${java.util.UUID.randomUUID().toString.take(8)}")
+        require(gen.mkdirs(), s"cannot create generation dir: $gen")
+        gen
+      }
     messages.foreach { case RecCommit(staged, rows) =>
       if (rows == 0) new java.io.File(staged).delete()
       else {
-        val dst = new java.io.File(dir,
+        val dst = new java.io.File(dest,
           new java.io.File(staged).getName.stripSuffix(".staged"))
         require(new java.io.File(staged).renameTo(dst),
           s"commit rename failed: $staged")
+      }
+    }
+    if (truncateFirst) {
+      // the publish: write-temp + ATOMIC_MOVE onto the manifest — the
+      // one instant the table flips from old contents to new
+      val tmp = new java.io.File(dir, s"${RecSource.CurrentMarker}.tmp")
+      java.nio.file.Files.write(tmp.toPath, dest.getName.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, RecSource.CurrentMarker).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // post-publish GC (best-effort): older generations + legacy flat
+      // files. An in-flight reader that listed the previous generation
+      // before the swap may race this delete — same exposure the
+      // pre-manifest layout had for ALL readers, now confined to scans
+      // overlapping a truncate of the same table.
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith("gen-") && f.getName != dest.getName) {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+          f.delete()
+        } else if (f.getName.endsWith(".rec")) f.delete()
       }
     }
   }

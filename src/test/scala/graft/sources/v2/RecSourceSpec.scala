@@ -98,8 +98,38 @@ class RecSourceSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.agg(min(col("id")), max(col("id"))).collect().head
       .toSeq == Seq(1000L, 1099L))
-    assert(new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".rec")) == 2)
+    // generation layout: the two new files live under the gen dir the
+    // CURRENT manifest names; the pre-truncate flat files were GC'd
+    // after the publish, so nothing stray remains at top level
+    val top = new java.io.File(dir)
+    assert(new java.io.File(top, RecSource.CurrentMarker).isFile)
+    assert(top.listFiles().count(_.getName.endsWith(".rec")) == 0)
+    assert(RecSource.listFiles(dir).size == 2)
+    // a second overwrite swaps generations and GCs the first one
+    gen(5L, 9L).repartition(1)
+      .write.format(classOf[RecSource].getName).mode("overwrite").save(dir)
+    assert(spark.read.format(classOf[RecSource].getName).load(dir)
+      .count() == 5)
+    assert(top.listFiles().count(_.getName.startsWith("gen-")) == 1)
+  }
+
+  test("an unpublished generation is invisible: crash-safe truncate") {
+    val dir = java.nio.file.Files.createTempDirectory("recw").toString + "/t"
+    import spark.implicits._
+    (1L to 50L).map(i => (i, RecSource.valueOf(i), RecSource.tagOf(i)))
+      .toDF("id", "value", "tag").repartition(1)
+      .write.format(classOf[RecSource].getName).mode("overwrite").save(dir)
+    // simulate a truncate job that died AFTER renaming its files into a
+    // fresh generation but BEFORE the atomic manifest move: the old
+    // table must read back complete — the pre-manifest layout (delete
+    // old, then rename new in) would have read EMPTY here
+    val stray = new java.io.File(dir, "gen-deadbeef")
+    assert(stray.mkdirs())
+    RecSource.writeDense(new java.io.File(stray, "part-x.rec").getPath,
+      9000L, 7L)
+    val back = spark.read.format(classOf[RecSource].getName).load(dir)
+    assert(back.count() == 50)
+    assert(back.agg(max(col("id"))).collect().head.getLong(0) == 50L)
   }
 
   test("the scan plans COLUMNAR: ColumnarToRow sits above BatchScan") {

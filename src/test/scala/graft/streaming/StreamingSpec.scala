@@ -198,6 +198,67 @@ class StreamingSpec extends SparkSpec {
     assert(floodPairs > 0, "exact copies are near-dups and must surface")
   }
 
+  test("timer sessions merge a cross-batch bridge event (within watermark)") {
+    // the r6 advice scenario: batch 1 delivers t=0 and t=50min (gap 30min
+    // ⇒ looks like two sessions), batch 2 delivers the BRIDGE at t=20min,
+    // admissible under a 2h watermark delay. Batch session_window sees ONE
+    // session of 3 events; an eager-close processor has already emitted
+    // the first session and cannot take it back (Append rows are final).
+    // The buffered-until-watermark processor must emit exactly one row.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val watch = java.nio.file.Files.createTempDirectory("sess_bridge")
+      val base = 1700000000000L
+      def mins(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+      // one file per micro-batch (maxFilesPerTrigger=1), ordered by mtime
+      def stage(i: Int, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"sb_$i")
+        rows.toDF("user_id", "ts").coalesce(1).write
+          .mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val src = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(f"part-$i%03d.parquet")
+        java.nio.file.Files.copy(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
+      val sentinel = new java.sql.Timestamp(base + 365L * 86400000L)
+      stage(0, Seq((1L, mins(0)), (1L, mins(50))))
+      stage(1, Seq((1L, mins(20)))) // the bridge
+      stage(2, Seq((-1L, sentinel))) // raise the watermark…
+      stage(3, Seq((-1L, sentinel))) // …and give eviction a final batch
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        .as[(Long, java.sql.Timestamp, Long)]
+      val out = stream.groupByKey(_._1)
+        .transformWithState(
+          new StreamingOps.SessionProcessor(30L * 60 * 1000000),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "session_start_us", "n_events")
+      val name = StreamingOps.sinkName("sessbridge_")
+      StreamingOps.runToMemory(out, name, OutputMode.Append())
+      val got = spark.table(name).filter(col("user_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, base * 1000L, 3L)),
+        s"expected one bridged session of 3 events, got ${got.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   private def ts(i: Long): java.sql.Timestamp =
     new java.sql.Timestamp(1700000000000L + i * 60000L)
 }

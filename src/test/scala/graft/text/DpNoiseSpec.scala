@@ -62,6 +62,25 @@ class DpNoiseSpec extends SparkSpec {
       "epsilon"))
   }
 
+  test("pepper never appears in the plan, explain output, or SQL text") {
+    // the r6 advice finding: lit(pepper) printed the secret verbatim in
+    // every plan surface (explain, Spark UI, event logs). The fix holds
+    // it in a UDF closure — so no representation of the query may
+    // contain it.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = graft.Tables(spark, sf("sf0.001")).orders
+    val secret = "hunter2-super-secret-pepper"
+    val rel = PiiScrub.dpNoisyCounts(df, Seq("o_orderstatus"), secret)
+    val surfaces = Seq(
+      rel.queryExecution.logical.toString,
+      rel.queryExecution.analyzed.toString,
+      rel.queryExecution.optimizedPlan.toString,
+      rel.queryExecution.executedPlan.toString,
+      rel.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode))
+    surfaces.foreach(p => assert(!p.contains(secret)))
+  }
+
   test("empirical noise distribution matches alpha = 1/2") {
     // the same inverse CDF over many distinct keys: P(0) → 1/3,
     // P(±1) → 1/6 each; FNV's low 53 bits are uniform enough for a
