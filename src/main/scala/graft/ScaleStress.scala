@@ -192,6 +192,71 @@ object ScaleStress {
     s.read.parquet(out)
   }
 
+  /** ×f sf-shaped WAREHOUSE directory (orders/lineitem/part/supplier/
+    * customer shard-replicated with MATCHING key offsets so per-shard
+    * join structure replicates; nation/region stay fixed — true dims).
+    * Registered queries run VERBATIM against it. Cached under
+    * `scaleDir/qdir_x<f>` with a `_done` marker; shared by the stress
+    * families here and by [[graft.tools.TpchScale]] (the sf1-equivalent
+    * conformance timing run).
+    */
+  private[graft] def warehouseDir(spark: SparkSession, sfDir: String,
+      scaleDir: String, f: Int): String = {
+    val dir = s"$scaleDir/qdir_x$f"
+    if (!new java.io.File(s"$dir/_done").exists()) {
+      val sh = spark.range(f).select(col("id").cast("int").as("shard"))
+      spark.read.parquet(s"$sfDir/orders.parquet").crossJoin(sh).select(
+        (col("o_orderkey") + col("shard").cast("long") * 1000000000L)
+          .as("o_orderkey"),
+        (col("o_custkey") + col("shard").cast("long") * 10000000L)
+          .as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+      spark.read.parquet(s"$sfDir/customer.parquet").crossJoin(sh).select(
+        (col("c_custkey") + col("shard").cast("long") * 10000000L)
+          .as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+      // fact + remaining dims with MATCHING shard offsets, so the join
+      // structure replicates per shard (×f fact, ×f dims, same join
+      // selectivities); nation/region stay fixed — they are true dims
+      spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(sh).select(
+        (col("l_orderkey") + col("shard").cast("long") * 1000000000L)
+          .as("l_orderkey"),
+        (col("l_partkey") + col("shard").cast("long") * 100000000L)
+          .as("l_partkey"),
+        (col("l_suppkey") + col("shard").cast("long") * 1000000L)
+          .as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+      spark.read.parquet(s"$sfDir/part.parquet").crossJoin(sh).select(
+        (col("p_partkey") + col("shard").cast("long") * 100000000L)
+          .as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
+      spark.read.parquet(s"$sfDir/supplier.parquet").crossJoin(sh).select(
+        (col("s_suppkey") + col("shard").cast("long") * 1000000L)
+          .as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
+      for (t <- Seq("nation", "region"))
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+      new java.io.File(s"$dir/_done").createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -645,61 +710,7 @@ object ScaleStress {
     // and anti-join, interrupted-TS's daily agg, meta-analysis's
     // event_type agg and the generalization histogram all grow linearly
     // in INPUT at constant output) ----
-    def qdir(f: Int): String = {
-      val dir = s"$scaleDir/qdir_x$f"
-      if (!new java.io.File(s"$dir/_done").exists()) {
-        val sh = spark.range(f).select(col("id").cast("int").as("shard"))
-        spark.read.parquet(s"$sfDir/orders.parquet").crossJoin(sh).select(
-          (col("o_orderkey") + col("shard").cast("long") * 1000000000L)
-            .as("o_orderkey"),
-          (col("o_custkey") + col("shard").cast("long") * 10000000L)
-            .as("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-          col("o_orderpriority"))
-          .repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
-        spark.read.parquet(s"$sfDir/customer.parquet").crossJoin(sh).select(
-          (col("c_custkey") + col("shard").cast("long") * 10000000L)
-            .as("c_custkey"),
-          col("c_name"), col("c_nationkey"), col("c_acctbal"),
-          col("c_mktsegment"))
-          .repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
-        // fact + remaining dims with MATCHING shard offsets, so the join
-        // structure replicates per shard (×f fact, ×f dims, same join
-        // selectivities); nation/region stay fixed — they are true dims
-        spark.read.parquet(s"$sfDir/lineitem.parquet").crossJoin(sh).select(
-          (col("l_orderkey") + col("shard").cast("long") * 1000000000L)
-            .as("l_orderkey"),
-          (col("l_partkey") + col("shard").cast("long") * 100000000L)
-            .as("l_partkey"),
-          (col("l_suppkey") + col("shard").cast("long") * 1000000L)
-            .as("l_suppkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"), col("l_returnflag"),
-          col("l_linestatus"), col("l_shipdate"))
-          .repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
-        spark.read.parquet(s"$sfDir/part.parquet").crossJoin(sh).select(
-          (col("p_partkey") + col("shard").cast("long") * 100000000L)
-            .as("p_partkey"),
-          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
-          col("p_retailprice"))
-          .repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
-        spark.read.parquet(s"$sfDir/supplier.parquet").crossJoin(sh).select(
-          (col("s_suppkey") + col("shard").cast("long") * 1000000L)
-            .as("s_suppkey"),
-          col("s_name"), col("s_nationkey"), col("s_acctbal"))
-          .repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
-        for (t <- Seq("nation", "region"))
-          spark.read.parquet(s"$sfDir/$t.parquet")
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
-        new java.io.File(s"$dir/_done").createNewFile()
-      }
-      dir
-    }
+    def qdir(f: Int): String = warehouseDir(spark, sfDir, scaleDir, f)
     // events for a100: reuse the value-carrying scaled events under the
     // sf-shaped dir name the registered query reads
     def qdirEvents(f: Int): String = {
