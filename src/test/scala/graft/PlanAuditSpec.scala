@@ -407,6 +407,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "token agg must stay hash")
   }
 
+  // ---- PLANS.md batch 45 (round 8), enforced ----
+
+  test("hyperball: BSP rounds are hash-agg exchange pairs, nothing cartesian") {
+    val p = plan("d34_hyperball")
+    assert(shuffles(p) >= 4, s"expected per-round exchange pairs:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "register merge must stay keyed")
+  }
+
+  test("tukey: one moments aggregate touches data; the grid is broadcast-only") {
+    val p = plan("a101_tukey_hsd")
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}")
+    assert(broadcasts(p) >= 2, "pairwise grid + pooled row must broadcast")
+  }
+
+  test("qini: thresholds broadcast back, no global rank sort") {
+    val p = plan("a102_qini_uplift")
+    assert(broadcasts(p) >= 1, "decile thresholds must broadcast")
+    assert(shuffles(p) <= 4, s"shuffles=${shuffles(p)}")
+    // the only Sort allowed is the one under the cumulative Window over
+    // the 10 decile rows — i.e. AFTER the decile aggregate, never over
+    // per-user data. A global rank would plan a Sort directly over the
+    // user-level exchange with no aggregate in between.
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstSort = p.indexOf("Sort ")
+    assert(firstAgg >= 0 && (firstSort == -1 || firstSort < firstAgg ||
+      p.substring(0, firstSort).contains("HashAggregate")),
+      "Sort must sit above the decile aggregate, not the user rows")
+  }
+
+  test("wordpiece: vocab/transition frames broadcast into the walk") {
+    val p = plan("t_wordpiece_fertility")
+    assert(broadcasts(p) >= 3,
+      "initial-piece, continuation-piece and char tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semantic decontamination: corpus cached once, benchmark broadcast") {
+    val p = plan("d_semantic_decontaminate")
+    assert(p.contains("InMemoryTableScan"),
+      "the normalised corpus must come from the shared cached relation")
+    assert(broadcasts(p) >= 1, "benchmark side must broadcast")
+    assert(!p.contains("CartesianProduct"), "corpus must never self-join")
+  }
+
   // (the LSH no-text-in-exchange invariant lives in
-  // graft.dedup.LshPlanSpec, where the candidate stage is visible)
+  // graft.dedup.LshPlanSpec, where the candidate stage is visible;
+  // f21's StaticInvoke/Invoke binding is pinned in FnCatalogSpec)
 }
