@@ -50,10 +50,21 @@ object QuantileNormalize {
         .select(col("k"), lit(1).as("is_ref"), col("grp"),
           lit(null).cast(o.schema("v").dataType).as("v"),
           lit(null).cast("long").as("c"), col("v").as("ref_v"))
-      val wm = Window.partitionBy("grp").orderBy(col("k"), col("is_ref"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // "first ref value at-or-after (k, is_ref)" — expressed as a
+      // RUNNING last() over the REVERSED order, never as first() over
+      // (CURRENT ROW, UNBOUNDED FOLLOWING): Spark's
+      // UnboundedFollowingWindowFunctionFrame re-scans the remaining
+      // frame for every row — O(rows²) per partition — and at sf0.1
+      // (~180k merge rows per group: near-unique prices) that single
+      // window was a 20+ minute single-core stall. The reversed running
+      // frame is the incremental UnboundedPreceding evaluator: O(rows),
+      // identical output (last non-null below in DESC order = first
+      // non-null at-or-after in ASC order).
+      val wm = Window.partitionBy("grp")
+        .orderBy(col("k").desc, col("is_ref").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       probes.unionByName(refs)
-        .withColumn("target", first(col("ref_v"), ignoreNulls = true)
+        .withColumn("target", last(col("ref_v"), ignoreNulls = true)
           .over(wm))
         .filter(col("is_ref") === 0)
         .select(col("grp"), col("v").as("src_value"), col("c").as("n"),

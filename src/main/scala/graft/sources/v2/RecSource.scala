@@ -649,13 +649,17 @@ private class RecBatchWrite(path: String, schema: StructType,
       // files. An in-flight reader that listed the previous generation
       // before the swap may race this delete — same exposure the
       // pre-manifest layout had for ALL readers, now confined to scans
-      // overlapping a truncate of the same table.
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith("gen-") && f.getName != dest.getName) {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-          f.delete()
-        } else if (f.getName.endsWith(".rec")) f.delete()
-      }
+      // overlapping a truncate of the same table. Guard: GC only while
+      // this commit is still the PUBLISHED generation — a racing
+      // truncate that won the manifest between our move and this
+      // listing keeps its files (it will GC ours instead).
+      if (RecSource.liveDir(dir).getName == dest.getName)
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.getName.startsWith("gen-") && f.getName != dest.getName) {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+            f.delete()
+          } else if (f.getName.endsWith(".rec")) f.delete()
+        }
     }
   }
 

@@ -427,14 +427,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts(p) >= 1, "decile thresholds must broadcast")
     assert(shuffles(p) <= 4, s"shuffles=${shuffles(p)}")
     // the only Sort allowed is the one under the cumulative Window over
-    // the 10 decile rows — i.e. AFTER the decile aggregate, never over
-    // per-user data. A global rank would plan a Sort directly over the
-    // user-level exchange with no aggregate in between.
+    // the 10 decile rows — the plan ROOT region (trees print root
+    // first), ABOVE every aggregate. A global-rank formulation would
+    // root at a decile aggregate fed by a Sort over the raw user
+    // exchange, putting the first HashAggregate BEFORE the Sort in the
+    // string.
     val firstAgg = p.indexOf("HashAggregate")
     val firstSort = p.indexOf("Sort ")
-    assert(firstAgg >= 0 && (firstSort == -1 || firstSort < firstAgg ||
-      p.substring(0, firstSort).contains("HashAggregate")),
-      "Sort must sit above the decile aggregate, not the user rows")
+    assert(firstAgg >= 0, "decile aggregate missing")
+    assert(firstSort == -1 || firstSort < firstAgg,
+      "Sort must sit above the decile aggregate, not under it on user rows")
   }
 
   test("wordpiece: vocab/transition frames broadcast into the walk") {
