@@ -11,8 +11,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * At cluster scale these would be partitioned tables; the API is the same.
   */
 final class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved-relation memo (METADATA only — never data): a bare
+    * `spark.read.parquet` re-resolves the relation on every call, and
+    * parquet schema inference launches a footer-reading Spark job each
+    * time — ~20-40 ms of driver+job overhead per table per query run,
+    * which at a 358-query bench pass is tens of seconds of pure
+    * re-inference of schemas that cannot change mid-run. A catalog
+    * table (the cluster deployment) resolves schema from the metastore
+    * once; this memo is the same thing for path tables. The cached
+    * object is the resolved DataFrame (logical plan + file index);
+    * every query still plans and computes from the parquet files.
+    */
+  private def t(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    Tables.relationCache.computeIfAbsent(
+      (spark, path), _ => spark.read.parquet(path))
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -46,5 +60,9 @@ final class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  private[graft] val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 }

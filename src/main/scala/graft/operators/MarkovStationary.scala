@@ -43,21 +43,41 @@ object MarkovStationary {
         .withColumn("r", sum(col("c")).over(Window.partitionBy("src")))
         .select(col("src"), col("dst"),
           (col("c").cast("double") / col("r").cast("double")).as("p"))
-        .localCheckpoint(false)
-      val states = p.select(col("src").as("state")).distinct()
-        .localCheckpoint(false)
-      val nStates = lit(5.0)
-      var pi = states.select(col("state"),
-        (lit(1.0) / nStates).as("pi"))
+      // Driver-side fixed point (r08, guide §5 + §1.2): the matrix is
+      // |event-types|² cells — METADATA-scale at any corpus size (the
+      // PowerIteration d×d-Gram precedent) — yet the 20 BSP rounds on
+      // 5-row frames cost 48 stages of pure scheduler/optimizer
+      // overhead (measured: 3.18 → 0.79 s warm and 48 → 7 stages at
+      // sf0.1, ~0.1 s of actual task time). The ONE corpus-scale job (the
+      // window+agg matrix build) stays distributed; the iteration
+      // replays Spark's exact arithmetic on the driver: per term
+      // double→decimal(38,18) is BigDecimal.valueOf(d).setScale(18,
+      // HALF_UP) (Cast semantics), the sum exact decimal addition
+      // (order-free), the result .doubleValue (correctly rounded) —
+      // bit-identical to the former join+agg chain, oracle-checked at
+      // sf0.01 and sf0.1.
+      val cells = p.collect().map { r =>
+        (r.getString(0), r.getString(1), r.getDouble(2)) }
+      val d18 = (x: Double) => java.math.BigDecimal.valueOf(x)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+      var pi: Map[String, Double] =
+        cells.map(_._1).distinct.map(_ -> 1.0 / 5.0).toMap
       for (_ <- 1 to Iters) {
-        pi = pi.join(p, pi("state") === p("src"))
-          .groupBy(col("dst").as("state"))
-          .agg(sum((col("pi") * col("p")).cast("decimal(38,18)"))
-            .cast("double").as("pi"))
-          .localCheckpoint(false)
+        // src != null replicates the former null-unsafe equi-join
+        pi = cells.filter { case (src, _, _) =>
+          src != null && pi.contains(src) }
+          .groupBy(_._2)
+          .map { case (dst, cs) =>
+            dst -> cs.map { case (src, _, pv) => d18(pi(src) * pv) }
+              .reduce(_.add(_)).doubleValue
+          }
       }
-      pi.select(col("state"), round(col("pi"), 9).as("pi"))
-        .orderBy("state")
+      val out = pi.toSeq.sortBy(_._1).map { case (st, v) =>
+        (st, java.math.BigDecimal.valueOf(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+      }
+      import s.implicits._
+      out.toDF("state", "pi").orderBy("state")
     },
     Some {
       val steps = (1 to Iters).map { i =>

@@ -40,11 +40,18 @@ object Lof {
         round(SimilarityQueries.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
     val topk = udaf(new graft.functions.TopKAgg(k))
+    // materialisation barrier (r08, guide §2.4/§5): `edges` feeds THREE
+    // consumers (kdist, reach, the final lrd_o join) and each re-ran the
+    // whole blocked self-join + top-k upstream — the probe showed the
+    // 32-task pair-scoring stage executing 5×. One lineage cut computes
+    // it once (k·n rows, node-bounded at any scale); measured 1.67 →
+    // 1.45 s bench warm (2.15 → 1.64 s noop) at sf0.1, identical output.
     val edges = scored.groupBy("src")
       .agg(topk(col("cos"), col("dst")).as("nn"))
       .select(col("src"), explode(col("nn")).as("e"))
       .select(col("src"), col("e.id").as("dst"),
         round(lit(1.0) - col("e.score"), 4).as("d"))
+      .localCheckpoint(false)
     val kdist = edges.groupBy("src").agg(max(col("d")).as("kdist"))
     val reach = edges
       .join(kdist.select(col("src").as("dst"), col("kdist")), "dst")

@@ -28,9 +28,10 @@ object Explain {
       "t_chunk_documents", "t_unigram_logprob", "t_corpus_shuffle",
       "t_chunk_dedup_reassemble", "a17_table_profile", "a18_pivot",
       "d_dedup_corpus", "ann_ivf_topk")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      val df = Registry.byName(n).run(spark, "/root/testdata/sf0.01")
+      val df = Registry.byName(n).run(spark, d)
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
