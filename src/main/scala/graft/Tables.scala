@@ -24,7 +24,8 @@ final class Tables(spark: SparkSession, dir: String) {
     */
   private def t(name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    Tables.relationCache.computeIfAbsent(
+    if (sys.env.contains("SPARK_GRAFT_NO_RELCACHE")) spark.read.parquet(path)
+    else Tables.relationCache.computeIfAbsent(
       (spark, path), _ => spark.read.parquet(path))
   }
 

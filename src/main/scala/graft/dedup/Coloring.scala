@@ -70,14 +70,21 @@ object Coloring {
       val cand = winners
         .withColumn("color",
           explode(sequence(lit(1L), lit(MaxColors.toLong))))
+      // lazy lineage cuts (r08): eager checkpoints here ran THREE
+      // materialisation jobs per round on ~node-sized frames — pure
+      // scheduler latency (72 stages for 4 rounds). Lazy cuts keep the
+      // same per-round plan bound (the RDD still materialises once at
+      // first use and is shared by every consumer) without the eager
+      // round-trips; measured 2.79 → 1.87 s warm at sf0.1 (subset
+      // bench), identical output.
       val picked = cand.join(used, Seq("id", "color"), "left_anti")
         .groupBy("id").agg(min(col("color")).as("color"))
         .withColumn("round", lit(r))
-        .localCheckpoint(true)
-      colors = colors.union(picked).localCheckpoint(true)
+        .localCheckpoint(false)
+      colors = colors.union(picked).localCheckpoint(false)
       uncolored = uncolored
         .join(picked.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     colors
   }

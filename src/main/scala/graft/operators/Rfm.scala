@@ -108,22 +108,37 @@ object Rfm {
         li.select("l_returnflag", "l_extendedprice"),
         "l_returnflag", "l_extendedprice",
         Seq("p05" -> 0.05, "p95" -> 0.95))
+      // Exact fixed-point rewrite (r08, guide §1.2; the a99 discipline):
+      // every addend is a ≤4-dp value (2-dp money, or a p05/p95 fence
+      // interpolated at k/20 weights → ≤4 dp), so the decimal(30,4)
+      // sums are exact integers at scale 4 — computed as longs through
+      // util.SplitSum's limb sums instead of three wide-decimal
+      // aggregates on the serial scan stage. Identical exact sums →
+      // identical means; oracle-checked at sf0.01 (at sf0.1 all three
+      // means still match exactly; the fence COLUMNS differ from DuckDB
+      // by an interpolation ulp there, pre-existing and unchanged by
+      // this rewrite). Measured 2.04 → 1.68 s warm (subset bench).
+      import graft.util.SplitSum
+      def v4(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
+      val kept = col("l_extendedprice") >= col("p05") &&
+        col("l_extendedprice") <= col("p95")
       li.join(broadcast(fences), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p05"), col("p95"),
+          v4(col("l_extendedprice")).as("vr"),
+          when(kept, v4(col("l_extendedprice"))).as("vt"),
+          v4(greatest(least(col("l_extendedprice"), col("p95")),
+            col("p05"))).as("vw"))
         .groupBy("l_returnflag", "p05", "p95")
-        .agg(
-          Stable.davg(col("l_extendedprice")).as("mean_raw"),
-          count(when(col("l_extendedprice") >= col("p05") &&
-            col("l_extendedprice") <= col("p95"), 1)).as("n_kept"),
-          (sum(when(col("l_extendedprice") >= col("p05") &&
-            col("l_extendedprice") <= col("p95"),
-            col("l_extendedprice")
-              .cast(org.apache.spark.sql.types.DecimalType(30, 4))))
-            .cast("double") /
-            count(when(col("l_extendedprice") >= col("p05") &&
-              col("l_extendedprice") <= col("p95"), 1)))
-            .as("mean_trimmed"),
-          Stable.davg(greatest(least(col("l_extendedprice"), col("p95")),
-            col("p05"))).as("mean_winsorized"))
+        .agg(count(lit(1)).as("n_all"),
+          (SplitSum.sums(col("vr"), "sr") ++
+            Seq(count(col("vt")).as("n_kept")) ++
+            SplitSum.sums(col("vt"), "st") ++
+            SplitSum.sums(col("vw"), "sw")): _*)
+        .select(col("l_returnflag"), col("p05"), col("p95"),
+          (SplitSum.value("sr", 4) / col("n_all")).as("mean_raw"),
+          col("n_kept"),
+          (SplitSum.value("st", 4) / col("n_kept")).as("mean_trimmed"),
+          (SplitSum.value("sw", 4) / col("n_all")).as("mean_winsorized"))
     },
     Some(
       s"""WITH f AS (
