@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, UnboundFunction}
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 FunctionCatalog — the last catalog extension surface
@@ -85,21 +84,12 @@ object GraftFunctionCatalog {
       require(inputType.length == 2 &&
         inputType.forall(_.dataType == LongType),
         s"hamming64 expects (BIGINT, BIGINT), got ${inputType.sql}")
-      Bound
-    }
-
-    private object Bound extends ScalarFunction[java.lang.Long] {
-      override def inputTypes(): Array[DataType] = Array(LongType, LongType)
-      override def resultType(): DataType = LongType
-      override def name(): String = "hamming64"
-      override def canonicalName(): String = "graft_fns.default.hamming64"
-      override def isDeterministic: Boolean = true
-      // magic method: exact primitive signature → codegen StaticInvoke
-      def invoke(a: Long, b: Long): Long =
-        java.lang.Long.bitCount(a ^ b).toLong
-      // interpreted fallback (also the documentation of the semantics)
-      override def produceResult(input: InternalRow): java.lang.Long =
-        java.lang.Long.bitCount(input.getLong(0) ^ input.getLong(1)).toLong
+      // r08: the bound function lives in JAVA (HammingBound) so the
+      // magic method is a true static — the former Scala object's
+      // instance `invoke` made Janino reject the generated static call
+      // and the stage silently ran INTERPRETED (boxed produceResult),
+      // which was also the r06/r07 bench tails' anonymous stack trace.
+      HammingBound.INSTANCE
     }
   }
 }

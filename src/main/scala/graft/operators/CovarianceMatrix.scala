@@ -40,8 +40,8 @@ object CovarianceMatrix {
       // sums instead of 14 decimal(30+) aggregates whose UnsafeRow
       // byte-buffer updates serialised the scan stage for 4.4 s at
       // sf0.1. Same exact integers → same doubles → same hash; measured
-      // 4.48 → 0.80 s bench warm (4.76 → 0.91 s noop), cold 4.5 → 2.1 s.
-      // The double-rounding in round(100·x) is
+      // 4.47 → 0.61 s full-run bench warm (noop 4.76 → 0.91), cold
+      // 4.5 → 2.1 s. The double-rounding in round(100·x) is
       // exact for 2-dp data (error ≪ half-ulp), and v_i·v_j recovers
       // cast(x_i·x_j as decimal(·,4)) exactly (product error ≤ 4e-6 <
       // 5e-5). Overflow-safe to 2^42 rows under ANSI (SplitSum scaladoc).

@@ -47,8 +47,9 @@ object MarkovStationary {
       // |event-types|² cells — METADATA-scale at any corpus size (the
       // PowerIteration d×d-Gram precedent) — yet the 20 BSP rounds on
       // 5-row frames cost 48 stages of pure scheduler/optimizer
-      // overhead (measured: 3.18 → 0.79 s warm and 48 → 7 stages at
-      // sf0.1, ~0.1 s of actual task time). The ONE corpus-scale job (the
+      // overhead (measured: 2.15 → 0.32 s full-run bench warm, probe
+      // 48 → 7 stages, ~0.1 s of actual task time). The ONE
+      // corpus-scale job (the
       // window+agg matrix build) stays distributed; the iteration
       // replays Spark's exact arithmetic on the driver: per term
       // double→decimal(38,18) is BigDecimal.valueOf(d).setScale(18,

@@ -151,8 +151,11 @@ object Regression {
       // consumers: marginals explode the sets (set ≙ distinct),
       // the order count is the group count, and the pair space is the
       // identical C(|basket|,2) in-array fanout (sorted sets, strict
-      // a < b ≙ the former partkey < partkey predicate). Measured
-      // 2.10 → 1.79 s warm at sf0.1 (subset bench), identical output.
+      // a < b ≙ the former partkey < partkey predicate). Identical
+      // output. Full-run warm at sf0.1 is ±0.2 s (count() had pruned
+      // much of the duplicated work locally); the change is kept for
+      // the cold/scale story — one build of a corpus-sized frame
+      // instead of four (OPTIMIZATION_r08.md).
       val sets = Tables(s, d).lineitem
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")

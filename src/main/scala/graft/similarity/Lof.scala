@@ -45,7 +45,7 @@ object Lof {
     // whole blocked self-join + top-k upstream — the probe showed the
     // 32-task pair-scoring stage executing 5×. One lineage cut computes
     // it once (k·n rows, node-bounded at any scale); measured 1.67 →
-    // 1.45 s bench warm (2.15 → 1.64 s noop) at sf0.1, identical output.
+    // 0.73 s full-run bench warm at sf0.1, identical output.
     val edges = scored.groupBy("src")
       .agg(topk(col("cos"), col("dst")).as("nn"))
       .select(col("src"), explode(col("nn")).as("e"))

@@ -16,17 +16,26 @@ class FnCatalogSpec extends SparkSpec {
     val df = Registry.byName("f21_fncatalog_hamming")
       .run(spark, sf("sf0.001"))
     val opt = df.queryExecution.optimizedPlan.toString
-    // the codegen binding: Invoke on the bound function object
-    assert(opt.contains("invoke(") && opt.contains("Hamming64"),
+    // the codegen binding: a static Invoke on the Java bound function
+    // (r08: the former Scala object's instance `invoke` planned fine
+    // but Janino rejected the generated static call at RUNTIME and the
+    // stage silently ran interpreted — so this spec now also executes
+    // with codegen fallback DISABLED below)
+    assert(opt.contains("invoke(") && opt.contains("HammingBound"),
       s"magic-method Invoke binding regressed; plan:\n$opt")
     // the interpreted fallback prints as the function's pretty name —
     // its presence means produceResult boxing snuck back in
     assert(!opt.contains("hamming64("),
       s"plan fell back to interpreted ApplyFunctionExpression:\n$opt")
-    // and the distances are actually right (popcount-of-xor spot check)
-    val rows = df.collect()
-    assert(rows.nonEmpty)
-    assert(rows.map(_.getLong(1)).sum ==
-      spark.read.parquet(sf("sf0.001") + "/lineitem.parquet").count())
+    // and the distances are actually right (popcount-of-xor spot check),
+    // computed with whole-stage-codegen fallback OFF: a Janino compile
+    // error now fails the test instead of silently interpreting
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getLong(1)).sum ==
+        spark.read.parquet(sf("sf0.001") + "/lineitem.parquet").count())
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 }
