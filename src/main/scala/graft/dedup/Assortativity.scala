@@ -40,8 +40,16 @@ object Assortativity {
     * variance — and ANSI engines rightly refuse the 0/0).
     */
   def run(und: DataFrame): DataFrame = {
-    val sym = und.select(col("src").as("a"), col("dst").as("b"))
-      .union(und.select(col("dst").as("a"), col("src").as("b")))
+    // lazy lineage cut: `und` (for the registered query a DISTINCT over
+    // the fact table) is consumed FOUR times in this plan — the union
+    // doubles it and the deg/e branches are alias-distinct, so runtime
+    // exchange reuse never fires and the distinct build executed 4×
+    // (opt guide §2.4). One materialisation, shared by every consumer;
+    // the frame is the edge list (node-bounded × 2 longs), the same
+    // trade the lof/a32/j28 cuts made.
+    val cut = und.localCheckpoint(false)
+    val sym = cut.select(col("src").as("a"), col("dst").as("b"))
+      .union(cut.select(col("dst").as("a"), col("src").as("b")))
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
       .select(col("a").as("n"), col("deg"))
     val e = sym

@@ -43,12 +43,17 @@ object Csls {
           pairCos.as("cos"))
         .localCheckpoint(false)
       val wTop = Window.partitionBy("x").orderBy(desc("cos"), asc("y"))
+      // lazy lineage cut (the sampled variant already had it): r feeds
+      // BOTH penalty joins (rq row-side, ry broadcast-side) and the two
+      // branches are alias-distinct, so without the cut the n²-row
+      // window + agg ran twice (opt guide §2.4 share-one-exchange)
       val r = allPairs
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= K)
         .groupBy(col("x"))
         .agg((graft.util.Stable.dsum(col("cos"), 4) /
           lit(K.toDouble)).as("r"))
+        .localCheckpoint(false)
       val scored = allPairs.filter(col("x") < 10)
         .join(r.select(col("x"), col("r").as("rq")), "x")
         .join(broadcast(r.select(col("x").as("y"), col("r").as("ry"))), "y")

@@ -31,23 +31,40 @@ object KCenter {
 
   /** The k chosen centers as (rank, vec_id, radius) — radius is the
     * farthest-point distance at selection time (NULL for the seed).
+    *
+    * Each argmax row is collected WITH its embedding (dim values —
+    * metadata-scale, the PowerIteration d×d collect precedent), so a
+    * greedy round is ONE corpus scan against a packed-centers row built
+    * from the driver-held k rows. Before, every round also re-filtered
+    * and re-aggregated the corpus for the centers (2 extra corpus-scan
+    * jobs per round — opt guide §1.2/§5). The held bytes are the stored
+    * values untouched and the local relation keeps the source column
+    * type, so the assignment arithmetic is bit-identical.
     */
   def fit(corpus: DataFrame, k: Int = K): Seq[(Int, Long, Option[Double])] = {
-    val seedId = corpus.agg(min(col("vec_id"))).head().getLong(0)
-    var chosen = Vector[(Int, Long, Option[Double])]((1, seedId, None))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val s = corpus.sparkSession
+    val centSchema = StructType(Seq(StructField("cid", LongType),
+      StructField("centroid", corpus.schema("embedding").dataType)))
+    val seed = corpus.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).head()
+    var held = Vector[Row](Row(seed.getLong(0), seed.get(1)))
+    var chosen = Vector[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
     while (chosen.length < k) {
-      val ids = chosen.map(_._2)
-      val cents = corpus.filter(col("vec_id").isin(ids: _*))
-        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val cents = s.createDataFrame(
+        java.util.Arrays.asList(held: _*), centSchema)
       val far = SimilarityQueries
         .withNearest(corpus, SimilarityQueries.pack(cents), 1)
         .select(col("vec_id"),
           (lit(1.0) + element_at(col("lists"), 1).getField("negcos"))
-            .as("mind"))
+            .as("mind"),
+          col("embedding"))
         .orderBy(desc("mind"), asc("vec_id")).limit(1)
         .head()
       chosen = chosen :+
         ((chosen.length + 1, far.getLong(0), Some(far.getDouble(1))))
+      held = held :+ Row(far.getLong(0), far.get(2))
     }
     chosen
   }

@@ -22,6 +22,15 @@ object MutualKnn {
 
   /** Directed top-k per src (4-dp cosine, id tie-break), then the
     * mutual intersection as canonical (a < b) edges.
+    *
+    * The intersection is a GROUP BY over unordered pairs, not a
+    * topk⋈topk self-join: the two join branches are alias-distinct
+    * subtrees, so the n² scoring pass + window behind `topk` executed
+    * TWICE (the sim_lof/a32 duplicated-subtree finding, opt guide
+    * §2.4). (src, dst) is unique in `topk`, so an unordered pair holds
+    * at most the two orientations: n = 2 ⇔ mutual, and the reported
+    * cos is the lower-id orientation's — exactly the old join's
+    * x.src < x.dst row. Same rows, same values, one topk build.
     */
   def mutualEdges(embeddings: DataFrame, k: Int): DataFrame = {
     val e = SimilarityQueries.withNorm(embeddings)
@@ -33,12 +42,13 @@ object MutualKnn {
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     val topk = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("src", "dst", "cos")
-    topk.alias("x")
-      .join(topk.alias("y"),
-        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
-          col("x.src") < col("x.dst"))
-      .select(col("x.src").as("a"), col("x.dst").as("b"),
-        col("x.cos").as("cos"))
+    topk
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(count(lit(1)).as("n_dir"),
+        max(when(col("src") < col("dst"), col("cos"))).as("cos"))
+      .filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cos"))
   }
 
   private val q = Q(

@@ -70,7 +70,8 @@ object StreamingAsOf {
           col("user_id"), col("event_type"))
       val name = StreamingOps.sinkName("asofp_")
       StreamingOps.runToMemory(asofStream(s, stream), name,
-        OutputMode.Append())
+        OutputMode.Append(),
+        StreamingOps.statePartitionsFor(s, s"$d/events.parquet"))
       s.table(name)
     },
     graft.operators.Sessions.asofOracleSql,

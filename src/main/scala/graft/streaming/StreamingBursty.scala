@@ -78,7 +78,8 @@ object StreamingBursty {
       val stream = StreamingOps.spooledStream(s, s"$d/documents.parquet")
       val name = StreamingOps.sinkName("tb_")
       StreamingOps.runToMemory(burstyStream(s, stream), name,
-        OutputMode.Append())
+        OutputMode.Append(),
+        StreamingOps.statePartitionsFor(s, s"$d/documents.parquet"))
       // batch-side finish on the tiny spine, identical to t_bursty_terms
       val tok = s.read.parquet(s"$d/documents.parquet")
         .select(expr(s"doc_id div $BatchSize").as("batch"),

@@ -197,7 +197,8 @@ object StreamingDedup {
       val name = StreamingOps.sinkName("ndp_")
       StreamingOps.runToMemory(
         nearDupPairs(s, stream, minEstJaccard = 0.7, fnv = true),
-        name, OutputMode.Append())
+        name, OutputMode.Append(),
+        StreamingOps.statePartitionsFor(s, s"$d/documents.parquet"))
       s.table(name).dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 4).as("est_jaccard"))

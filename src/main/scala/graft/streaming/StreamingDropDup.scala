@@ -31,7 +31,8 @@ object StreamingDropDup {
         .dropDuplicatesWithinWatermark("event_id")
       val name = StreamingOps.sinkName("ddw_")
       StreamingOps.runToMemory(deduped, name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        StreamingOps.statePartitionsFor(s, s"$d/events.parquet"))
       s.table(name).groupBy("event_type")
         .agg(count(lit(1)).as("n_unique"))
     },

@@ -147,17 +147,64 @@ object StreamingOps {
 
   /** Drive a streaming DataFrame to completion against a memory sink —
     * used by specs and local smoke runs (batch parquet in, synchronous).
+    *
+    * `statePartitions > 0` pins `spark.sql.shuffle.partitions` around
+    * start(): stateful streaming operators resolve their state-store
+    * partition count from that conf at the FIRST micro-batch and write
+    * it into the checkpoint — batch AQE coalescing never applies — so
+    * a toy input otherwise pays the session default (= cluster
+    * parallelism) state-store instances per stateful operator per
+    * micro-batch. Pass [[statePartitionsFor]]'s input-derived count.
+    * The conf is restored after the drain; the partition count cannot
+    * change any result — it is hash-partitioning of keyed state.
     */
   def runToMemory(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+      mode: OutputMode = OutputMode.Complete(),
+      statePartitions: Int = -1): StreamingQuery = {
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    if (statePartitions > 0) s.conf.set(key, statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    } finally if (statePartitions > 0) s.conf.set(key, prev)
+  }
+
+  /** Scale-adaptive state partition count (opt guide §2: derive
+    * partitioning from input size, never a per-machine constant):
+    * source bytes / `spark.graft.stream.bytesPerStatePartition`
+    * (64 MB default — the shuffle-partition sizing rule applied to
+    * state), clamped to [1, session shuffle.partitions]. Production
+    * keeps the session default (cluster parallelism) as the ceiling;
+    * a toy spool stops paying 32 RocksDB/HDFS store instances per
+    * stateful operator per micro-batch.
+    */
+  def statePartitionsFor(s: SparkSession, paths: String*): Int = {
+    import java.nio.file.{Files, Paths}
+    val bytes = paths.map { p =>
+      val f = Paths.get(p)
+      if (Files.isDirectory(f))
+        Files.list(f).iterator().asScala.map(Files.size).sum
+      else if (Files.exists(f)) Files.size(f)
+      else 0L
+    }.sum
+    val target = s.conf.getOption("spark.graft.stream.bytesPerStatePartition")
+      .map(_.toLong).getOrElse(64L << 20)
+    val ceiling = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // floor of 4 (not 1): state-store work is serial WITHIN a partition,
+    // and a single instance measured SLOWER warm (w7b 1.70→1.80,
+    // w6b 3.31→3.57) than a handful — keep minimal parallelism even for
+    // tiny inputs; the cold instance-setup win survives (32→4).
+    val floor = math.min(4, ceiling)
+    math.max(floor.toLong, math.min(ceiling.toLong,
+      (bytes + target - 1) / target)).toInt
   }
 
   /** Batch-parity CORRECTNESS query: the orders table replayed as a FILE
@@ -211,7 +258,8 @@ object StreamingOps {
       val stream = spooledStream(s, s"$d/orders.parquet")
         .select(col("o_orderdate").cast("timestamp").as("created"))
       val name = sinkName("w1p_")
-      runToMemory(slidingStock(stream), name)
+      runToMemory(slidingStock(stream), name,
+        statePartitions = statePartitionsFor(s, s"$d/orders.parquet"))
       s.table(name).select(col("ws"), col("n"))
     },
     Some(graft.operators.TimeWindows.slidingStockSql),
@@ -233,7 +281,8 @@ object StreamingOps {
       val name = sinkName("exp_")
       runToMemory(
         exemplarStream(s, stream, "o_custkey", "o_orderkey"),
-        name, OutputMode.Append())
+        name, OutputMode.Append(),
+        statePartitionsFor(s, s"$d/orders.parquet"))
       s.table(name)
     },
     Some(
@@ -338,7 +387,8 @@ object StreamingOps {
             OutputMode.Update())
           .toDF("user_id", "rank", "event_id", "value")
         val name = sinkName("tws3_")
-        runToMemory(out, name, OutputMode.Update())
+        runToMemory(out, name, OutputMode.Update(),
+          statePartitionsFor(s, s"$d/events.parquet"))
         s.table(name)
       } finally {
         prev match {
@@ -479,7 +529,8 @@ object StreamingOps {
             OutputMode.Append())
           .toDF("user_id", "session_start_us", "n_events")
         val name = sinkName("tws6_")
-        runToMemory(out, name, OutputMode.Append())
+        runToMemory(out, name, OutputMode.Append(),
+          statePartitionsFor(s, s"$d/events.parquet"))
         // sentinel filter on the BATCH read (w8b pushdown lesson)
         s.table(name).filter(col("user_id") >= 0L)
       } finally {
@@ -529,7 +580,8 @@ object StreamingOps {
             OutputMode.Update())
           .toDF("key", "n", "lastSeen")
         val name = sinkName("tws_")
-        runToMemory(out, name, OutputMode.Update())
+        runToMemory(out, name, OutputMode.Update(),
+          statePartitionsFor(s, s"$d/orders.parquet"))
         s.table(name)
       } finally {
         prev match {
@@ -553,7 +605,7 @@ object StreamingOps {
           col("o_orderdate").cast("timestamp").as("created"))
       val name = sinkName("rc_")
       runToMemory(runningCounts(s, stream, "cust", "created"), name,
-        OutputMode.Update())
+        OutputMode.Update(), statePartitionsFor(s, s"$d/orders.parquet"))
       // Update mode emits one row per key per batch; the LAST batch's
       // state is the final answer — with one batch, the table IS final
       s.table(name).select(col("key"), col("n"), col("lastSeen"))
@@ -597,7 +649,8 @@ object StreamingOps {
       runToMemory(
         streamJoin(os, ls).select(col("o_orderkey"), col("l_linenumber"),
           col("l_ts").cast("date").as("ship_day")),
-        name, OutputMode.Append())
+        name, OutputMode.Append(),
+        statePartitionsFor(s, s"$d/orders.parquet", s"$d/lineitem.parquet"))
       s.table(name)
     },
     Some(
@@ -650,7 +703,8 @@ object StreamingOps {
         .groupBy("l_returnflag", "bucket")
         .agg(max(col("rho")).as("m"))
       val name = sinkName("hllp_")
-      runToMemory(regs, name, OutputMode.Complete())
+      runToMemory(regs, name, OutputMode.Complete(),
+        statePartitionsFor(s, s"$d/lineitem.parquet"))
       val exact = s.read.parquet(s"$d/lineitem.parquet")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
@@ -684,7 +738,8 @@ object StreamingOps {
         .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
       val name = sinkName("cmp_")
-      runToMemory(stream, name, OutputMode.Complete())
+      runToMemory(stream, name, OutputMode.Complete(),
+        statePartitionsFor(s, s"$d/orders.parquet"))
       val counters = s.table(name)
       val orders = s.read.parquet(s"$d/orders.parquet")
       val probes = orders.select(keyc).distinct()
@@ -723,7 +778,8 @@ object StreamingOps {
           / ((col("hi") - col("lo")) / 256)), lit(255L)).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
       val name = sinkName("qsk_")
-      runToMemory(stream, name, OutputMode.Complete())
+      runToMemory(stream, name, OutputMode.Complete(),
+        statePartitionsFor(s, s"$d/lineitem.parquet"))
       graft.operators.Extended.finishQuantiles(s.table(name), mm)
     },
     graft.operators.Extended.quantileSketchOracle,
@@ -798,7 +854,8 @@ object StreamingOps {
           col("session_window.start").as("session_start"),
           col("n_events"), col("sum_value"))
       val name = sinkName("ssn_")
-      runToMemory(sess, name, OutputMode.Append())
+      runToMemory(sess, name, OutputMode.Append(),
+        statePartitionsFor(s, s"$d/events.parquet"))
       s.table(name).filter(col("user_id") >= 0)
     },
     // the batch islands oracle, verbatim (same gap, same stable sum)
@@ -863,7 +920,8 @@ object StreamingOps {
         .join(broadcast(dim), survivors("l_orderkey") === dim("o_orderkey"))
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       val name = sinkName("bloomf_")
-      runToMemory(joined, name, OutputMode.Complete())
+      runToMemory(joined, name, OutputMode.Complete(),
+        statePartitionsFor(s, s"$d/lineitem.parquet"))
       s.table(name)
     },
     Some(
@@ -969,7 +1027,8 @@ object StreamingOps {
         .abProject(spooledStream(s, s"$d/events.parquet"))
         .groupBy("event_type").agg(aggs.head, aggs.tail: _*)
       val name = sinkName("abp_")
-      runToMemory(stats, name, OutputMode.Complete())
+      runToMemory(stats, name, OutputMode.Complete(),
+        statePartitionsFor(s, s"$d/events.parquet"))
       graft.operators.Regression.abFinish(s.table(name))
     },
     graft.operators.Regression.abOracle,
@@ -1005,7 +1064,8 @@ object StreamingOps {
         // the batch anti-join count
         sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_ref"))
       val name = sinkName("dc_")
-      runToMemory(agg, name, OutputMode.Complete())
+      runToMemory(agg, name, OutputMode.Complete(),
+        statePartitionsFor(s, s"$d/orders.parquet"))
       s.table(name).select(
         expr(
           """stack(4,
@@ -1064,7 +1124,8 @@ object StreamingOps {
           min(col("o_totalprice")).as("zmin"),
           max(col("o_totalprice")).as("zmax"))
       val name = sinkName("zm_")
-      runToMemory(stats, name)
+      runToMemory(stats, name,
+        statePartitions = statePartitionsFor(s, s"$d/orders.parquet"))
       s.table(name).select(col("zone"), col("n_rows"), col("zmin"),
         col("zmax"))
     },
@@ -1116,6 +1177,8 @@ object StreamingOps {
             col("l_ts") <= col("o_ts") + expr("INTERVAL 90 days"),
           "left_outer")
       val name = sinkName("w8b_")
+      val w8bParts =
+        statePartitionsFor(s, s"$d/orders.parquet", s"$d/lineitem.parquet")
       // the sentinel filter runs on the BATCH read of the sink, not
       // inside the streaming query: placed pre-sink, Catalyst pushes
       // `o_orderkey >= 0` down into the left file scan, the sentinel
@@ -1127,7 +1190,7 @@ object StreamingOps {
           // string day: a nullable DATE round-trips as NaT/None
           // inconsistently across engines' dataframe bridges
           col("l_ts").cast("date").cast("string").as("ship_day")),
-        name, OutputMode.Append())
+        name, OutputMode.Append(), w8bParts)
       s.table(name).filter(col("o_orderkey") >= 0L)
     },
     Some(

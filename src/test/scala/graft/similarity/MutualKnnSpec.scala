@@ -21,6 +21,19 @@ class MutualKnnSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("one top-k build: the only join in the plan is the scoring join") {
+    // the r08 rewrite replaced the topk⋈topk self-join (which re-ran the
+    // n² scoring pass + window once per branch) with a GROUP BY over
+    // unordered pairs — a regression back to the join shape shows up as
+    // extra Join nodes
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.99f, 0.1f)), (3L, Array(0.98f, 0.15f)))
+      .toDF("vec_id", "embedding")
+    val plan = MutualKnn.mutualEdges(emb, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Join")) == 1, plan)
+  }
+
   test("within a clique everything is mutual") {
     val emb = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.99f, 0.1f)), (3L, Array(0.98f, 0.15f)))
