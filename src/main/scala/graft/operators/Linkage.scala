@@ -34,7 +34,15 @@ object Linkage {
         when(col("a.band") === col("b.band"), lit(3.0))
           .otherwise(lit(-2.0)) +
         when(col("a.chk") === col("b.chk"), lit(1.5)).otherwise(lit(-0.5))
-    c.alias("a")
+    // parallelism pinned at the fanout boundary (the j28/SCALING.md
+    // "Runtime planning" rule): the Σ|block|² pair fanout is ~×|block|
+    // per probe row, and the broadcast-hash plan otherwise fuses ALL
+    // pair generation + scoring into the probe side's scan tasks —
+    // one task at the bench's single-row-group inputs, and sized by
+    // pre-fanout bytes under AQE at any scale (measured: 2 stages,
+    // 1 task, 0.92 s of the 1.02 s wall).
+    c.repartition(t.customer.sparkSession.sparkContext.defaultParallelism)
+      .alias("a")
       .join(c.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
