@@ -86,14 +86,22 @@ object Bloom {
   /** Pack the Bloom filter over `keys` into ONE broadcastable row: a
     * widx → 64-bit-word map (≤ m/64 entries). The build is one distinct
     * + a tiny agg over positions — never over the corpus.
+    *
+    * Hash family (r08): `xxhash64(key_string, r)` — a native word-wise
+    * codegen hash — instead of the former `hll_hash("r:" ++ key)`
+    * (per-character fnv1a fold over a fresh concat allocation, ×4 per
+    * probed row; opt guide §1.2 per-task work). The family is internal:
+    * every consumer's oracle is the PLAIN join (false positives die in
+    * the exact join, no false negatives for any deterministic family
+    * computed identically on both sides), so the layout is free —
+    * unlike a28's replayable sketch above, which keeps the
+    * cross-engine fnv1a∘fmix64 family.
     */
   def bloomWordsRow(keys: org.apache.spark.sql.DataFrame,
       keyCol: String): org.apache.spark.sql.DataFrame = {
     val pos = keys.select(col(keyCol).cast("string").as("k")).distinct()
       .select(explode(array((0 until Hashes).map { r =>
-        graft.functions.TextSketches
-          .hll_hash(concat(lit(s"$r:"), col("k")))
-          .bitwiseAND(lit(JoinBits - 1))
+        xxhash64(col("k"), lit(r)).bitwiseAND(lit(JoinBits - 1))
       }: _*)).as("pos"))
     pos
       .groupBy(shiftrightunsigned(col("pos"), 6).as("widx"))
@@ -124,10 +132,11 @@ object Bloom {
     val words = bloomWordsRow(dimKeys, dimKeyCol).withColumn("__k", lit(1))
     var f = fact.withColumn("__k", lit(1))
       .join(broadcast(words), Seq("__k")).drop("__k")
+    // same xxhash64 family as the build side; the shared string cast is
+    // CSE'd inside the one collapsed Project
     (0 until Hashes).foreach { r =>
       f = f.withColumn(s"__bp$r",
-        graft.functions.TextSketches
-          .hll_hash(concat(lit(s"$r:"), col(keyCol).cast("string")))
+        xxhash64(col(keyCol).cast("string"), lit(r))
           .bitwiseAND(lit(JoinBits - 1)))
     }
     val member = (0 until Hashes).map { r =>
