@@ -46,14 +46,49 @@ object RankStats {
       val rx = rank2(li, "g", "x", "rx")
       val ry = rank2(li, "g", "y", "ry")
       val ranked = li.join(rx, Seq("g", "x")).join(ry, Seq("g", "y"))
+      // Five decimal(38,0) moment sums forced the UnsafeRow byte-buffer
+      // aggregation path (BigDecimal per row — the a99/a40 finding, opt
+      // guide §1.2). The doubled ranks are nonnegative integers, so
+      // every moment is computable as exact LONG limb sums: split each
+      // rank r = rh·2²¹ + rl (rh, rl < 2²¹ while r < 2⁴²), expand the
+      // products — r_x·r_y = hh·2⁴² + (h_x·l_y + l_x·h_y)·2²¹ + ll,
+      // r² = h²·2⁴² + 2hl·2²¹ + l² — and SplitSum each term (33 plain
+      // long sums, all codegen + map-side combinable), reassembling the
+      // exact decimals once per group. Bounds, all ANSI-safe: every
+      // per-row term < 2⁴³; limb sums overflow only past 2⁴² rows/group;
+      // rh < 2²¹ needs r < 2⁴² i.e. n < 2⁴¹ rows/group — both far past
+      // the formula's OWN precision bound (m·sxx − sx² fits decimal 38
+      // only while n ≲ 1.3e9 rows/group, unchanged here and matched by
+      // the oracle's 128-bit HUGEINT). The reassembled moments are the
+      // same exact integers the decimal sums produced → rho is
+      // bit-identical.
+      val M21 = (1L << 21) - 1
+      def hi(c: org.apache.spark.sql.Column) = shiftright(c, 21)
+      def lo(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(M21))
+      val (hx, lx) = (hi(col("rx")), lo(col("rx")))
+      val (hy, ly) = (hi(col("ry")), lo(col("ry")))
+      import graft.util.SplitSum
+      val limbs =
+        SplitSum.sums(col("rx"), "sx") ++ SplitSum.sums(col("ry"), "sy") ++
+          SplitSum.sums(hx * hy, "xyh") ++
+          SplitSum.sums(hx * ly + lx * hy, "xym") ++
+          SplitSum.sums(lx * ly, "xyl") ++
+          SplitSum.sums(hx * hx, "xxh") ++
+          SplitSum.sums(hx * lx * lit(2L), "xxm") ++
+          SplitSum.sums(lx * lx, "xxl") ++
+          SplitSum.sums(hy * hy, "yyh") ++
+          SplitSum.sums(hy * ly * lit(2L), "yym") ++
+          SplitSum.sums(ly * ly, "yyl")
+      val k2 = lit(1L << 42)
+      val k1 = lit(1L << 21)
+      def mom(p: String) =
+        SplitSum.total(s"${p}h") * k2 + SplitSum.total(s"${p}m") * k1 +
+          SplitSum.total(s"${p}l")
       ranked.groupBy(col("g").as("l_returnflag"))
-        .agg(
-          count(lit(1)).cast(dec).as("m"),
-          sum(col("rx").cast(dec)).as("sx"),
-          sum(col("ry").cast(dec)).as("sy"),
-          sum(col("rx").cast(dec) * col("ry").cast(dec)).as("sxy"),
-          sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx"),
-          sum(col("ry").cast(dec) * col("ry").cast(dec)).as("syy"))
+        .agg(count(lit(1)).cast(dec).as("m"), limbs: _*)
+        .select(col("l_returnflag"), col("m"),
+          SplitSum.total("sx").as("sx"), SplitSum.total("sy").as("sy"),
+          mom("xy").as("sxy"), mom("xx").as("sxx"), mom("yy").as("syy"))
         .select(col("l_returnflag"), col("m").cast("long").as("n"),
           // zero rank variance (an all-tied column) → rho undefined:
           // explicit NULL, not a divide (ANSI throws on /0 and the

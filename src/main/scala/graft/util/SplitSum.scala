@@ -51,4 +51,14 @@ object SplitSum {
       col(s"${p}_m").cast(d) * lit(K) + col(s"${p}_l").cast(d)
     (s / lit(math.pow(10, tens).toLong)).cast("double")
   }
+
+  /** Exact Σv reassembled from the limb sums as DECIMAL(38,0) — the
+    * same exact integer `sum(cast(v as decimal(38,0)))` would produce,
+    * for callers that keep computing in decimal (a50's moment algebra).
+    */
+  def total(p: String): Column = {
+    val d = DecimalType(38, 0)
+    col(s"${p}_h").cast(d) * lit(K2) +
+      col(s"${p}_m").cast(d) * lit(K) + col(s"${p}_l").cast(d)
+  }
 }
