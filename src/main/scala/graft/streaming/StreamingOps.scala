@@ -187,13 +187,16 @@ object StreamingOps {
     * stateful operator per micro-batch.
     */
   def statePartitionsFor(s: SparkSession, paths: String*): Int = {
-    import java.nio.file.{Files, Paths}
+    // Hadoop FileSystem, not java.nio (r08 VERDICT item 6): on a real
+    // deployment path (hdfs://, s3a://) java.nio.Files.exists is always
+    // false → bytes=0 → the floor silently wins, under-partitioning state
+    // at exactly the scale this rule was built for. getContentSummary also
+    // sums nested files (nio summed one level) and leaks no stream.
+    val hconf = s.sparkContext.hadoopConfiguration
     val bytes = paths.map { p =>
-      val f = Paths.get(p)
-      if (Files.isDirectory(f))
-        Files.list(f).iterator().asScala.map(Files.size).sum
-      else if (Files.exists(f)) Files.size(f)
-      else 0L
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hconf)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
     }.sum
     val target = s.conf.getOption("spark.graft.stream.bytesPerStatePartition")
       .map(_.toLong).getOrElse(64L << 20)

@@ -2,33 +2,42 @@ package graft.operators
 
 import graft.{Registry, SparkEntry, SparkSpec}
 
-/** Contract of the two spec-only registry rows (see [[graft.Q.specOnly]]):
-  * each is approximate/engine-specific by design, each has a hash-green
-  * replayable twin in the driver's dump, and each must hold its OWN
-  * guarantee here — the spec IS the verification the oracle can't do.
-  * (a16's ±2% HLL++ error bound is asserted in HeavyHittersSpec.)
+/** Contract of the two once-spec-only registry rows (r08 VERDICT item 1):
+  * `a16_approx_distinct` and `p7_bernoulli_sample` were withdrawn from the
+  * driver surface in r08 (perpetual `no_oracle` — engine-specific HLL++
+  * register layout / seeded RNG) and are RESTORED in r09 with their twins'
+  * replayable computations and oracles, so the declared surface is back to
+  * its full size and both rows are oracle-green. This spec pins that
+  * restoration and keeps the behavioural guarantees the oracle alone
+  * cannot express (a16's engine-native ±2% HLL++ error bound is asserted
+  * in HeavyHittersSpec).
   */
 class SpecOnlyRowsSpec extends SparkSpec {
 
-  test("spec-only rows are exactly {a16, p7}, each with its twin dumped") {
-    val specOnly = Registry.all.filter(_.specOnly).map(_.name).toSet
-    assert(specOnly == Set("a16_approx_distinct", "p7_bernoulli_sample"))
-    // withdrawn from the driver surface…
-    specOnly.foreach(n => assert(!SparkEntry.queries.contains(n)))
-    // …but still runnable, and the replayable twins stay oracle-checked
-    specOnly.foreach(n => assert(Registry.byName.contains(n)))
-    Seq("a16b_hll_distinct", "p7b_deterministic_sample").foreach { t =>
-      assert(SparkEntry.queries.contains(t) &&
-        SparkEntry.oracleSql.contains(t), s"twin $t must stay dumped")
+  test("no spec-only rows remain; a16/p7 are declared WITH oracles") {
+    assert(Registry.all.forall(!_.specOnly),
+      "the driver surface must carry every registry row (r08 VERDICT item 1)")
+    Seq("a16_approx_distinct", "p7_bernoulli_sample",
+      "a16b_hll_distinct", "p7b_deterministic_sample").foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"$n must be dumped")
+      assert(SparkEntry.oracleSql.contains(n), s"$n must be oracle-checked")
     }
   }
 
-  test("p7 Bernoulli sample: seed-reproducible, unbiased, a true subset") {
+  test("a16 and its twin agree bit-for-bit (same replayable estimator)") {
+    val a = Registry.byName("a16_approx_distinct")
+      .run(spark, sf("sf0.01")).collect().map(_.toString).sorted
+    val b = Registry.byName("a16b_hll_distinct")
+      .run(spark, sf("sf0.01")).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("p7 Bernoulli sample: reproducible, unbiased, a true subset") {
     val run1 = Registry.byName("p7_bernoulli_sample")
       .run(spark, sf("sf0.01")).collect().map(_.getLong(0)).sorted
     val run2 = Registry.byName("p7_bernoulli_sample")
       .run(spark, sf("sf0.01")).collect().map(_.getLong(0)).sorted
-    assert(run1.sameElements(run2), "seeded sample must replay bit-equal")
+    assert(run1.sameElements(run2), "sample must replay bit-equal")
     val total = spark.read
       .parquet(sf("sf0.01") + "/orders.parquet").count()
     // Bernoulli(0.1): observed fraction within ±25% relative of nominal
