@@ -73,7 +73,7 @@ object ScaleStress {
     * copies would make every copy an exact dup and collapse ANN
     * ranking into tie-breaks — a different workload).
     */
-  private def scaledEmb(s: SparkSession, dir: String, factor: Int,
+  private[graft] def scaledEmb(s: SparkSession, dir: String, factor: Int,
       out: String): DataFrame = {
     if (!new java.io.File(out).exists()) {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -33,7 +33,20 @@ object Sssp {
     * @return (id, dist) for nodes reached within [[Rounds]] edges.
     */
   def run(edges: DataFrame, nodes: DataFrame, seeds: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    // ONE upfront shuffle by the per-round join key (§2.1/§2.4 share the
+    // exchange): the checkpointed LogicalRDD preserves this partitioning,
+    // so every round's relax join sees the e side already hash-partitioned
+    // by src and shuffles only the frontier. Before, each round's
+    // sort-merge join re-shuffled the FULL edge list (a frontier from a
+    // checkpoint has no size stats, so it never auto-broadcasts — and
+    // broadcasting node-sized state would be the 100 TB anti-pattern
+    // anyway): the ×10 probe showed six identical 795 MB-scan/99.6 MB-
+    // shuffle stages, one per round. Explicit count pins the spread
+    // against AQE coalescing (SCALING.md "Runtime planning").
+    val e = edges
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .localCheckpoint(true)
     var dist = nodes
       .join(seeds.withColumn("d0", lit(0L)), Seq("id"), "left")
       .select(col("id"), col("d0").as("dist"))

@@ -31,7 +31,14 @@ object TemporalReach {
     */
   def run(contacts: DataFrame, nodes: DataFrame, seeds: DataFrame)
       : DataFrame = {
-    val e = contacts.localCheckpoint(true)
+    // same upfront src-partitioning as Sssp.run (§2.1): one shuffle at
+    // build, every round's frontier join reuses it via the checkpointed
+    // LogicalRDD's preserved partitioning instead of re-shuffling the
+    // full contact list per round
+    val e = contacts
+      .repartition(contacts.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .localCheckpoint(true)
     var arr = nodes
       .join(seeds.withColumn("a0", lit(0L)), Seq("id"), "left")
       .select(col("id"), col("a0").as("arr"))
@@ -71,6 +78,14 @@ object TemporalReach {
         datediff(to_date(col("o_orderdate")),
           to_date(lit("1992-01-01"))).cast("long").as("t"))
       .distinct()
+      // materialise the distinct ONCE before symmetrising: the union's
+      // two branches are alias-distinct, so canonical exchange reuse
+      // does NOT deduplicate them and each branch re-ran the full
+      // fact-join + distinct shuffle (×10 probe: two identical 1 GB-scan
+      // / 151 MB-shuffle stages per execution). The r08 explode-based
+      // one-pass rewrite added per-row array overhead and lost; cutting
+      // the lineage at the small distinct result keeps the cheap union.
+      .localCheckpoint(true)
     c.select(col("cust").as("src"), col("sup").as("dst"), col("t"))
       .union(c.select(col("sup").as("src"), col("cust").as("dst"),
         col("t")))
