@@ -140,7 +140,8 @@ object DomainQueries {
       Getters.withFeatures(adsDf, sal,
           AdsFixture.locationLinks(t), AdsFixture.locations(t),
           AdsFixture.socLinks(t), AdsFixture.socs(t),
-          AdsFixture.skillLinks(t))
+          AdsFixture.skillLinks(t),
+          precomputedLoc = Some(cachedLoc(s, d)))
         .select(col("id"), col("min_annualised_salary"),
           col("max_annualised_salary"), col("rate"),
           col("nuts_2_code"), col("nuts_2_name"),
@@ -230,6 +231,24 @@ object DomainQueries {
       SharedCache.defaultRoot,
       "adsfixture", s"$d|ads-fixture-view|v1") {
       AdsFixture.ads(Tables(s, d))
+    }
+
+  /** The standardisable location dim (location_links ⟕ locations,
+    * distinct), materialised: four queries (features, jobs_by_location,
+    * aggregate_skills, weekly_loc_vacancies) each re-ran the same
+    * join + distinct per call (item 3 cont.: curate once, read many).
+    */
+  private def cachedLoc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    SharedCache.materialiseWith(s,
+      SharedCache.defaultRoot,
+      "adsloc", s"$d|ads-location-dim|v1") {
+      val t = Tables(s, d)
+      AdsFixture.locationLinks(t)
+        .join(broadcast(AdsFixture.locations(t)),
+          col("location_id") === col("ipn_18_code"), "left_outer")
+        .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
+        .distinct()
     }
 
   /** The weekly dedup-aware snapshot expansion, materialised: five
@@ -366,11 +385,7 @@ object DomainQueries {
   private def adsWithLocSkills(s: org.apache.spark.sql.SparkSession,
       d: String) = {
     val t = Tables(s, d)
-    val loc = AdsFixture.locationLinks(t)
-      .join(broadcast(AdsFixture.locations(t)),
-        col("location_id") === col("ipn_18_code"), "left_outer")
-      .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
-      .distinct()
+    val loc = cachedLoc(s, d)
     Indicators.standardiseLocation(
       cachedAds(s, d).select("id")
         .join(loc, col("id") === col("job_id"), "left_outer").drop("job_id")
@@ -419,11 +434,7 @@ object DomainQueries {
     "dom_jobs_by_location",
     (s, d) => {
       val t = Tables(s, d)
-      val loc = AdsFixture.locationLinks(t)
-        .join(broadcast(AdsFixture.locations(t)),
-          col("location_id") === col("ipn_18_code"), "left_outer")
-        .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
-        .distinct()
+      val loc = cachedLoc(s, d)
       Indicators.jobsByLocation(Indicators.standardiseLocation(
         cachedAds(s, d).select("id")
           .join(loc, col("id") === col("job_id"), "left_outer")
@@ -465,11 +476,7 @@ object DomainQueries {
     "dom_weekly_loc_vacancies",
     (s, d) => {
       val t = Tables(s, d)
-      val loc = AdsFixture.locationLinks(t)
-        .join(broadcast(AdsFixture.locations(t)),
-          col("location_id") === col("ipn_18_code"), "left_outer")
-        .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
-        .distinct()
+      val loc = cachedLoc(s, d)
       val std = Indicators.standardiseLocation(
         weekly(s, d).select("week_date", "id")
           .join(loc, col("id") === col("job_id"), "left_outer")

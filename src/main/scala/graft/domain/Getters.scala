@@ -67,12 +67,13 @@ object Getters {
       socLinks: DataFrame, // (job_id, soc_id)
       socs: DataFrame, // SocDim
       skillLinks: DataFrame, // SkillLink
+      precomputedLoc: Option[DataFrame] = None, // (job_id, nuts_2_code, nuts_2_name), distinct — the cached location dim passed between steps like precomputedGraphs
   ): DataFrame = {
-    val loc = locationLinks
+    val loc = precomputedLoc.getOrElse(locationLinks
       .join(broadcast(locations),
         col("location_id") === col("ipn_18_code"), "left_outer")
       .select(col("job_id"), col("nuts_2_code"), col("nuts_2_name"))
-      .distinct() // J2: links can map to several rows of the same code
+      .distinct()) // J2: links can map to several rows of the same code
     val soc = socLinks
       .join(broadcast(socs), Seq("soc_id"))
       .select(col("job_id"), col("soc_code"), col("soc_title"))
