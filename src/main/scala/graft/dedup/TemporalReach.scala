@@ -85,7 +85,11 @@ object TemporalReach {
       // / 151 MB-shuffle stages per execution). The r08 explode-based
       // one-pass rewrite added per-row array overhead and lost; cutting
       // the lineage at the small distinct result keeps the cheap union.
-      .localCheckpoint(true)
+      // LAZY (the d30 lesson): an eager cut here is a separate
+      // materialisation job before the caller's first action — the lazy
+      // RDD still materialises exactly once and is shared by both
+      // branches.
+      .localCheckpoint(false)
     c.select(col("cust").as("src"), col("sup").as("dst"), col("t"))
       .union(c.select(col("sup").as("src"), col("cust").as("dst"),
         col("t")))
